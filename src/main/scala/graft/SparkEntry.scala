@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.MainPipeline
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query;
+  * each query with DuckDB-expressible semantics has an equivalent oracle in
+  * `oracleSql` (column names aligned on both sides — the driver sorts columns
+  * by name and hash-compares values). Queries without an oracle entry get the
+  * weaker rows-only check and are asserted in ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full reference pipeline (densify → normalise → rolling
+    * family → rates → trim → EAV melt → keyed BLAKE2s hash) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MainPipeline.run(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TimeseriesQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ MiscQueries.queries
+
+  def oracleSql: Map[String, String] =
+    TimeseriesQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles ++ MiscQueries.oracles
 }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expression for the reference's keyed BLAKE2s row hash
+  * (SURVEY.md §2.8 Hash family): `blake2s_hex(data, key, digestSize)` →
+  * lowercase hex string. Null-safe, deterministic; children are cast to
+  * binary/int at construction so no ExpectsInputTypes is needed. Evaluated on
+  * the interpreted path (CodegenFallback) — the digest itself is a tight JVM
+  * loop, codegen would only inline the call site.
+  */
+case class Blake2sHexExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "blake2s_hex"
+
+  override protected def nullSafeEval(data: Any, key: Any, size: Any): Any =
+    UTF8String.fromString(Blake2s.hexDigest(
+      data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object HashFunctions {
+
+  @volatile private var registered: Set[SparkSession] = Set.empty
+
+  /** Register `blake2s_hex` for SQL / `expr()` / `call_function` use. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered(spark)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "blake2s_hex",
+        exprs => Blake2sHexExpr(
+          Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
+          Cast(exprs(2), IntegerType)),
+        "scala_udf")
+      registered += spark
+    }
+  }
+
+  /** Column API: keyed BLAKE2s hex of a string/binary column. The session the
+    * resulting plan is analyzed under must have called `register`. */
+  def blake2sHex(data: Column, key: String, digestSize: Int): Column =
+    call_function("blake2s_hex", data, lit(key), lit(digestSize))
+}

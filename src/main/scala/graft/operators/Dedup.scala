@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * MinHash-LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * All hashing uses `xxhash64` (codegen'd Catalyst expression) with literal
+  * seeds, so signatures are deterministic across executors and runs. The
+  * MinHash path is the 100 TB design: shingle → signature is a per-row map-side
+  * projection; the only shuffle is the equi-join on (band, bucket-hash), which
+  * scales with the number of *colliding* pairs rather than all pairs.
+  */
+object Dedup {
+
+  /** A14: exact dedup on a key set (reference `drop_duplicates(keep="first")`,
+    * `db_etl_upload/uploader.py:308-312`) made deterministic: keep the row with
+    * the smallest `orderCol` per key group. */
+  def exactFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))))
+      .where(col("__rn") === 1).drop("__rn")
+
+  /** Exact content dedup: group by content hash, keep min-id representative. */
+  def exactByContent(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Word shingles of size `n` from a text column (codegen'd higher-order fns,
+    * no UDF): overlapping n-token windows joined with spaces. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes of the shingle set,
+    * hash family = xxhash64 with literal seed per slot. Pure projection. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))): _*)
+
+  /** MinHash-LSH candidate pairs: signature → `bands` bands of
+    * `numHashes/bands` rows each → band bucket hash → self-equi-join on
+    * (band, bucket). Emits distinct (a_id, b_id) candidate pairs. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("doc_id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rows + 1, lit(rows)))))
+      ).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** MinHash near-dup pairs with exact Jaccard verification of the candidates
+    * (estimate from signatures is free; exact check only touches candidates). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleSize: Int = 3,
+                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    val sh = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), Seq("a_id"))
+      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"), Seq("b_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash-64 of a token multiset: each token's 64-bit hash votes ±1 per bit
+    * position; the fingerprint sets bit j where the vote sum is positive.
+    * Built as 64 conditional sums over exploded tokens — one shuffle on the id. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val packed = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 16-bit sub-bands (any identical
+    * band → candidate), then filter by exact Hamming distance <= `maxHamming`.
+    * Guarantees recall for maxHamming <= 3 with 4 bands (pigeonhole). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash64(df, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col(idCol).as("a_id"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col(idCol).as("b_id"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "key")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video ride as opaque `binary`
+  * columns with typed metadata. The Spark-side machinery — schema, typed
+  * Datasets, per-partition batch decode, partitioning — is real; the actual
+  * codec step is a clearly-marked deterministic STUB (media codecs are not
+  * available in this build environment).
+  *
+  * Scale design: decode runs in `mapPartitions` so any native/batched decoder
+  * amortizes per-partition setup; assets keep their partition key so feature
+  * extraction never reshuffles raw bytes.
+  */
+object Multimodal {
+
+  /** An opaque media asset: raw bytes + typed metadata. */
+  case class Asset(asset_id: Long, kind: String, media: Array[Byte],
+                   meta: Map[String, String])
+
+  /** Extracted features for one asset. */
+  case class AssetFeatures(asset_id: Long, kind: String, byte_len: Long,
+                           header_hex: String, width: Int, height: Int,
+                           duration_ms: Long)
+
+  /** STUB decoder: deterministic pseudo-decode from the byte content.
+    * A real deployment swaps this for an actual codec (e.g. JNI/FFI) — the
+    * signature, batching and schema stay identical. */
+  def stubDecode(a: Asset): AssetFeatures = {
+    val len = a.media.length.toLong
+    val header = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
+    // Deterministic fake dimensions derived from content — NOT a real decode.
+    val h = a.media.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    AssetFeatures(a.asset_id, a.kind, len, header,
+      width = (math.abs(h) % 1920).toInt + 1,
+      height = (math.abs(h / 7) % 1080).toInt + 1,
+      duration_ms = if (a.kind == "image") 0L else math.abs(h) % 600000L)
+  }
+
+  /** Batch feature extraction: per-partition iteration (decoder setup happens
+    * once per partition, mirroring a `mapInPandas` batch UDF). */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map(stubDecode)
+    }
+  }
+
+  /** Build an asset table from the documents fixture (text bytes standing in
+    * for media payloads) — exercises the binary-column path end to end. */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        col("text").cast("binary").as("media"),
+        map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
+      .as[Asset]
+  }
+
+  /** Frame sampling plan for video assets: every `stepMs` up to duration —
+    * the exploded (asset_id, frame_ts) plan a real pipeline would feed to a
+    * frame decoder. Pure relational (sequence + explode). */
+  def frameSamplePlan(features: DataFrame, stepMs: Long = 1000L): DataFrame =
+    features.where(col("kind") === "video")
+      .select(col("asset_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(stepMs))).as("frame_ts"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`, assumed L2-normalized so cosine == dot).
+  *
+  * Scale design: the query set is broadcast; candidates stream through in one
+  * pass. Top-k is taken in two phases — partial top-k per input partition,
+  * then global top-k — so the shuffle carries at most `k × numPartitions` rows
+  * per query instead of every (query, candidate) pair. At 100 TB of candidates
+  * the LSH-bucketed variant prunes the candidate set before any dot product is
+  * computed.
+  */
+object Similarity {
+
+  /** Cosine/dot product of two float-array columns as a codegen'd higher-order
+    * expression (no UDF): cast to double element-wise, multiply, sum in index
+    * order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k. Inputs: `queries(q_id, q_emb)` (small,
+    * broadcast), `candidates(cand_id, cand_emb)`. Scores are rounded to
+    * `scale` decimals *before* ranking so floating summation order can never
+    * flip the ranking; ties break on cand_id. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     scale: Int = 3): DataFrame = {
+    val scored = candidates.join(broadcast(queries), col("cand_id") =!= col("q_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), scale))
+      .select("q_id", "cand_id", "score")
+    // Phase 1: partial top-k inside each partition (no shuffle).
+    val partial = scored
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id"), col("__part"))
+          .orderBy(col("score").desc, col("cand_id").asc)))
+      .where(col("__rn") <= k).drop("__part", "__rn")
+    // Phase 2: global top-k over the surviving k × partitions rows.
+    partial
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cand_id").asc)))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Deterministic random hyperplanes for LSH bucketing (fixed seed → stable
+    * buckets across runs and executors). */
+  private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of an embedding column: one bit per hyperplane. */
+  def lshBucket(emb: Column, dim: Int, nBits: Int = 12, seed: Long = 42L): Column =
+    planes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: bucket both sides, join on bucket (equi-join → hash
+    * shuffle on bucket id, no cross join), exact-rerank within buckets.
+    * Recall < 1 by construction; `nBits` trades bucket size vs recall. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
+              nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("q_emb"), dim, nBits, seed))
+    val cb = candidates.withColumn("bucket", lshBucket(col("cand_emb"), dim, nBits, seed))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .where(col("cand_id") =!= col("q_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), 3))
+      .select("q_id", "cand_id", "score")
+    scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cand_id").asc)))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
+    * `threshold`, blocked by LSH bucket so the pair space never materializes
+    * globally. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String, dim: Int,
+                         threshold: Double, nBits: Int = 10,
+                         seed: Long = 42L): DataFrame = {
+    val withBucket = df.withColumn("bucket", lshBucket(col(embCol), dim, nBits, seed))
+    val a = withBucket.select(col("bucket"), col(idCol).as("a_id"), col(embCol).as("a_emb"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("b_id"), col(embCol).as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(dot(col("a_emb"), col("b_emb")), 4))
+      .where(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for training-data pipelines: token counting,
+  * language ID, quality scoring, document fingerprinting. All pure column
+  * expressions (codegen'd) — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array. */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol)).cast("long")
+
+  /** BPE-ish sub-token count: words + digit runs + punctuation marks each
+    * count as a token (regex split on boundaries). */
+  def subTokenCount(textCol: Column): Column =
+    size(filter(split(textCol, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Stopword-hit count against a fixed lexicon. */
+  def stopwordCount(textCol: Column, stopwords: Seq[String]): Column = {
+    val arr = array(stopwords.map(lit): _*)
+    size(filter(tokens(textCol), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Quality score in [0,1]: length credit × (1 - stopword ratio). */
+  def qualityScore(textCol: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(textCol).cast("double")
+    round(least(n, lit(100d)) / 100d *
+      (lit(1d) - stopwordCount(textCol, stopwords).cast("double") / n), 3)
+  }
+
+  /** Polynomial rolling-hash fingerprint over the token sequence:
+    * fp = fold(tokens, 0, (acc, t) => (acc * 31 + h(t)) mod 2^56) —
+    * order-sensitive (unlike a content hash, near-identical token *sets* in
+    * different order get different fingerprints), deterministic, single
+    * projection. The modulus keeps every intermediate inside a signed long so
+    * the expression is ANSI-mode safe. */
+  def fingerprint(textCol: Column): Column = {
+    val m = lit(1L << 56)
+    aggregate(tokens(textCol), lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), m), m))
+  }
+
+  /** Rolling-hash shingle fingerprints (winnowing-style document signature):
+    * the `keep` smallest hashes of the n-token shingles — a compact sketch for
+    * containment checks. */
+  def shingleSketch(textCol: Column, n: Int = 5, keep: Int = 8): Column =
+    slice(array_sort(transform(Dedup.shingles(textCol, n), s => xxhash64(s))), 1, keep)
+
+  /** Language ID by stopword vote (see TextQueries.lexicon for the lexicon
+    * shape): returns per-doc best language; pure relational ops. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+                 lexicon: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val lex = spark.createDataFrame(lexicon).toDF("cand_lang", "token")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val scores = toks.join(broadcast(lex), Seq("token"))
+      .groupBy(col(idCol), col("cand_lang")).agg(count(lit(1)).as("hits"))
+    val best = Serving.topNPerGroup(scores, Seq(idCol),
+      Seq(col("hits").desc, col("cand_lang").asc), 1, useRowNumber = true)
+    docs.select(col(idCol))
+      .join(best.select(col(idCol), col("cand_lang")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The EAV long store (reference `covid19.time_series`,
+  * `db_tables/covid19.py:192-216`): rows
+  * `(hash, release_id, area/metric keys, partition_id, date, payload)` at rest
+  * as parquet partitioned by `partition_id` — the exact analogue of the
+  * reference's `PARTITION OF time_series FOR VALUES IN ('{date}|{group}')`
+  * DDL (S10), with Catalyst partition pruning replacing the hand-templated
+  * table names.
+  *
+  * The reference's `INSERT ... ON CONFLICT (hash, partition_id) DO UPDATE`
+  * (S9) becomes: dedup on (hash, partition_id) keeping the incoming row, then
+  * dynamic partition overwrite of only the touched partitions.
+  */
+object EavStore {
+
+  /** S9/S10: idempotent upsert — pre-dedup (reference `uploader.py:308-312`)
+    * then dynamic-overwrite only the partitions present in `df`. */
+  def upsert(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val existing = readIfExists(spark, path)
+    val incoming = Dedup.exactFirst(df, Seq("hash", "partition_id"), "date")
+    val merged = existing match {
+      case Some(old) =>
+        // Keep old rows only where no incoming row claims the same key —
+        // upsert semantics without a transactional store.
+        val touched = incoming.select("partition_id").distinct()
+        val oldTouched = old.join(touched, Seq("partition_id"), "left_semi")
+        val keepOld = oldTouched.join(incoming.select("hash", "partition_id"),
+          Seq("hash", "partition_id"), "left_anti")
+        incoming.unionByName(keepOld)
+      case None => incoming
+    }
+    // Cut lineage before overwriting a path that feeds the plan (Spark refuses
+    // a self-referential overwrite otherwise).
+    val materialized = if (existing.isDefined) merged.localCheckpoint() else merged
+    materialized.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_id")
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Event-stream-shaped queries on the `events` table: windowed aggregation,
+  * gap sessionization (the batch equivalents of the Structured Streaming
+  * front-end in `graft.streaming`), and JSON payload extraction — the
+  * reference's `payload ->> 'value'` family (SURVEY.md §2.8 JSON).
+  */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 5-minute window aggregation (streaming analogue; SURVEY §2.10)
+    "q30_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+
+    // Gap-based sessionization: 30-min inactivity closes a session
+    // (batch analogue of flatMapGroupsWithState; gap compared on floored
+    // epoch seconds so both engines agree at sub-second precision)
+    "q31_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("new_sess",
+          when(col("sec") - lag(col("sec"), 1).over(w) > 1800 ||
+               lag(col("sec"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("sec")).as("session_start"),
+          round(sum("value"), 2).as("session_value"))
+    }),
+
+    // JSON payload extraction (reference `payload -> 'value'` everywhere)
+    "q32_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_window_agg" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS bucket, event_type,
+        |       COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, value, sec, ts,
+        |         CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sess AS (
+        |  SELECT user_id, value, sec,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       min(sec) AS session_start, round(SUM(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q32_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Text-analysis + dedup queries over the `documents` table — the
+  * training-data-pipeline operator family (token counting, language ID,
+  * quality scoring, exact dedup, n-gram Jaccard similarity) with DuckDB
+  * oracles. The heavier near-dup machinery (MinHash-LSH, SimHash) lives in
+  * `graft.operators.Dedup` with rows-only checks.
+  */
+object TextQueries {
+
+  /** Shared stopword lexicon for the language-ID vote: (lang, token). */
+  val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "in",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "es" -> "el", "es" -> "los", "es" -> "de", "es" -> "y", "es" -> "las",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "zh" -> "的", "zh" -> "是", "zh" -> "在", "zh" -> "了", "zh" -> "和")
+
+  private val stopwords = Seq("the", "a", "of", "to", "in", "and")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // R7: unnest with position (converter.py:48-74 analogue on token arrays)
+    "q33_unnest_tokens" -> ((s, dir) =>
+      Reshape.unnest(
+        Tables.load(s, dir, "documents").withColumn("toks", split(col("text"), " ")),
+        Seq("doc_id"), "toks", posName = "pos", elemName = "token")),
+
+    // Token count + char/byte length (text-analysis family)
+    "q40_token_count" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        octet_length(col("text")).cast("long").as("n_bytes"))),
+
+    // Language ID by stopword vote: argmax of lexicon hits, ties → lang asc,
+    // no hits → 'unknown'
+    "q41_lang_id" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lex = s.createDataFrame(lexicon).toDF("cand_lang", "token")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val scores = toks.join(broadcast(lex), Seq("token"))
+        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+      val best = Serving.topNPerGroup(scores, Seq("doc_id"),
+        Seq(col("hits").desc, col("cand_lang").asc), 1, useRowNumber = true)
+      docs.select(col("doc_id"), col("lang"))
+        .join(best.select(col("doc_id"), col("cand_lang")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"))
+    }),
+
+    // Quality scoring: token stats + stopword ratio → bounded score
+    "q42_quality" -> ((s, dir) => {
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(split(col("text"), " "), t => array_contains(stopArr, t))).cast("long"))
+        .withColumn("avg_token_len",
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"), 3))
+        .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 3))
+        .withColumn("quality_score",
+          round(least(col("n_tokens").cast("double"), lit(100d)) / 100d
+            * (lit(1d) - col("n_stop").cast("double") / col("n_tokens")), 3))
+        .select("doc_id", "n_tokens", "n_stop", "avg_token_len", "stop_ratio", "quality_score")
+    }),
+
+    // Exact dedup by content hash (hash-groupBy; scale path for 100 TB dedup)
+    "q43_dedup_exact" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))),
+
+    // Exact token-set Jaccard within source blocks (blocked pairwise
+    // similarity — the verifiable core of near-dup detection)
+    "q44_jaccard_pairs" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      val a = toks.select(col("source"), col("doc_id").as("a_id"), col("token"))
+      val b = toks.select(col("source"), col("doc_id").as("b_id"), col("token"))
+      val inter = a.join(b, Seq("source", "token"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_toks", "n_a"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_toks", "n_b"), Seq("b_id"))
+        .withColumn("jaccard", round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .where(col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    }),
+
+    // Multimodal probe: opaque binary column + deterministic stub "decode"
+    // (byte length + header hex) — the Spark-side plumbing for binary assets
+    "q50_multimodal_probe" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex")))
+  )
+
+  private val lexValues = lexicon
+    .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+    "q33_unnest_tokens" ->
+      """SELECT doc_id,
+        |       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+        |       unnest(string_split(text, ' ')) AS token
+        |FROM documents""".stripMargin,
+
+    "q40_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q41_lang_id" ->
+      s"""WITH lex(cand_lang, token) AS (VALUES $lexValues),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+         |  FROM toks JOIN lex USING (token) GROUP BY doc_id, cand_lang
+         |),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM scores
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, d.lang, COALESCE(best.cand_lang, 'unknown') AS predicted_lang
+         |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin,
+
+    "q42_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS BIGINT) AS n_stop,
+        |         length(replace(text, ' ', '')) AS chars_nospace
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, n_stop,
+        |       round(CAST(chars_nospace AS DOUBLE) / n_tokens, 3) AS avg_token_len,
+        |       round(CAST(n_stop AS DOUBLE) / n_tokens, 3) AS stop_ratio,
+        |       round(least(CAST(n_tokens AS DOUBLE), 100) / 100
+        |             * (1 - CAST(n_stop AS DOUBLE) / n_tokens), 3) AS quality_score
+        |FROM b""".stripMargin,
+
+    "q43_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q44_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, source, token FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |       round(CAST(n_inter AS DOUBLE) / (sa.n_toks + sb.n_toks - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_toks + sb.n_toks - n_inter), 4) >= 0.5""".stripMargin,
+
+    "q50_multimodal_probe" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       lower(hex(encode(left(text, 8)))) AS header_hex
+        |FROM documents""".stripMargin
+  )
+}

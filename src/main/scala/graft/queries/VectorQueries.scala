@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Vector-similarity queries over the `embeddings` table (`Array[Float]`,
+  * L2-normalized → cosine == dot product). The brute-force top-k is the
+  * verifiable baseline; the LSH-bucketed variant (rows-only check) is the
+  * 100 TB scale path in `graft.operators.Similarity`.
+  */
+object VectorQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-5: queries = vec_id % 50 == 0, all others are
+    // candidates. Scores rounded to 3 dp before ranking so float summation
+    // order cannot flip the result between engines.
+    "q48_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(q, emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cand_emb")), k = 5)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q48_cosine_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |dots AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |         round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS score
+        |  FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, cand_id, score FROM (
+        |  SELECT q_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |  FROM dots
+        |) WHERE rn <= 5""".stripMargin
+  )
+}
