@@ -50,8 +50,11 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    // Materialize the shingle array once — inlining it into each of the
+    // `numHashes` min-hash expressions would rebuild it numHashes× per row.
     val sig = df.select(col(idCol).as("doc_id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+        shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rows + 1, lit(rows)))))

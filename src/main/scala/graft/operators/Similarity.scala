@@ -60,15 +60,31 @@ object Similarity {
       when(dot(emb, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: bucket both sides, join on bucket (equi-join → hash
-    * shuffle on bucket id, no cross join), exact-rerank within buckets.
-    * Recall < 1 by construction; `nBits` trades bucket size vs recall. */
+  /** Multi-table LSH buckets: `(table, bucket)` pairs, one per hash table —
+    * standard cosine-LSH (L independent tables of `nBits` hyperplanes each).
+    * More tables → higher recall; fewer bits → bigger buckets. */
+  def lshBuckets(emb: Column, dim: Int, nBits: Int, nTables: Int,
+                 seed: Long): Column =
+    array((0 until nTables).map(t =>
+      struct(lit(t).as("table"),
+        lshBucket(emb, dim, nBits, seed + t * 7919L).as("bucket"))): _*)
+
+  /** LSH-bucketed ANN: bucket both sides into L tables, equi-join on
+    * (table, bucket) — a hash shuffle keyed by bucket, never a cross join —
+    * dedup candidates, exact-rerank. Recall < 1 by construction; tune
+    * `nBits`/`nTables` for bucket size vs recall. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
-              nBits: Int = 12, seed: Long = 42L): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col("q_emb"), dim, nBits, seed))
-    val cb = candidates.withColumn("bucket", lshBucket(col("cand_emb"), dim, nBits, seed))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+              nBits: Int = 6, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    def explodeBuckets(df: DataFrame, embCol: String) =
+      df.withColumn("tb", explode(lshBuckets(col(embCol), dim, nBits, nTables, seed)))
+        .withColumn("table", col("tb.table")).withColumn("bucket", col("tb.bucket"))
+        .drop("tb")
+    val qb = explodeBuckets(queries, "q_emb")
+    val cb = explodeBuckets(candidates, "cand_emb")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
       .where(col("cand_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "cand_id", "cand_emb").distinct()
+    val scored = cands
       .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), 3))
       .select("q_id", "cand_id", "score")
     scored.withColumn("__rn", row_number().over(
@@ -80,13 +96,17 @@ object Similarity {
     * `threshold`, blocked by LSH bucket so the pair space never materializes
     * globally. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String, dim: Int,
-                         threshold: Double, nBits: Int = 10,
+                         threshold: Double, nBits: Int = 8, nTables: Int = 4,
                          seed: Long = 42L): DataFrame = {
-    val withBucket = df.withColumn("bucket", lshBucket(col(embCol), dim, nBits, seed))
-    val a = withBucket.select(col("bucket"), col(idCol).as("a_id"), col(embCol).as("a_emb"))
-    val b = withBucket.select(col("bucket"), col(idCol).as("b_id"), col(embCol).as("b_emb"))
-    a.join(b, Seq("bucket"))
+    val withBucket = df
+      .withColumn("tb", explode(lshBuckets(col(embCol), dim, nBits, nTables, seed)))
+      .select(col("tb.table").as("table"), col("tb.bucket").as("bucket"),
+        col(idCol), col(embCol))
+    val a = withBucket.toDF("table", "bucket", "a_id", "a_emb")
+    val b = withBucket.toDF("table", "bucket", "b_id", "b_emb")
+    a.join(b, Seq("table", "bucket"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_emb", "b_emb").distinct()
       .withColumn("cosine", round(dot(col("a_emb"), col("b_emb")), 4))
       .where(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

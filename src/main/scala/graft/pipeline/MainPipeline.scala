@@ -53,8 +53,11 @@ object MainPipeline {
     // R2 + P8: melt wide → EAV long with JSON-wrapped payloads
     val metrics = Seq("qty", "qtyRollingSum", "qtyChange", "qtyDirection",
       "qtyChangePercentage", "qtyRollingRate")
+    // `ignoreNullFields=false` so a null metric wraps as {"value":null} like
+    // the reference's json.dumps (uploader.py:501-508), not as {}.
     val wrapped = metrics.foldLeft(trimmed) { (acc, m) =>
-      acc.withColumn(m, to_json(struct(col(m).as("value"))))
+      acc.withColumn(m,
+        to_json(struct(col(m).as("value")), Map("ignoreNullFields" -> "false")))
     }
     val long = Reshape.melt(
       wrapped.select((keys ++ Seq("date") ++ metrics).map(col): _*),

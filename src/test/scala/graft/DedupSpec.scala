@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Near-dup detection on planted duplicates: MinHash-LSH and SimHash must
+  * recover an exact duplicate and a lightly-edited near-duplicate. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest while the rain falls softly on the quiet hills"
+  private val nearDup = base.replace("quiet hills", "silent hills")
+  private val other = "completely different content about spark query engines and " +
+    "columnar execution with vectorized operators reading parquet files at scale"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, other)
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the exact and near duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash hamming distance: identical 0, near small, unrelated large") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    val nearDist = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val farDist = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(nearDist < farDist)
+    assert(nearDist <= 8)
+  }
+
+  test("exactFirst keeps exactly one row per key, smallest order value") {
+    val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 1)).toDF("k", "v", "ord")
+    val out = Dedup.exactFirst(df, Seq("k"), "ord").orderBy("k")
+      .select("v").as[String].collect()
+    assert(out === Seq("b", "c"))
+  }
+
+  test("brute-force and LSH ANN agree on the top match for planted twins") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val c = vecs.select($"vec_id".as("cand_id"), $"embedding".as("cand_emb"))
+    val top = Similarity.bruteForceTopK(q, c, k = 1)
+      .select("cand_id").as[Long].collect()
+    assert(top === Seq(1L))
+  }
+}
