@@ -29,16 +29,39 @@ case class Blake2sHexExpr(first: Expression, second: Expression, third: Expressi
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** BLAKE2b twin of [[Blake2sHexExpr]] (reference private-report slug). */
+case class Blake2bHexExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "blake2b_hex"
+
+  override protected def nullSafeEval(data: Any, key: Any, size: Any): Any =
+    UTF8String.fromString(Blake2b.hexDigest(
+      data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]],
+      size.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 object HashFunctions {
 
   @volatile private var registered: Set[SparkSession] = Set.empty
 
-  /** Register `blake2s_hex` for SQL / `expr()` / `call_function` use. */
+  /** Register `blake2s_hex`/`blake2b_hex` for SQL / `expr()` /
+    * `call_function` use. */
   def register(spark: SparkSession): Unit = synchronized {
     if (!registered(spark)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "blake2s_hex",
         exprs => Blake2sHexExpr(
+          Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
+          Cast(exprs(2), IntegerType)),
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "blake2b_hex",
+        exprs => Blake2bHexExpr(
           Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
           Cast(exprs(2), IntegerType)),
         "scala_udf")
@@ -50,4 +73,8 @@ object HashFunctions {
     * resulting plan is analyzed under must have called `register`. */
   def blake2sHex(data: Column, key: String, digestSize: Int): Column =
     call_function("blake2s_hex", data, lit(key), lit(digestSize))
+
+  /** Column API: BLAKE2b hex (unkeyed slug form unless a key is supplied). */
+  def blake2bHex(data: Column, key: String, digestSize: Int): Column =
+    call_function("blake2b_hex", data, lit(key), lit(digestSize))
 }

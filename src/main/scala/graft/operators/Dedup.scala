@@ -37,11 +37,35 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes of the shingle set,
-    * hash family = xxhash64 with literal seed per slot. Pure projection. */
+  /** MinHash signature: `numHashes` min-hashes of the shingle set via the
+    * classic permutation family — ONE xxhash64 per shingle, then `numHashes`
+    * cheap universal-hash permutations `(a*h + b) mod p` (p = 2^31-1,
+    * coefficients fixed by seed). 32× fewer hash evaluations than hashing
+    * every shingle per slot; everything stays inside signed-long range so the
+    * expression is ANSI-mode safe. Pure projection, no shuffle. */
+  private val MersenneP = 2147483647L // 2^31 - 1
+
+  /** One 31-bit base hash per shingle (single xxhash64 pass). */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => pmod(xxhash64(s), lit(MersenneP)))
+
+  /** Signature from pre-computed base hashes: `numHashes` universal-hash
+    * permutations `(a*h + b) mod p`, coefficients fixed by seed. Callers keep
+    * `baseHashes` in its own projection so Catalyst doesn't clone the xxhash
+    * pass into every slot. */
+  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
+    val rnd = new scala.util.Random(0x5eed)
+    def coef() = 1L + rnd.nextInt((MersenneP - 1).toInt)
+    array((0 until numHashes).map { _ =>
+      val (a, b) = (coef(), coef())
+      array_min(transform(baseHashes, h => pmod(h * a + b, lit(MersenneP))))
+    }: _*)
+  }
+
+  /** MinHash signature of a shingle array (convenience single-expression
+    * form; prefer the two-projection path for wide signatures). */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))): _*)
+    minhashFromHashes(shingleHashes(shinglesCol), numHashes)
 
   /** MinHash-LSH candidate pairs: signature → `bands` bands of
     * `numHashes/bands` rows each → band bucket hash → self-equi-join on
@@ -50,11 +74,13 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    // Materialize the shingle array once — inlining it into each of the
-    // `numHashes` min-hash expressions would rebuild it numHashes× per row.
+    // Stage the shingle array and the base-hash array in their own
+    // projections — inlined, each of the `numHashes` slots would re-run the
+    // shingle build and the xxhash pass per row.
     val sig = df.select(col(idCol).as("doc_id"),
         shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"), shingleHashes(col("sh")).as("bh"))
+      .select(col("doc_id"), minhashFromHashes(col("bh"), numHashes).as("sig"))
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rows + 1, lit(rows)))))

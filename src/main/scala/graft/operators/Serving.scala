@@ -35,6 +35,31 @@ object Serving {
     ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A9: interpolating percentiles (pandas `Series.quantile` / SQL
+    * `percentile_cont`, reference `rate_scales_worker/process.py:95-109`):
+    * 0-based position p*(n-1), linear interpolation between the bracketing
+    * sorted values. Same rank-window construction as percentileDisc so both
+    * engines compute bit-identical arithmetic. */
+  def percentileCont(df: DataFrame, keys: Seq[String], valueCol: String,
+                     ps: Seq[(String, Double)]): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1) + 1 // 1-based fractional position
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val frac = pos - lo
+      val vLo = max(when(col("__rn") === lo, col(valueCol)))
+      val vHi = max(when(col("__rn") === hi, col(valueCol)))
+      (vLo + (vHi - vLo) * max(frac)).as(name)
+    }
+    ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** W5/O2/O3: keep the top `n` rows per group by rank order (reference
     * `RANK() OVER (PARTITION BY ... ORDER BY date DESC)` + `row_num` filters,
     * `main_etl_postprocessors/private_report/queries.py:3-24`). */

@@ -82,8 +82,76 @@ object MiscQueries {
         dim = 64, k = 5)
     }),
 
-    // Full EAV pipeline (flagship, also SparkEntry.entry) — rows-only.
-    "q51_eav_pipeline" -> ((s, dir) => MainPipeline.run(s, dir))
+    // Full EAV pipeline (flagship, also SparkEntry.entry) — rows-only
+    // (row hashes aren't DuckDB-expressible; q64 oracles the same pipeline
+    // minus the hash column).
+    "q51_eav_pipeline" -> ((s, dir) => MainPipeline.run(s, dir)),
+
+    // MSOA convert_types: pack the derived family into one JSON payload per
+    // date (msoa_etl_db/processor.py:96-110). Counts ride as BIGINT inside
+    // the JSON so double formatting can't diverge between engines.
+    "q57_payload_pack" -> ((s, dir) => {
+      val fam = Rolling.changeBySum(
+        Reshape.densifyDates(Tables.supplierDaily(s, dir), Seq("l_suppkey"), "date")
+          .withColumn("qty0", coalesce(col("qty"), lit(0d))).drop("qty"),
+        Seq("l_suppkey"), "date", "qty0")
+      fam.select(col("l_suppkey"), date_format(col("date"), "yyyy-MM-dd").as("date"),
+        to_json(struct(
+          col("qty0RollingSum").cast("long").as("rollingSum"),
+          col("qty0Change").cast("long").as("change"),
+          col("qty0Direction").as("direction"),
+          col("qty0ChangePercentage").as("changePercentage")),
+          Map("ignoreNullFields" -> "false")).as("payload"))
+    }),
+
+    // R8: per-category rate enrichment of a nested column — explode, join the
+    // (key, category) population dim, compute the rate, re-nest. Rows-only
+    // (nested output); ordering normalized by sort_array.
+    "q61_nested_rate" -> ((s, dir) => {
+      val nested = Reshape.nest(
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_returnflag"))
+          .agg(sum("l_quantity").cast("double").as("qty")),
+        Seq("l_suppkey"), "l_returnflag", Seq("qty"), "byFlag")
+      val pop = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), abs(col("s_acctbal")).as("population"))
+      val exploded = Reshape.unnest(nested, Seq("l_suppkey"), "byFlag")
+        .select(col("l_suppkey"), col("elem.l_returnflag").as("flag"), col("elem.qty").as("qty"))
+        .join(broadcast(pop), Seq("l_suppkey"))
+        .withColumn("rate", round(col("qty") / col("population") * 100000, 1))
+      Reshape.nest(exploded, Seq("l_suppkey"), "flag", Seq("qty", "rate"), "byFlagRated")
+    }),
+
+    // R9: element-wise pair operation on two nested metrics via zip_with —
+    // rows-only (nested output).
+    "q62_zip_pair_sum" -> ((s, dir) => {
+      val byFlag = (flag: String) => Reshape.nest(
+        Tables.load(s, dir, "lineitem").where(col("l_returnflag") === flag)
+          .groupBy(col("l_suppkey"), col("l_linestatus"))
+          .agg(sum("l_quantity").cast("double").as("qty")),
+        Seq("l_suppkey"), "l_linestatus", Seq("qty"), s"arr_$flag")
+      Reshape.zipNested(
+        byFlag("A").join(byFlag("R"), Seq("l_suppkey")),
+        "arr_A", "arr_R", "paired")((a, b) =>
+          struct(a.getField("l_linestatus").as("status"),
+            (a.getField("qty") + b.getField("qty")).as("total")))
+    }),
+
+    // BLAKE2b slug (private_report/process.py:124-127) — rows-only; RFC
+    // vectors asserted in ScalaTest.
+    "q63_blake2b_slug" -> ((s, dir) => {
+      HashFunctions.register(s)
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        HashFunctions.blake2bHex(col("text"), "", 32).as("slug"))
+    }),
+
+    // The full MainPipeline with a DuckDB oracle: every stage (densify,
+    // bounded zero-fill, rolling family, rate, trim, melt, JSON wrap)
+    // replicated in SQL — the strongest end-to-end correctness statement.
+    "q64_pipeline_sql" -> ((s, dir) =>
+      MainPipeline.run(s, dir).select(
+        col("areaCode"), date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("metric"), col("payload")))
   )
 
   private val longCte =
@@ -125,6 +193,149 @@ object MiscQueries {
          |FROM b2
          |WHERE fnn IS NULL OR metric = 'variants' OR l IS NULL
          |      OR (p > f + 1 AND p < l - 1)""".stripMargin,
+
+    "q57_payload_pack" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |bounds AS (SELECT min(date) AS lo, max(date) AS hi FROM daily),
+        |dates AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds
+        |),
+        |dense AS (
+        |  SELECT s.l_suppkey, s.date, COALESCE(daily.qty, 0) AS qty0
+        |  FROM (SELECT k.l_suppkey, d.date
+        |        FROM (SELECT DISTINCT l_suppkey FROM daily) k CROSS JOIN dates d) s
+        |  LEFT JOIN daily ON daily.l_suppkey = s.l_suppkey AND daily.date = s.date
+        |),
+        |rs AS (
+        |  SELECT l_suppkey, date, qty0,
+        |         CASE WHEN COUNT(qty0) OVER w7 = 7 THEN SUM(qty0) OVER w7 END AS rs0
+        |  FROM dense
+        |  WINDOW w7 AS (PARTITION BY l_suppkey ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |),
+        |z AS (
+        |  SELECT l_suppkey, date,
+        |         CASE WHEN SUM(rs0) OVER (PARTITION BY l_suppkey) = 0 THEN NULL ELSE rs0 END AS rs
+        |  FROM rs
+        |),
+        |ch AS (
+        |  SELECT l_suppkey, date, rs,
+        |         rs - lag(rs, 7) OVER w AS change,
+        |         lag(rs, 7) OVER w AS den,
+        |         COUNT(rs) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cnt8
+        |  FROM z WINDOW w AS (PARTITION BY l_suppkey ORDER BY date)
+        |),
+        |fam AS (
+        |  SELECT l_suppkey, date, rs, change,
+        |         CASE WHEN change > 0 THEN 'UP' WHEN change < 0 THEN 'DOWN'
+        |              WHEN change = 0 THEN 'SAME' END AS direction,
+        |         CASE WHEN cnt8 = 8 THEN
+        |           CAST(CASE WHEN rs = 0 AND den > 0 THEN -100.0
+        |                WHEN rs / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1 = -1 THEN 0.0
+        |                ELSE round((rs / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1) * 100, 1)
+        |           END AS DOUBLE)
+        |         END AS pct
+        |  FROM ch
+        |)
+        |SELECT l_suppkey, strftime(date, '%Y-%m-%d') AS date,
+        |       '{"rollingSum":' || COALESCE(CAST(CAST(rs AS BIGINT) AS VARCHAR), 'null')
+        |       || ',"change":' || COALESCE(CAST(CAST(change AS BIGINT) AS VARCHAR), 'null')
+        |       || ',"direction":' || COALESCE('"' || direction || '"', 'null')
+        |       || ',"changePercentage":' || COALESCE(CAST(pct AS VARCHAR), 'null')
+        |       || '}' AS payload
+        |FROM fam""".stripMargin,
+
+    "q64_pipeline_sql" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS areaCode, CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |bounds AS (SELECT min(date) AS lo, max(date) AS hi FROM daily),
+        |dates AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds
+        |),
+        |dense AS (
+        |  SELECT s.areaCode, s.date, daily.qty
+        |  FROM (SELECT k.areaCode, d.date
+        |        FROM (SELECT DISTINCT areaCode FROM daily) k CROSS JOIN dates d) s
+        |  LEFT JOIN daily ON daily.areaCode = s.areaCode AND daily.date = s.date
+        |),
+        |zf AS (
+        |  SELECT areaCode, date,
+        |         CASE WHEN date >= min(CASE WHEN qty IS NOT NULL THEN date END) OVER g
+        |               AND date <  max(CASE WHEN qty IS NOT NULL THEN date END) OVER g
+        |              THEN COALESCE(qty, 0) ELSE qty END AS m
+        |  FROM dense WINDOW g AS (PARTITION BY areaCode)
+        |),
+        |rs AS (
+        |  SELECT areaCode, date, m,
+        |         CASE WHEN COUNT(m) OVER w7 = 7 THEN SUM(m) OVER w7 END AS rs0
+        |  FROM zf
+        |  WINDOW w7 AS (PARTITION BY areaCode ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |),
+        |z AS (
+        |  SELECT areaCode, date, m,
+        |         CASE WHEN SUM(rs0) OVER (PARTITION BY areaCode) = 0 THEN NULL ELSE rs0 END AS rs1
+        |  FROM rs
+        |),
+        |ch AS (
+        |  SELECT areaCode, date, m, rs1,
+        |         rs1 - lag(rs1, 7) OVER w AS change0,
+        |         lag(rs1, 7) OVER w AS den,
+        |         COUNT(rs1) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cnt8
+        |  FROM z WINDOW w AS (PARTITION BY areaCode ORDER BY date)
+        |),
+        |fam AS (
+        |  SELECT areaCode, date, m,
+        |         CASE WHEN m IS NULL THEN NULL ELSE rs1 END AS rs,
+        |         CASE WHEN m IS NULL THEN NULL ELSE change0 END AS change,
+        |         CASE WHEN m IS NULL THEN NULL
+        |              WHEN change0 > 0 THEN 'UP' WHEN change0 < 0 THEN 'DOWN'
+        |              WHEN change0 = 0 THEN 'SAME' END AS direction,
+        |         CASE WHEN m IS NULL THEN NULL
+        |              WHEN cnt8 = 8 THEN
+        |           CAST(CASE WHEN rs1 = 0 AND den > 0 THEN -100.0
+        |                WHEN rs1 / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1 = -1 THEN 0.0
+        |                ELSE round((rs1 / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1) * 100, 1)
+        |           END AS DOUBLE)
+        |         END AS pct
+        |  FROM ch
+        |),
+        |rated AS (
+        |  SELECT fam.*, round(fam.rs / abs(supplier.s_acctbal) * 100000, 1) AS rate
+        |  FROM fam LEFT JOIN supplier ON fam.areaCode = CAST(supplier.s_suppkey AS VARCHAR)
+        |),
+        |trimmed AS (
+        |  SELECT areaCode, date,
+        |         CASE WHEN date <= (SELECT CAST(max(date) - INTERVAL 5 DAY AS DATE) FROM daily) THEN m END AS m,
+        |         CASE WHEN date <= (SELECT CAST(max(date) - INTERVAL 5 DAY AS DATE) FROM daily) THEN rs END AS rs,
+        |         change, direction, pct,
+        |         CASE WHEN date <= (SELECT CAST(max(date) - INTERVAL 5 DAY AS DATE) FROM daily) THEN rate END AS rate
+        |  FROM rated
+        |)
+        |SELECT areaCode, strftime(date, '%Y-%m-%d') AS date, 'qty' AS metric,
+        |       '{"value":' || COALESCE(CAST(m AS VARCHAR), 'null') || '}' AS payload FROM trimmed
+        |UNION ALL
+        |SELECT areaCode, strftime(date, '%Y-%m-%d'), 'qtyRollingSum',
+        |       '{"value":' || COALESCE(CAST(rs AS VARCHAR), 'null') || '}' FROM trimmed
+        |UNION ALL
+        |SELECT areaCode, strftime(date, '%Y-%m-%d'), 'qtyChange',
+        |       '{"value":' || COALESCE(CAST(change AS VARCHAR), 'null') || '}' FROM trimmed
+        |UNION ALL
+        |SELECT areaCode, strftime(date, '%Y-%m-%d'), 'qtyDirection',
+        |       '{"value":' || COALESCE('"' || direction || '"', 'null') || '}' FROM trimmed
+        |UNION ALL
+        |SELECT areaCode, strftime(date, '%Y-%m-%d'), 'qtyChangePercentage',
+        |       '{"value":' || COALESCE(CAST(pct AS VARCHAR), 'null') || '}' FROM trimmed
+        |UNION ALL
+        |SELECT areaCode, strftime(date, '%Y-%m-%d'), 'qtyRollingRate',
+        |       '{"value":' || COALESCE(CAST(rate AS VARCHAR), 'null') || '}' FROM trimmed""".stripMargin,
 
     "q37_weekly_drop" ->
       s"""WITH $longCte,

@@ -43,3 +43,30 @@ class Blake2sSpec extends AnyFunSuite {
     }
   }
 }
+
+/** BLAKE2b vectors from python hashlib (RFC 7693 64-bit variant). */
+class Blake2bSpec extends AnyFunSuite {
+  import graft.functions.Blake2b
+
+  test("empty, 64-byte digest (RFC 7693 appendix shape)") {
+    assert(Blake2b.hexDigest(Array.empty, Array.empty, 64) ===
+      "786a02f742015903c6c6fd852552d272912f4740e15847618a86e217f71f5419" +
+      "d25e1031afee585313896444934eb04b903a685b1448b755d56f701afe9be2ce")
+  }
+
+  test("'abc', 64 bytes") {
+    assert(Blake2b.hexDigest("abc".getBytes, Array.empty, 64) ===
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1" +
+      "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+  }
+
+  test("keyed 32-byte digest") {
+    assert(Blake2b.hexDigest("abc".getBytes, "key".getBytes, 32) ===
+      "0330531d097355a3f72e80d55c1245ccf79f1704431c6e3887938320442c23c0")
+  }
+
+  test("multi-block input") {
+    assert(Blake2b.hexDigest(Array.fill[Byte](300)('y'), Array.empty, 16) ===
+      "d7929194e53f7b2e7b8b3142eb4a53f5")
+  }
+}
