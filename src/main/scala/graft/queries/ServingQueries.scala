@@ -102,6 +102,19 @@ object ServingQueries {
           col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"))
     }),
 
+    // R5: MSOA tail zero-pad (msoa_etl_db/processor.py:146-171)
+    "q65_zero_pad" -> ((s, dir) =>
+      Reshape.zeroPadTail(Tables.supplierDaily(s, dir), Seq("l_suppkey"), "date", "qty")
+        .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))),
+
+    // P10: value-list override (nation override, uploader.py:569-571)
+    "q66_area_override" -> ((s, dir) =>
+      Trim.overrideWhereIn(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_mktsegment").as("segment_group")),
+        "c_mktsegment", Seq("BUILDING", "MACHINERY"), "segment_group", "industrial")),
+
     // R4: nested densify — (key × category × date) spine, left-join data
     // (homogenisation.py:81-130)
     "q60_densify_nested" -> ((s, dir) => {
@@ -219,6 +232,29 @@ object ServingQueries {
         |                            o_orderdate DESC, o_orderkey ASC) AS global_rank
         |  FROM orders
         |) WHERE global_rank <= 1000""".stripMargin,
+
+    "q65_zero_pad" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |g AS (SELECT max(date) AS gmax FROM daily),
+        |km AS (SELECT l_suppkey, max(date) AS kmax FROM daily GROUP BY 1)
+        |SELECT l_suppkey, strftime(date, '%Y-%m-%d') AS date, qty FROM daily
+        |UNION ALL
+        |SELECT km.l_suppkey,
+        |       strftime(CAST(unnest(generate_series(
+        |         CAST(kmax + INTERVAL 1 DAY AS TIMESTAMP),
+        |         CAST(gmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d'),
+        |       CAST(0 AS DOUBLE)
+        |FROM km, g WHERE kmax < gmax""".stripMargin,
+
+    "q66_area_override" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |            THEN 'industrial' ELSE c_mktsegment END AS segment_group
+        |FROM customer""".stripMargin,
 
     "q60_densify_nested" ->
       """WITH li AS (

@@ -83,12 +83,13 @@ object TextQueries {
     // similarity — the verifiable core of near-dup detection)
     "q44_jaccard_pairs" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
         .distinct()
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
-      val a = toks.select(col("source"), col("doc_id").as("a_id"), col("token"))
-      val b = toks.select(col("source"), col("doc_id").as("b_id"), col("token"))
-      val inter = a.join(b, Seq("source", "token"))
+      val a = toks.select(col("source"), col("lang"), col("doc_id").as("a_id"), col("token"))
+      val b = toks.select(col("source"), col("lang"), col("doc_id").as("b_id"), col("token"))
+      val inter = a.join(b, Seq("source", "lang", "token"))
         .where(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
       inter
@@ -165,14 +166,14 @@ object TextQueries {
 
     "q44_jaccard_pairs" ->
       """WITH toks AS (
-        |  SELECT DISTINCT doc_id, source, token FROM (
-        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents
+        |  SELECT DISTINCT doc_id, source, lang, token FROM (
+        |    SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS token FROM documents
         |  )
         |),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-        |  FROM toks a JOIN toks b ON a.source = b.source AND a.token = b.token
+        |  FROM toks a JOIN toks b ON a.source = b.source AND a.lang = b.lang AND a.token = b.token
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
