@@ -145,6 +145,32 @@ object MiscQueries {
         HashFunctions.blake2bHex(col("text"), "", 32).as("slug"))
     }),
 
+    // MSOA pipeline end to end (zero-pad → densify → rolling family with
+    // substitution → rate → suppression → periodic sampling → packed payload
+    // → hash) — rows-only; stages are individually oracled by q10/q56/q57/q65.
+    "q67_msoa_pipeline" -> ((s, dir) => graft.pipeline.MsoaPipeline.run(s, dir)),
+
+    // Demographics pipeline (R4 densify → per-band rolling rates → R6 nest)
+    // — rows-only (nested output); asserted in PipelinesSpec.
+    "q68_demographics" -> ((s, dir) => {
+      val input = Tables.load(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1995)
+        .select(lit("supplier").as("areaType"),
+          col("l_suppkey").cast("string").as("areaCode"),
+          to_date(col("l_shipdate")).as("date"),
+          col("l_returnflag").as("age"), col("l_quantity"))
+        .groupBy("areaType", "areaCode", "date", "age")
+        .agg(sum("l_quantity").cast("double").as("newCases"))
+      val pop = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").cast("string").as("areaCode"),
+          abs(col("s_acctbal")).as("population"))
+        .crossJoin(s.createDataFrame(Seq(Tuple1("A"), Tuple1("N"), Tuple1("R")))
+          .toDF("age"))
+      graft.pipeline.DemographicsPipeline.run(input,
+        graft.pipeline.DemographicsPipeline.Spec("age", 1, "newCases", "cases",
+          "newCasesAgeDemographics"), pop)
+    }),
+
     // The full MainPipeline with a DuckDB oracle: every stage (densify,
     // bounded zero-fill, rolling family, rate, trim, melt, JSON wrap)
     // replicated in SQL — the strongest end-to-end correctness statement.

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Blake2b, Blake2s}
+import graft.operators.{Fill, Reshape, Rolling, Trim}
+
+/** Property-based invariants (SURVEY.md §5 plan): rolling-sum vs brute force,
+  * densify/fill idempotence, trim invariants, hash determinism. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic forAll: fixed-seed samples from a ScalaCheck Gen. */
+  private def forAllSeeded[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val seriesGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(20, Gen.oneOf(
+      Gen.const(None),
+      Gen.choose(-5, 20).map(v => Some(v.toDouble))))
+
+  private def toDf(vals: List[Option[Double]]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      ("A", "X", java.sql.Date.valueOf(f"2021-01-${i + 1}%02d"),
+        v.map(java.lang.Double.valueOf).orNull)
+    }.toDF("areaType", "areaCode", "date", "m")
+
+  test("rollingSum equals the brute-force pandas definition on random series") {
+    forAllSeeded(seriesGen, 15) { vals =>
+      val got = Rolling.rollingSum(toDf(vals), Seq("areaType", "areaCode"),
+          "date", "m", "rs")
+        .orderBy("date").select("rs").as[Option[Double]].collect().toList
+      val expect = vals.indices.map { i =>
+        val frame = vals.slice(math.max(0, i - 6), i + 1)
+        if (i >= 6 && frame.forall(_.isDefined)) Some(frame.flatten.sum) else None
+      }.toList
+      assert(got === expect)
+    }
+  }
+
+  test("bounded zero-fill is idempotent and only ever replaces nulls with 0") {
+    forAllSeeded(seriesGen, 10) { vals =>
+      val keys = Seq("areaType", "areaCode")
+      val once = Fill.zeroFillBounded(toDf(vals), keys, "date", "m")
+      val twice = Fill.zeroFillBounded(once, keys, "date", "m")
+      val a = once.orderBy("date").select("m").as[Option[Double]].collect().toList
+      val b = twice.orderBy("date").select("m").as[Option[Double]].collect().toList
+      assert(a === b)
+      a.zip(vals).foreach { case (filled, orig) =>
+        assert(filled === orig || (orig.isEmpty && filled.contains(0d)))
+      }
+    }
+  }
+
+  test("densifyDates preserves all original rows and adds only nulls") {
+    forAllSeeded(seriesGen, 10) { vals =>
+      val df = toDf(vals).where($"m".isNotNull)
+      val dense = Reshape.densifyDates(df, Seq("areaType", "areaCode"), "date")
+      assert(dense.where($"m".isNotNull).count() === df.count())
+      val sumBefore = df.agg(sum("m")).as[Option[Double]].collect()(0)
+      val sumAfter = dense.agg(sum("m")).as[Option[Double]].collect()(0)
+      assert(sumBefore === sumAfter)
+    }
+  }
+
+  test("trimEnd never changes surviving values, only nulls the tail") {
+    forAllSeeded(seriesGen.map(_.map(v => Some(v.getOrElse(1.0)))), 10) { vals =>
+      val out = Trim.trimEnd(toDf(vals), "date", Seq("m"), 5)
+        .orderBy("date").select("m").as[Option[Double]].collect().toList
+      assert(out.takeRight(5).forall(_.isEmpty))
+      assert(out.dropRight(5) === vals.dropRight(5))
+    }
+  }
+
+  test("blake2s/blake2b are deterministic, length-correct, and key-sensitive") {
+    forAllSeeded(Gen.zip(Gen.asciiPrintableStr, Gen.choose(1, 32)), 30) { case (s, n) =>
+      val data = s.getBytes("UTF-8")
+      val d1 = Blake2s.hexDigest(data, "k1".getBytes, n)
+      assert(d1.length === n * 2)
+      assert(d1 === Blake2s.hexDigest(data, "k1".getBytes, n))
+      assert(d1 !== Blake2s.hexDigest(data, "k2".getBytes, n))
+      val b1 = Blake2b.hexDigest(data, Array.empty, n)
+      assert(b1.length === n * 2 && b1 === Blake2b.hexDigest(data, Array.empty, n))
+    }
+  }
+}
