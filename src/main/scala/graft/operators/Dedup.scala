@@ -71,7 +71,7 @@ object Dedup {
     * `numHashes/bands` rows each → band bucket hash → self-equi-join on
     * (band, bucket). Emits distinct (a_id, b_id) candidate pairs. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 32,
+                        shingleSize: Int = 3, numHashes: Int = 16,
                         bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     // Stage the shingle array and the base-hash array in their own
@@ -81,10 +81,15 @@ object Dedup {
         shingles(col(textCol), shingleSize).as("sh"))
       .select(col("doc_id"), shingleHashes(col("sh")).as("bh"))
       .select(col("doc_id"), minhashFromHashes(col("bh"), numHashes).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * rows + 1, lit(rows)))))
-      ).as(Seq("band", "bucket")))
+    // Explode the band index BEFORE hashing the band slice: the generator
+    // then replicates the materialized signature array instead of inlining
+    // the full 32-slot signature expression once per band (8× recompute).
+    val banded = sig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(lit("band"), col("band"),
+          to_json(slice(col("sig"), col("band") * rows + 1, lit(rows)))).as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     a.join(b, Seq("band", "bucket"))
@@ -96,7 +101,7 @@ object Dedup {
     * (estimate from signatures is free; exact check only touches candidates). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleSize: Int = 3,
-                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                      numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
     val sh = df.select(col(idCol).as("doc_id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))

@@ -36,11 +36,15 @@ object Reshape {
     * The reference builds the spine as a pandas cross product per areaType;
     * here: distinct keys × broadcast date sequence. */
   def densifyDates(df: DataFrame, keys: Seq[String], dateCol: String): DataFrame = {
-    val spineDates = df
-      .agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    // One aggregation pass yields both the key dimension and (via a second
+    // tiny agg over it) the global bounds — the input is scanned twice total
+    // (key agg + final join), not three times.
+    val keyDim = df.groupBy(keys.map(col): _*)
+      .agg(min(col(dateCol)).as("__kmin"), max(col(dateCol)).as("__kmax"))
+    val spineDates = keyDim
+      .agg(min(col("__kmin")).as("lo"), max(col("__kmax")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
-    val spine = df.select(keys.map(col): _*).distinct()
-      .crossJoin(broadcast(spineDates))
+    val spine = keyDim.drop("__kmin", "__kmax").crossJoin(broadcast(spineDates))
     spine.join(df, keys :+ dateCol, "left")
   }
 
@@ -49,10 +53,12 @@ object Reshape {
     * reference `homogenisation.py:81-130`). */
   def densifyNested(df: DataFrame, keys: Seq[String], dateCol: String,
                     nestingCol: String, stepDays: Int = 1): DataFrame = {
-    val spineDates = df
-      .agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    val keyDim = df.groupBy(keys.map(col): _*)
+      .agg(min(col(dateCol)).as("__kmin"), max(col(dateCol)).as("__kmax"))
+    val spineDates = keyDim
+      .agg(min(col("__kmin")).as("lo"), max(col("__kmax")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr(s"interval $stepDays day"))).as(dateCol))
-    val spine = df.select(keys.map(col): _*).distinct()
+    val spine = keyDim.drop("__kmin", "__kmax")
       .crossJoin(broadcast(spineDates))
       .crossJoin(broadcast(df.select(col(nestingCol)).distinct()))
     spine.join(df, keys ++ Seq(dateCol, nestingCol), "left")

@@ -115,6 +115,38 @@ object ServingQueries {
             col("c_mktsegment").as("segment_group")),
         "c_mktsegment", Seq("BUILDING", "MACHINERY"), "segment_group", "industrial")),
 
+    // J3 + JSON emit: GeoJSON feature projection (map_geojson/queries.py:14-38
+    // shape — geometry from a joined dim, properties from the aggregate)
+    "q69_geojson" -> ((s, dir) => {
+      val latest = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      val geo = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      latest.join(broadcast(geo), Seq("o_custkey"))
+        .select(col("o_custkey"),
+          to_json(struct(
+            lit("Feature").as("type"),
+            struct(lit("Point").as("type"),
+              array(col("c_nationkey").cast("long"), col("o_custkey")).as("coordinates"))
+              .as("geometry"),
+            struct(col("o_custkey").as("id"), col("n_orders")).as("properties")))
+            .as("feature"))
+    }),
+
+    // Exact distinct counts (the serving layer's cardinality queries)
+    "q70_distinct_exact" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"))),
+
+    // HLL approximate distinct — rows-only (sketch values are
+    // engine-specific); the scale path for 100 TB cardinalities.
+    "q71_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
     // R4: nested densify — (key × category × date) spine, left-join data
     // (homogenisation.py:81-130)
     "q60_densify_nested" -> ((s, dir) => {
@@ -232,6 +264,21 @@ object ServingQueries {
         |                            o_orderdate DESC, o_orderkey ASC) AS global_rank
         |  FROM orders
         |) WHERE global_rank <= 1000""".stripMargin,
+
+    "q69_geojson" ->
+      """SELECT o_custkey,
+        |       '{"type":"Feature","geometry":{"type":"Point","coordinates":['
+        |       || CAST(c_nationkey AS BIGINT) || ',' || o_custkey
+        |       || ']},"properties":{"id":' || o_custkey || ',"n_orders":' || n_orders
+        |       || '}}' AS feature
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) a
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q70_distinct_exact" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |       COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q65_zero_pad" ->
       """WITH daily AS (
