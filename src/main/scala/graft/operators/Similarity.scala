@@ -92,6 +92,45 @@ object Similarity {
       .where(col("__rn") <= k).drop("__rn")
   }
 
+  /** IVF-style ANN: a coarse quantizer (one centroid per `cellCol` value)
+    * prunes the search to the `nProbe` nearest cells, then exact dot-product
+    * rerank within those cells. Centroid components and all scores are
+    * rounded before ranking so the op is engine-deterministic (oracle-able).
+    *
+    * Scale shape: centroids are a tiny broadcast; candidate filtering is an
+    * equi-join on the cell id (hash shuffle keyed by cell), so work scales
+    * with the probed cells' population, not the full corpus. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, cellCol: String,
+              queryFilter: Column, k: Int, nProbe: Int = 2): DataFrame = {
+    // Coarse centroids: per-cell element-wise mean, rounded to 4 dp.
+    val ex = df.select(col(cellCol).as("cell"),
+      posexplode(col(embCol)).as(Seq("i", "v")))
+    val cent = ex.groupBy(col("cell"), col("i"))
+      .agg(round(avg(col("v").cast("double")), 4).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    // Assign each query to its nProbe nearest cells.
+    val queries = df.where(queryFilter)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val assign = queries.crossJoin(broadcast(cent))
+      .withColumn("cscore", round(dot(col("q_emb"), col("cvec")), 3))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cscore").desc, col("cell").asc)))
+      .where(col("__rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    // Exact rerank within the probed cells.
+    val cands = df.select(col(cellCol).as("cell"), col(idCol).as("cand_id"),
+      col(embCol).as("cand_emb"))
+    cands.join(broadcast(assign), Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), 3))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cand_id").asc)))
+      .where(col("__rn") <= k)
+      .select("q_id", "cand_id", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
     * `threshold`, blocked by LSH bucket so the pair space never materializes
     * globally. */

@@ -101,6 +101,23 @@ object TextQueries {
         .select("a_id", "b_id", "jaccard")
     }),
 
+    // TF-IDF top terms per document (classic relevance scoring; one shuffle
+    // for tf, a broadcast df/idf dim, a rank window)
+    "q73_tfidf" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      Serving.topNPerGroup(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("token").asc), 3, useRowNumber = true)
+        .select("doc_id", "token", "score")
+    }),
+
     // Multimodal probe: opaque binary column + deterministic stub "decode"
     // (byte length + header hex) — the Spark-side plumbing for binary assets
     "q50_multimodal_probe" -> ((s, dir) =>
@@ -183,6 +200,27 @@ object TextQueries {
         |JOIN sizes sa ON sa.doc_id = a_id
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_toks + sb.n_toks - n_inter), 4) >= 0.5""".stripMargin,
+
+    "q73_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks)
+        |  GROUP BY token
+        |),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+        |  FROM tf JOIN dfreq USING (token), n
+        |)
+        |SELECT doc_id, token, score FROM (
+        |  SELECT doc_id, token, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored
+        |) WHERE rn <= 3""".stripMargin,
 
     "q50_multimodal_probe" ->
       """SELECT doc_id,

@@ -24,7 +24,13 @@ object VectorQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.bruteForceTopK(q, emb.select(col("vec_id").as("cand_id"),
         col("embedding").as("cand_emb")), k = 5)
-    })
+    }),
+
+    // IVF ANN: label-cell centroids as the coarse quantizer, probe the 2
+    // nearest cells, exact rerank — deterministic, fully oracle-verified.
+    "q72_ivf_ann" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -44,6 +50,45 @@ object VectorQueries {
         |  SELECT q_id, cand_id, score,
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM dots
-        |) WHERE rn <= 5""".stripMargin
+        |) WHERE rn <= 5""".stripMargin,
+
+    "q72_ivf_ann" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+        |  FROM ex GROUP BY 1, 2
+        |),
+        |qx AS (SELECT vec_id AS q_id, v, i FROM ex WHERE vec_id % 50 = 0),
+        |ascore AS (
+        |  SELECT qx.q_id, cent.label, round(SUM(CAST(qx.v AS DOUBLE) * cent.c), 3) AS cscore
+        |  FROM qx JOIN cent ON qx.i = cent.i GROUP BY 1, 2
+        |),
+        |assign AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS rn
+        |    FROM ascore
+        |  ) WHERE rn <= 2
+        |),
+        |pairs AS (
+        |  SELECT a.q_id, e.vec_id AS cand_id
+        |  FROM assign a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.q_id
+        |),
+        |scores AS (
+        |  SELECT p.q_id, p.cand_id,
+        |         round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) AS score
+        |  FROM pairs p
+        |  JOIN ex qe ON qe.vec_id = p.q_id
+        |  JOIN ex ce ON ce.vec_id = p.cand_id AND ce.i = qe.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, cand_id, score FROM (
+        |  SELECT q_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |  FROM scores
+        |) WHERE rn <= 3""".stripMargin
   )
 }
