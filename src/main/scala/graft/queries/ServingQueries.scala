@@ -98,7 +98,8 @@ object ServingQueries {
         Window.orderBy(col("o_orderstatus").asc, col("o_custkey").desc,
           col("o_orderdate").desc, col("o_orderkey").asc)))
       ranked.where(col("global_rank") <= 1000)
-        .select(col("global_rank"), col("o_orderkey"), col("o_orderstatus"),
+        .select(col("global_rank").cast("long").as("global_rank"),
+          col("o_orderkey"), col("o_orderstatus"),
           col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"))
     }),
 

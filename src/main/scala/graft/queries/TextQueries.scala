@@ -31,7 +31,8 @@ object TextQueries {
     "q33_unnest_tokens" -> ((s, dir) =>
       Reshape.unnest(
         Tables.load(s, dir, "documents").withColumn("toks", split(col("text"), " ")),
-        Seq("doc_id"), "toks", posName = "pos", elemName = "token")),
+        Seq("doc_id"), "toks", posName = "pos", elemName = "token")
+        .withColumn("pos", col("pos").cast("long"))),
 
     // Token count + char/byte length (text-analysis family)
     "q40_token_count" -> ((s, dir) =>
