@@ -36,16 +36,26 @@ object Reshape {
     * The reference builds the spine as a pandas cross product per areaType;
     * here: distinct keys × broadcast date sequence. */
   def densifyDates(df: DataFrame, keys: Seq[String], dateCol: String): DataFrame = {
-    // One aggregation pass yields both the key dimension and (via a second
-    // tiny agg over it) the global bounds — the input is scanned twice total
-    // (key agg + final join), not three times.
-    val keyDim = df.groupBy(keys.map(col): _*)
-      .agg(min(col(dateCol)).as("__kmin"), max(col(dateCol)).as("__kmax"))
-    val spineDates = keyDim
-      .agg(min(col("__kmin")).as("lo"), max(col("__kmax")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
-    val spine = keyDim.drop("__kmin", "__kmax").crossJoin(broadcast(spineDates))
-    spine.join(df, keys :+ dateCol, "left")
+    // Instead of materializing the full (keys × dates) spine and joining the
+    // data onto it (two wide shuffles), emit only the MISSING (key, date)
+    // rows — per key, the global date range minus the dates present
+    // (array_except is a hash-set pass) — and union them with the original
+    // rows. The only shuffle is the per-key collect_set aggregation, whose
+    // output is one small row per key.
+    val valueCols = df.columns.filterNot((keys :+ dateCol).contains).toSeq
+    val present = df.groupBy(keys.map(col): _*)
+      .agg(collect_set(col(dateCol)).as("__ds"))
+    val bounds = present
+      .agg(min(array_min(col("__ds"))).as("__lo"), max(array_max(col("__ds"))).as("__hi"))
+    val missing = present.crossJoin(broadcast(bounds))
+      .select(keys.map(col) :+
+        explode(array_except(
+          sequence(col("__lo"), col("__hi"), expr("interval 1 day")),
+          col("__ds"))).as(dateCol): _*)
+      .select(keys.map(col) ++ Seq(col(dateCol)) ++
+        valueCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)): _*)
+    df.select((keys :+ dateCol).map(col) ++ valueCols.map(col): _*)
+      .unionByName(missing)
   }
 
   /** R4: demographics densify — same spine with an extra nesting dimension

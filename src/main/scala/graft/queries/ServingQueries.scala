@@ -29,10 +29,14 @@ object ServingQueries {
     // (chunk_etl_postprocessing/timestamp_boxplots/process.py:49-143)
     "q53_ts_boxplot" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .withColumn("minute", ((unix_timestamp(col("ts")) % 86400) / 60).cast("long"))
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("minute", ((col("sec") % 86400) / 60).cast("long"))
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("minute"))
       val wAll = Window.partitionBy(col("event_type"))
-      val wTs = Window.partitionBy(col("event_type")).orderBy(col("ts").desc)
+      // deterministic latest: floored seconds + event_id tiebreak (µs-level
+      // timestamp ties would otherwise pick an arbitrary row)
+      val wTs = Window.partitionBy(col("event_type"))
+        .orderBy(col("sec").desc, col("event_id").desc)
       ev.withColumn("__rn", row_number().over(wOrd))
         .withColumn("__n", count(lit(1)).over(wAll))
         .withColumn("__latest_minute", first(col("minute")).over(wTs))
@@ -195,7 +199,7 @@ object ServingQueries {
 
     "q53_ts_boxplot" ->
       """WITH ev AS (
-        |  SELECT event_type, ts,
+        |  SELECT event_type, ts, event_id,
         |         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60 AS BIGINT) AS minute
         |  FROM events
         |),
@@ -203,7 +207,8 @@ object ServingQueries {
         |  SELECT event_type, minute,
         |         row_number() OVER (PARTITION BY event_type ORDER BY minute) AS rn,
         |         COUNT(*) OVER (PARTITION BY event_type) AS n,
-        |         first_value(minute) OVER (PARTITION BY event_type ORDER BY ts DESC) AS latest_minute
+        |         first_value(minute) OVER (PARTITION BY event_type
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS latest_minute
         |  FROM ev
         |),
         |agg AS (
