@@ -39,6 +39,18 @@ object EventQueries {
           round(sum("value"), 2).as("session_value"))
     }),
 
+    // Sliding 10-minute windows every 5 minutes (overlapping-window analog of
+    // window(ts, "10 minutes", "5 minutes")): each event lands in 2 buckets
+    "q74_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("win_start",
+          explode(array((floor(col("sec") / 300) * 300 - 300).cast("long"),
+            (floor(col("sec") / 300) * 300).cast("long"))))
+        .where(col("sec") >= col("win_start") && col("sec") < col("win_start") + 600)
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+
     // JSON payload extraction (reference `payload -> 'value'` everywhere)
     "q32_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -73,6 +85,20 @@ object EventQueries {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       min(sec) AS session_start, round(SUM(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q74_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS b
+        |  FROM events
+        |),
+        |exploded AS (
+        |  SELECT event_type, value, sec, unnest([b - 300, b]) AS win_start FROM e
+        |)
+        |SELECT win_start, event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |FROM exploded
+        |WHERE sec >= win_start AND sec < win_start + 600
+        |GROUP BY 1, 2""".stripMargin,
 
     "q32_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
