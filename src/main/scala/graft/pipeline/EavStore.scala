@@ -26,19 +26,22 @@ object EavStore {
     val incoming = Dedup.exactFirst(df, Seq("hash", "partition_id"), "date")
     val merged = existing match {
       case Some(old) =>
-        // Keep old rows only where no incoming row claims the same key —
-        // upsert semantics without a transactional store.
+        // Partition values are metadata-scale: collect the touched ids and
+        // filter the store with isin so the old-side read is partition-PRUNED
+        // (a semi join would shuffle the whole store instead). Keep old rows
+        // only where no incoming row claims the same (hash, partition_id).
         val touched = incoming.select("partition_id").distinct()
-        val oldTouched = old.join(touched, Seq("partition_id"), "left_semi")
-        val keepOld = oldTouched.join(incoming.select("hash", "partition_id"),
-          Seq("hash", "partition_id"), "left_anti")
-        incoming.unionByName(keepOld)
+          .collect().map(_.getString(0)).toSeq
+        val keepOld = old
+          .where(col("partition_id").isin(touched.map(_.asInstanceOf[Any]): _*))
+          .join(incoming.select("hash", "partition_id"),
+            Seq("hash", "partition_id"), "left_anti")
+        // Only keepOld reads the path being overwritten — checkpoint just
+        // that (usually a small remainder), not the whole merged set.
+        incoming.unionByName(keepOld.localCheckpoint())
       case None => incoming
     }
-    // Cut lineage before overwriting a path that feeds the plan (Spark refuses
-    // a self-referential overwrite otherwise).
-    val materialized = if (existing.isDefined) merged.localCheckpoint() else merged
-    materialized.write
+    merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition_id")

@@ -23,6 +23,10 @@ object MainPipeline {
 
   val RecordKey = "graft-record-key" // stands in for the reference's RECORD_KEY env secret
 
+  /** Deterministic stand-in for the release timestamp (`%Y_%-m_%-d` shape,
+    * uploader.py:246-252): one value per release, NOT per series row. */
+  def releaseDate(releaseId: Int): String = s"2026_8_$releaseId"
+
   def run(spark: SparkSession, sfDir: String, releaseId: Int = 1): DataFrame = {
     HashFunctions.register(spark)
     val keys = Seq("areaType", "areaCode")
@@ -65,10 +69,13 @@ object MainPipeline {
 
     // Row identity: keyed BLAKE2s over the reference's hash columns
     // (uploader.py:143-192), partition id per (release date, area group).
+    // partition_id is keyed by the RELEASE date + area group (reference
+    // uploader.py:246-252) — constant per release, so one release writes a
+    // handful of partitions, not one per series date.
     long
       .withColumn("release_id", lit(releaseId))
       .withColumn("partition_id",
-        concat(date_format(col("date"), "yyyy_M_d"), lit("|"), col("areaType")))
+        concat(lit(releaseDate(releaseId)), lit("|"), col("areaType")))
       .withColumn("hash", HashFunctions.blake2sHex(
         concat(date_format(col("date"), "yyyy-MM-dd"), col("areaType"),
           col("areaCode"), col("metric"), col("release_id").cast("string")),

@@ -74,7 +74,7 @@ object MsoaPipeline {
     packed
       .withColumn("release_id", lit(releaseId))
       .withColumn("partition_id",
-        concat(date_format(col("date"), "yyyy_M_d"), lit("|msoa")))
+        concat(lit(MainPipeline.releaseDate(releaseId)), lit("|msoa")))
       .withColumn("hash", HashFunctions.blake2sHex(
         concat(date_format(col("date"), "yyyy-MM-dd"), lit("msoa"),
           col("areaCode"), lit(metric), col("release_id").cast("string")),
