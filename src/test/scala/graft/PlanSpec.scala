@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan regression guards: the properties that make these plans
+  * scale (broadcast dims, pushdown, single window sort) are asserted, not
+  * assumed — a refactor that silently reintroduces a shuffle fails here. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension") {
+    val p = plan("q21_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filters reach the parquet scan") {
+    val scan = Tables.load(spark, sf, "lineitem")
+      .where(col("l_quantity") > 40 && col("l_returnflag") === "A")
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["))
+    assert(scan.contains("GreaterThan(l_quantity,40.0)"))
+    // column pruning: only the referenced columns are read
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_extendedprice"))
+  }
+
+  test("rolling family shares one window sort (windows never re-exchange)") {
+    val p = plan("q05_change_direction")
+    // the window stack (rolling sum count+sum, lag-7) must share a single
+    // Sort/partitioning — exactly one Sort above the final Exchange, however
+    // many Window operators stack on it
+    assert("Window ".r.findAllIn(p).size >= 2)
+    assert("\\+- Sort ".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("latest-date semi join broadcasts the scalar side") {
+    val p = plan("q15_semi_latest")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("ANN candidate generation never cross-joins") {
+    val p = plan("q49_lsh_ann")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
