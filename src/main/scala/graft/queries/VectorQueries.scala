@@ -30,7 +30,20 @@ object VectorQueries {
     // nearest cells, exact rerank — deterministic, fully oracle-verified.
     "q72_ivf_ann" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3))
+        "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3)),
+
+    // Embedding-cosine near-duplicate pairs, exact within label blocks
+    // (the LSH-blocked variant is q49; this is the verifiable exact core)
+    "q75_cosine_neardup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val a = emb.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, Seq("label"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("cosine", round(Similarity.dot(col("a_emb"), col("b_emb")), 3))
+        .where(col("cosine") >= 0.9)
+        .select("a_id", "b_id", "cosine")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -89,6 +102,17 @@ object VectorQueries {
         |  SELECT q_id, cand_id, score,
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM scores
-        |) WHERE rn <= 3""".stripMargin
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q75_cosine_neardup" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) AS cosine
+        |FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        |GROUP BY 1, 2
+        |HAVING round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) >= 0.9""".stripMargin
   )
 }
