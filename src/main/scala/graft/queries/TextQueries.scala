@@ -119,6 +119,31 @@ object TextQueries {
         .select("doc_id", "token", "score")
     }),
 
+    // Repetition score: 1 - distinct/total 5-gram shingles — high values
+    // flag boilerplate/looped text (a standard pretraining quality filter)
+    "q76_repetition" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("sh", Dedup.shingles(col("text"), 5))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+          round(lit(1d) - size(array_distinct(col("sh"))).cast("double")
+            / size(col("sh")), 4).as("repetition"))),
+
+    // Benchmark decontamination: flag documents sharing >= 3 distinct
+    // 8-token shingles with a "benchmark" set (here: doc_id < 5)
+    "q77_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 8))).as("shingle"))
+      val bench = sh.where(col("doc_id") < 5)
+        .select(col("shingle")).distinct()
+      sh.where(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlaps"))
+        .where(col("n_overlaps") >= 3)
+    }),
+
     // Multimodal probe: opaque binary column + deterministic stub "decode"
     // (byte length + header hex) — the Spark-side plumbing for binary assets
     "q50_multimodal_probe" -> ((s, dir) =>
@@ -222,6 +247,39 @@ object TextQueries {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
         |  FROM scored
         |) WHERE rn <= 3""".stripMargin,
+
+    "q76_repetition" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) < 5
+        |              THEN [array_to_string(string_split(text, ' '), ' ')]
+        |              ELSE [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+        |                    FOR i IN generate_series(1, len(string_split(text, ' ')) - 4)]
+        |         END AS shingles
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(shingles) AS BIGINT) AS n_shingles,
+        |       CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+        |       round(1 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 4)
+        |         AS repetition
+        |FROM sh""".stripMargin,
+
+    "q77_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |    END)) AS shingle
+        |  FROM toks
+        |),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+        |SELECT sh.doc_id, COUNT(*) AS n_overlaps
+        |FROM sh JOIN bench USING (shingle)
+        |WHERE sh.doc_id >= 5
+        |GROUP BY sh.doc_id
+        |HAVING COUNT(*) >= 3""".stripMargin,
 
     "q50_multimodal_probe" ->
       """SELECT doc_id,
