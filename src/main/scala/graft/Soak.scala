@@ -40,16 +40,19 @@ object Soak {
     val n2 = EavStore.read(spark, store).count()
     println(s"[soak] store rows after r2: $n2 (expected ${2 * n1})")
 
-    // Partition-pruned read: one partition_id must touch one directory.
-    val onePart = EavStore.read(spark, store)
-      .where(col("partition_id") === col("partition_id"))
+    // Partition-pruned read: every file the pruned scan touches must live
+    // under the target partition's directory — asserted on inputFiles, not on
+    // the plan string (which may omit partition values entirely).
     val target = spark.read.parquet(store).select("partition_id").distinct().limit(1)
       .collect()(0).getString(0)
     val pruned = EavStore.read(spark, store).where(col("partition_id") === target)
-    val plan = pruned.queryExecution.executedPlan.toString
+    val prunedFiles = pruned.inputFiles
+    require(prunedFiles.nonEmpty && prunedFiles.forall(_.contains(s"partition_id=$target")),
+      s"partition pruning failed: scan for '$target' touches " +
+        prunedFiles.filterNot(_.contains(s"partition_id=$target")).take(3).mkString(", "))
     val prunedCount = timed("pruned single-partition read")(pruned.count())
     println(s"[soak] partition '$target' rows=$prunedCount; " +
-      s"plan reads one partition: ${plan.contains(target) || !plan.contains("partition_id=")}")
+      s"pruned scan touches ${prunedFiles.length} file(s), all under partition_id=$target")
     spark.stop()
   }
 }

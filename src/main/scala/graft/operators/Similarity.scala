@@ -26,24 +26,22 @@ object Similarity {
   /** Brute-force cosine top-k. Inputs: `queries(q_id, q_emb)` (small,
     * broadcast), `candidates(cand_id, cand_emb)`. Scores are rounded to
     * `scale` decimals *before* ranking so floating summation order can never
-    * flip the ranking; ties break on cand_id. */
+    * flip the ranking; ties break on cand_id (ids are cast to long).
+    *
+    * Top-k runs as a bounded typed aggregate ([[graft.functions.TopKAggregator]])
+    * with map-side partial aggregation: each partition reduces to ≤2k rows per
+    * query before the exchange, so the shuffle carries O(k × partitions) rows
+    * per query — never the full score matrix. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      scale: Int = 3): DataFrame = {
     val scored = candidates.join(broadcast(queries), col("cand_id") =!= col("q_id"))
       .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), scale))
       .select("q_id", "cand_id", "score")
-    // Phase 1: partial top-k inside each partition (no shuffle).
-    val partial = scored
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("q_id"), col("__part"))
-          .orderBy(col("score").desc, col("cand_id").asc)))
-      .where(col("__rn") <= k).drop("__part", "__rn")
-    // Phase 2: global top-k over the surviving k × partitions rows.
-    partial
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cand_id").asc)))
-      .where(col("__rn") <= k).drop("__rn")
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id").cast("long")).as("tk"))
+      .select(col("q_id"), explode(col("tk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
   }
 
   /** Deterministic random hyperplanes for LSH bucketing (fixed seed → stable

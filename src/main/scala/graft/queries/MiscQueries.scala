@@ -43,11 +43,18 @@ object MiscQueries {
         "metric", "payload")
         .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))),
 
-    // R6: nest to array-of-structs — rows-only (DuckDB can't hash-compare
-    // nested arrays through the driver); content asserted in ScalaTest.
-    "q34_nest_series" -> ((s, dir) =>
-      Reshape.nest(Tables.supplierDaily(s, dir),
-        Seq("l_suppkey"), "date", Seq("qty"), "series")),
+    // R6: nest to array-of-structs, serialized with to_json so the driver's
+    // pandas compare can hash it (typed form asserted in ServingSpec). Dates
+    // ride as yyyy-MM-dd strings, counts as BIGINT — both engines render
+    // those identically inside JSON.
+    "q34_nest_series" -> ((s, dir) => {
+      val daily = Tables.supplierDaily(s, dir).select(col("l_suppkey"),
+        date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("qty").cast("long").as("qty"))
+      Reshape.nest(daily, Seq("l_suppkey"), "date", Seq("qty"), "series")
+        .withColumn("series",
+          to_json(col("series"), Map("ignoreNullFields" -> "false")))
+    }),
 
     // Keyed BLAKE2s row hash — rows-only (no BLAKE2 in DuckDB); RFC vectors
     // asserted in ScalaTest.
@@ -105,8 +112,10 @@ object MiscQueries {
     }),
 
     // R8: per-category rate enrichment of a nested column — explode, join the
-    // (key, category) population dim, compute the rate, re-nest. Rows-only
-    // (nested output); ordering normalized by sort_array.
+    // (key, category) population dim, compute the rate, re-nest, serialize.
+    // Counts ride as BIGINT; rates as DECIMAL(20,1) — Double.toString would
+    // switch to scientific notation past 1e7 where DuckDB never does, decimals
+    // render identically in both engines.
     "q61_nested_rate" -> ((s, dir) => {
       val nested = Reshape.nest(
         Tables.load(s, dir, "lineitem")
@@ -118,23 +127,32 @@ object MiscQueries {
       val exploded = Reshape.unnest(nested, Seq("l_suppkey"), "byFlag")
         .select(col("l_suppkey"), col("elem.l_returnflag").as("flag"), col("elem.qty").as("qty"))
         .join(broadcast(pop), Seq("l_suppkey"))
-        .withColumn("rate", round(col("qty") / col("population") * 100000, 1))
+        .select(col("l_suppkey"), col("flag"), col("qty").cast("long").as("qty"),
+          round(col("qty") / col("population") * 100000, 1).cast("decimal(20,1)").as("rate"))
       Reshape.nest(exploded, Seq("l_suppkey"), "flag", Seq("qty", "rate"), "byFlagRated")
+        .withColumn("byFlagRated",
+          to_json(col("byFlagRated"), Map("ignoreNullFields" -> "false")))
     }),
 
-    // R9: element-wise pair operation on two nested metrics via zip_with —
-    // rows-only (nested output).
+    // R9: element-wise pair operation on two aligned nested metrics via
+    // zip_with (single codegen'd projection, no explode/re-nest). The two
+    // arrays are built by one groupBy over the same (supplier, status) grid so
+    // they align positionally; output serialized for the driver compare.
     "q62_zip_pair_sum" -> ((s, dir) => {
-      val byFlag = (flag: String) => Reshape.nest(
-        Tables.load(s, dir, "lineitem").where(col("l_returnflag") === flag)
-          .groupBy(col("l_suppkey"), col("l_linestatus"))
-          .agg(sum("l_quantity").cast("double").as("qty")),
-        Seq("l_suppkey"), "l_linestatus", Seq("qty"), s"arr_$flag")
-      Reshape.zipNested(
-        byFlag("A").join(byFlag("R"), Seq("l_suppkey")),
-        "arr_A", "arr_R", "paired")((a, b) =>
-          struct(a.getField("l_linestatus").as("status"),
-            (a.getField("qty") + b.getField("qty")).as("total")))
+      val byStatus = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_linestatus"))
+        .agg(sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0d))
+               .cast("long").as("qty_a"),
+             sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0d))
+               .cast("long").as("qty_r"))
+      val nested = byStatus.groupBy(col("l_suppkey")).agg(
+        sort_array(collect_list(struct(col("l_linestatus").as("status"), col("qty_a")))).as("arr_A"),
+        sort_array(collect_list(struct(col("l_linestatus").as("status"), col("qty_r")))).as("arr_R"))
+      Reshape.zipNested(nested, "arr_A", "arr_R", "paired")((a, b) =>
+          struct(a.getField("status").as("status"),
+            (a.getField("qty_a") + b.getField("qty_r")).as("total")))
+        .select(col("l_suppkey"),
+          to_json(col("paired"), Map("ignoreNullFields" -> "false")).as("paired"))
     }),
 
     // BLAKE2b slug (private_report/process.py:124-127) — rows-only; RFC
@@ -150,8 +168,10 @@ object MiscQueries {
     // → hash) — rows-only; stages are individually oracled by q10/q56/q57/q65.
     "q67_msoa_pipeline" -> ((s, dir) => graft.pipeline.MsoaPipeline.run(s, dir)),
 
-    // Demographics pipeline (R4 densify → per-band rolling rates → R6 nest)
-    // — rows-only (nested output); asserted in PipelinesSpec.
+    // Demographics pipeline (R4 densify → per-band rolling rates → R6 nest),
+    // nested metric serialized to JSON (counts as BIGINT, rates as
+    // DECIMAL(20,1)) so the full pipeline is oracle-checked; typed form
+    // asserted in PipelinesSpec.
     "q68_demographics" -> ((s, dir) => {
       val input = Tables.load(s, dir, "lineitem")
         .where(year(col("l_shipdate")) === 1995)
@@ -169,6 +189,14 @@ object MiscQueries {
       graft.pipeline.DemographicsPipeline.run(input,
         graft.pipeline.DemographicsPipeline.Spec("age", 1, "newCases", "cases",
           "newCasesAgeDemographics"), pop)
+        .select(col("areaType"), col("areaCode"),
+          date_format(col("date"), "yyyy-MM-dd").as("date"),
+          to_json(transform(col("newCasesAgeDemographics"), x => struct(
+            x.getField("age").as("age"),
+            x.getField("cases").cast("long").as("cases"),
+            x.getField("rollingSum").cast("long").as("rollingSum"),
+            x.getField("rollingRate").cast("decimal(20,1)").as("rollingRate"))),
+            Map("ignoreNullFields" -> "false")).as("newCasesAgeDemographics"))
     }),
 
     // The full MainPipeline with a DuckDB oracle: every stage (densify,
@@ -196,6 +224,87 @@ object MiscQueries {
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q34_nest_series" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS date,
+        |         CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_suppkey,
+        |       '[' || string_agg('{"date":"' || date || '","qty":' || CAST(qty AS VARCHAR) || '}',
+        |                         ',' ORDER BY date) || ']' AS series
+        |FROM daily GROUP BY l_suppkey""".stripMargin,
+
+    "q61_nested_rate" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey, l_returnflag AS flag, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |rated AS (
+        |  SELECT a.l_suppkey, a.flag, CAST(a.qty AS BIGINT) AS qty,
+        |         CAST(round(a.qty / abs(s.s_acctbal) * 100000, 1) AS DECIMAL(20,1)) AS rate
+        |  FROM agg a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+        |)
+        |SELECT l_suppkey,
+        |       '[' || string_agg('{"flag":"' || flag || '","qty":' || CAST(qty AS VARCHAR)
+        |                         || ',"rate":' || CAST(rate AS VARCHAR) || '}',
+        |                         ',' ORDER BY flag) || ']' AS byFlagRated
+        |FROM rated GROUP BY l_suppkey""".stripMargin,
+
+    "q62_zip_pair_sum" ->
+      """WITH bs AS (
+        |  SELECT l_suppkey, l_linestatus AS status,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS BIGINT) AS qa,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qr
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_suppkey,
+        |       '[' || string_agg('{"status":"' || status || '","total":' || CAST(qa + qr AS VARCHAR) || '}',
+        |                         ',' ORDER BY status) || ']' AS paired
+        |FROM bs GROUP BY l_suppkey""".stripMargin,
+
+    "q68_demographics" ->
+      """WITH input AS (
+        |  SELECT 'supplier' AS areaType, CAST(l_suppkey AS VARCHAR) AS areaCode,
+        |         CAST(l_shipdate AS DATE) AS date, l_returnflag AS age,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS newCases
+        |  FROM lineitem WHERE year(l_shipdate) = 1995
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |bounds AS (SELECT min(date) AS lo, max(date) AS hi FROM input),
+        |dates AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds
+        |),
+        |spine AS (
+        |  SELECT k.areaType, k.areaCode, d.date, a.age
+        |  FROM (SELECT DISTINCT areaType, areaCode FROM input) k
+        |  CROSS JOIN dates d
+        |  CROSS JOIN (SELECT DISTINCT age FROM input) a
+        |),
+        |dense AS (
+        |  SELECT s.areaType, s.areaCode, s.date, s.age, COALESCE(i.newCases, 0) AS cases
+        |  FROM spine s LEFT JOIN input i
+        |    ON i.areaType = s.areaType AND i.areaCode = s.areaCode
+        |   AND i.date = s.date AND i.age = s.age
+        |),
+        |rolled AS (
+        |  SELECT *, CASE WHEN COUNT(cases) OVER w7 = 7 THEN SUM(cases) OVER w7 END AS rollingSum
+        |  FROM dense
+        |  WINDOW w7 AS (PARTITION BY areaType, areaCode, age ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |),
+        |rated AS (
+        |  SELECT r.*, round(r.rollingSum / abs(s.s_acctbal) * 100000, 1) AS rollingRate
+        |  FROM rolled r LEFT JOIN supplier s ON r.areaCode = CAST(s.s_suppkey AS VARCHAR)
+        |)
+        |SELECT areaType, areaCode, strftime(date, '%Y-%m-%d') AS date,
+        |       '[' || string_agg('{"age":"' || age
+        |           || '","cases":' || CAST(CAST(cases AS BIGINT) AS VARCHAR)
+        |           || ',"rollingSum":' || COALESCE(CAST(CAST(rollingSum AS BIGINT) AS VARCHAR), 'null')
+        |           || ',"rollingRate":' || COALESCE(CAST(CAST(rollingRate AS DECIMAL(20,1)) AS VARCHAR), 'null')
+        |           || '}', ',' ORDER BY age) || ']' AS newCasesAgeDemographics
+        |FROM rated GROUP BY 1, 2, 3""".stripMargin,
+
     "q36_trim_sides" ->
       s"""WITH $longCte,
          |pos AS (

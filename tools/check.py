@@ -74,7 +74,12 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE-ERR {e}"
             continue
-        results[name] = compare(name, spark_df, duck_df)
+        try:
+            results[name] = compare(name, spark_df, duck_df)
+        except Exception as e:
+            # e.g. array columns that pandas can't sort/hash — fail just this
+            # query, mirroring the ORACLE-ERR handling, not the whole run
+            results[name] = f"COMPARE-ERR {type(e).__name__}: {e}"
     # queries without oracle: rows-only
     import os
     for d in sorted(os.listdir(out_dir)):
