@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,12 +10,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Catalyst expression for the reference's keyed BLAKE2s row hash
   * (SURVEY.md §2.8 Hash family): `blake2s_hex(data, key, digestSize)` →
   * lowercase hex string. Null-safe, deterministic; children are cast to
-  * binary/int at construction so no ExpectsInputTypes is needed. Evaluated on
-  * the interpreted path (CodegenFallback) — the digest itself is a tight JVM
-  * loop, codegen would only inline the call site.
-  */
+  * binary/int at construction so no ExpectsInputTypes is needed.
+  *
+  * Codegen emits a direct static call into [[Blake2s]] — a CodegenFallback
+  * here would kick the ENTIRE projection stage out of whole-stage codegen,
+  * which at the EAV pipeline's 14M rows/release costs more than the digest
+  * itself. */
 case class Blake2sHexExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "blake2s_hex"
@@ -25,13 +27,18 @@ case class Blake2sHexExpr(first: Expression, second: Expression, third: Expressi
       data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]],
       size.asInstanceOf[Int]))
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, k, s) =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.Blake2s.hexDigest($d, $k, $s));""".stripMargin)
+
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
 /** BLAKE2b twin of [[Blake2sHexExpr]] (reference private-report slug). */
 case class Blake2bHexExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "blake2b_hex"
@@ -40,6 +47,11 @@ case class Blake2bHexExpr(first: Expression, second: Expression, third: Expressi
     UTF8String.fromString(Blake2b.hexDigest(
       data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]],
       size.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, k, s) =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.Blake2b.hexDigest($d, $k, $s));""".stripMargin)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)

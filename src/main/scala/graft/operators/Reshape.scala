@@ -60,18 +60,44 @@ object Reshape {
 
   /** R4: demographics densify — same spine with an extra nesting dimension
     * (age band / variant) and a configurable step (daily or weekly,
-    * reference `homogenisation.py:81-130`). */
+    * reference `homogenisation.py:81-130`).
+    *
+    * Like [[densifyDates]], this never materializes-and-joins the full
+    * (key × nesting × date) spine — at scale that spine dwarfs the data and
+    * its left join re-shuffles both sides. Instead it emits only the MISSING
+    * rows (grid dates minus each pair's observed dates) and unions them on:
+    * the sole wide shuffle is the per-(key, nesting) `collect_set`, which
+    * reduces map-side to one small row per pair. */
   def densifyNested(df: DataFrame, keys: Seq[String], dateCol: String,
                     nestingCol: String, stepDays: Int = 1): DataFrame = {
-    val keyDim = df.groupBy(keys.map(col): _*)
-      .agg(min(col(dateCol)).as("__kmin"), max(col(dateCol)).as("__kmax"))
-    val spineDates = keyDim
-      .agg(min(col("__kmin")).as("lo"), max(col("__kmax")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr(s"interval $stepDays day"))).as(dateCol))
-    val spine = keyDim.drop("__kmin", "__kmax")
-      .crossJoin(broadcast(spineDates))
+    val pairCols = keys :+ nestingCol
+    val valueCols = df.columns.filterNot((pairCols :+ dateCol).contains).toSeq
+    val present = df.groupBy(pairCols.map(col): _*)
+      .agg(collect_set(col(dateCol)).as("__ds"))
+    val bounds = present
+      .agg(min(array_min(col("__ds"))).as("__lo"), max(array_max(col("__ds"))).as("__hi"))
+    // Every (key × nesting) combination gets spine rows — including pairs
+    // never observed together, which `present` alone would miss.
+    val pairs = df.select(keys.map(col): _*).distinct()
       .crossJoin(broadcast(df.select(col(nestingCol)).distinct()))
-    spine.join(df, keys ++ Seq(dateCol, nestingCol), "left")
+    val missing = pairs
+      .join(present, pairCols, "left")
+      .crossJoin(broadcast(bounds))
+      .select(pairCols.map(col) :+
+        explode(array_except(
+          sequence(col("__lo"), col("__hi"), expr(s"interval $stepDays day")),
+          coalesce(col("__ds"), array().cast("array<date>")))).as(dateCol): _*)
+      .select((keys :+ dateCol :+ nestingCol).map(col) ++
+        valueCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)): _*)
+    // Off-grid data rows don't exist on a stepped spine (the join-based spine
+    // dropped them); on the daily grid every observed date is on-grid.
+    val onGrid =
+      if (stepDays == 1) df
+      else df.crossJoin(broadcast(bounds))
+        .where(pmod(datediff(col(dateCol), col("__lo")), lit(stepDays)) === 0)
+        .drop("__lo", "__hi")
+    onGrid.select((keys :+ dateCol :+ nestingCol).map(col) ++ valueCols.map(col): _*)
+      .unionByName(missing)
   }
 
   /** R5: MSOA-style tail zero-pad (reference `msoa_etl_db/processor.py:146-171`):
