@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward temporal) join — an operator Spark lacks natively.
+  *
+  * For every left row `(keys, leftTime)`, attaches the single right row with
+  * the greatest `rightTime <= leftTime` for the same keys (DuckDB/kdb `ASOF
+  * JOIN` semantics; pandas `merge_asof(direction="backward")`).
+  *
+  * Scale design: NOT a range join (whose candidate set explodes with key
+  * cardinality × time density) and not a per-key collect. Both sides are
+  * tagged and unioned, then a single window pass over
+  * `(keys) ORDER BY (time, rightFirst)` carries the latest right payload
+  * forward onto each left row. One hash shuffle on `keys`, one sort — the
+  * same cost as any keyed window, regardless of how dense the right side is.
+  * The right payload travels as ONE struct so all its fields come from the
+  * same matched row (per-column fills could mix rows when right values are
+  * null).
+  */
+object AsOf {
+
+  /** @param keys       equi-join key columns (present on both sides)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right` (may share the name)
+    * @param valueCols  right columns to attach; emitted under their own names
+    * @param matchedTimeCol if nonempty, also emit the matched right row's time
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String, valueCols: Seq[String],
+                   matchedTimeCol: String = ""): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = {
+      val fields = (rightTime +: valueCols).map(c => right.schema(c))
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__rt", fields.head.dataType) +:
+          valueCols.zip(fields.tail).map { case (c, f) =>
+            org.apache.spark.sql.types.StructField(c, f.dataType, nullable = true) })
+    }
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__isR", lit(0))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right
+      .select(keys.map(col) :+ col(rightTime).as("__t") :+
+        struct(col(rightTime).as("__rt") +: valueCols.map(col): _*).as("__payload"): _*)
+      .withColumn("__isR", lit(1))
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__t"), col("__isR"), col("__payload")): _*)
+    // At equal times the right row sorts first so `<=` matches (asof is
+    // inclusive); last(ignoreNulls) then carries the newest payload forward.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = l.unionByName(r)
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__isR") === 0)
+    val out = leftCols.map(col) ++
+      valueCols.map(c => col("__m").getField(c).as(c)) ++
+      (if (matchedTimeCol.nonEmpty) Seq(col("__m").getField("__rt").as(matchedTimeCol))
+       else Nil)
+    filled.select(out: _*)
+  }
+}

@@ -56,7 +56,24 @@ object EventQueries {
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k")))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))),
+
+    // As-of join (AsOf.asofBackward): each purchase picks up the user's
+    // latest view at-or-before it — oracled by DuckDB's native ASOF JOIN.
+    "q78_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("purchase_value"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max("value"), 2).as("view_value"))
+      AsOf.asofBackward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_value"), matchedTimeCol = "view_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("purchase_value"),
+          col("view_value"), unix_timestamp(col("view_ts")).as("view_sec"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -103,6 +120,20 @@ object EventQueries {
     "q32_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q78_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |v AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS sec,
+        |       p.purchase_value, v.view_value,
+        |       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_sec
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
   )
 }

@@ -199,6 +199,14 @@ object MiscQueries {
             Map("ignoreNullFields" -> "false")).as("newCasesAgeDemographics"))
     }),
 
+    // O-family extension: hierarchical subtotals via rollup + grouping_id —
+    // Spark's GROUPING SETS surface, oracled by DuckDB's ROLLUP.
+    "q79_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").cast("long").as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))),
+
     // The full MainPipeline with a DuckDB oracle: every stage (densify,
     // bounded zero-fill, rolling family, rate, trim, melt, JSON wrap)
     // replicated in SQL — the strongest end-to-end correctness statement.
@@ -224,6 +232,11 @@ object MiscQueries {
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q79_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS n, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
     "q34_nest_series" ->
       """WITH daily AS (
         |  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS date,

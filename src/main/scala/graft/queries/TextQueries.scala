@@ -150,13 +150,29 @@ object TextQueries {
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
         octet_length(col("text")).cast("long").as("byte_len"),
-        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex")))
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"))),
+
+    // PII scrub: email + long-digit-run redaction via codegen'd
+    // regexp_replace (standard pretraining-privacy pass; patterns kept in
+    // the Java∩RE2 regex subset so both engines agree)
+    "q80_pii_scrub" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("scrubbed")))
   )
 
   private val lexValues = lexicon
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    "q80_pii_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
     "q33_unnest_tokens" ->
       """SELECT doc_id,
         |       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,

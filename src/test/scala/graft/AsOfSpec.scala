@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** As-of backward join: inclusive match, no-prior-row nulls, latest-wins,
+  * and payload atomicity (all attached fields from the SAME matched row). */
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("attaches latest right row at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2026-01-01 09:00:00"), "early"),   // before any right row
+      (1L, ts("2026-01-01 10:00:00"), "equal"),   // equal ts -> inclusive match
+      (1L, ts("2026-01-01 11:30:00"), "between"), // picks 11:00, not 10:00
+      (2L, ts("2026-01-01 12:00:00"), "otherkey") // keys never cross
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 10.0, "a"),
+      (1L, ts("2026-01-01 11:00:00"), 11.0, "b"),
+      (2L, ts("2026-01-01 01:00:00"), 99.0, "z")
+    ).toDF("k", "rt", "v", "label")
+
+    val out = AsOf.asofBackward(left, right, Seq("k"), "t", "rt",
+        Seq("v", "label"), matchedTimeCol = "matched_rt")
+      .orderBy("k", "t")
+      .select("tag", "v", "label", "matched_rt")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+
+    assert(out(0) === (("early", None, None, None)))
+    assert(out(1) === (("equal", Some(10.0), Some("a"), Some(ts("2026-01-01 10:00:00")))))
+    assert(out(2) === (("between", Some(11.0), Some("b"), Some(ts("2026-01-01 11:00:00")))))
+    assert(out(3) === (("otherkey", Some(99.0), Some("z"), Some(ts("2026-01-01 01:00:00")))))
+  }
+
+  test("null right values stay atomic with their row") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), Option(1.0), Option("old")),
+      (1L, ts("2026-01-01 11:00:00"), Option.empty[Double], Option("new"))
+    ).toDF("k", "rt", "v", "label")
+    // The 11:00 row matches; its null v must NOT fall back to 10:00's 1.0.
+    val row = AsOf.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v", "label"))
+      .select("v", "label").collect().head
+    assert(row.isNullAt(0) && row.getString(1) === "new")
+  }
+
+  test("single shuffle: plan exchanges once on the join key") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("k", "t")
+    val right = Seq((1L, ts("2026-01-01 10:00:00"), 1.0)).toDF("k", "rt", "v")
+    val plan = AsOf.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges:\n$plan")
+  }
+}
