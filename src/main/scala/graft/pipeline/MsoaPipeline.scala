@@ -68,7 +68,9 @@ object MsoaPipeline {
         col(s"${metric}Change").cast("long").as("change"),
         col(s"${metric}Direction").as("direction"),
         col(s"${metric}ChangePercentage").as("changePercentage"),
-        col(s"${metric}RollingRate").as("rollingRate")),
+        // DECIMAL(20,1) not DOUBLE: rates can exceed 1e7 where Double.toString
+        // switches to scientific notation; decimals render plain in any engine.
+        col(s"${metric}RollingRate").cast("decimal(20,1)").as("rollingRate")),
         Map("ignoreNullFields" -> "false")).as("payload"))
 
     packed

@@ -164,9 +164,13 @@ object MiscQueries {
     }),
 
     // MSOA pipeline end to end (zero-pad → densify → rolling family with
-    // substitution → rate → suppression → periodic sampling → packed payload
-    // → hash) — rows-only; stages are individually oracled by q10/q56/q57/q65.
-    "q67_msoa_pipeline" -> ((s, dir) => graft.pipeline.MsoaPipeline.run(s, dir)),
+    // substitution → rate → suppression → periodic sampling → packed payload)
+    // with a full SQL oracle; the engine hash column is excluded from the
+    // query output (not DuckDB-expressible — covered by q35/q51 + Soak).
+    "q67_msoa_pipeline" -> ((s, dir) =>
+      graft.pipeline.MsoaPipeline.run(s, dir)
+        .drop("hash")
+        .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))),
 
     // Demographics pipeline (R4 densify → per-band rolling rates → R6 nest),
     // nested metric serialized to JSON (counts as BIGINT, rates as
@@ -317,6 +321,79 @@ object MiscQueries {
         |           || ',"rollingRate":' || COALESCE(CAST(CAST(rollingRate AS DECIMAL(20,1)) AS VARCHAR), 'null')
         |           || '}', ',' ORDER BY age) || ']' AS newCasesAgeDemographics
         |FROM rated GROUP BY 1, 2, 3""".stripMargin,
+
+    "q67_msoa_pipeline" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS areaCode, CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS cases
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |bounds AS (SELECT min(date) AS lo, max(date) AS hi FROM daily),
+        |dates AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds
+        |),
+        |dense AS (
+        |  SELECT k.areaCode, d.date, COALESCE(daily.cases, 0) AS cases
+        |  FROM (SELECT DISTINCT areaCode FROM daily) k
+        |  CROSS JOIN dates d
+        |  LEFT JOIN daily ON daily.areaCode = k.areaCode AND daily.date = d.date
+        |),
+        |rs AS (
+        |  SELECT areaCode, date, cases,
+        |         CASE WHEN COUNT(cases) OVER w7 = 7 THEN SUM(cases) OVER w7 END AS rs0
+        |  FROM dense
+        |  WINDOW w7 AS (PARTITION BY areaCode ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |),
+        |sub AS (
+        |  SELECT areaCode, date, cases, CASE WHEN rs0 < 3 THEN 2 ELSE rs0 END AS rs1 FROM rs
+        |),
+        |z AS (
+        |  SELECT *, CASE WHEN SUM(rs1) OVER (PARTITION BY areaCode) = 0 THEN NULL ELSE rs1 END AS rs2
+        |  FROM sub
+        |),
+        |ch AS (
+        |  SELECT areaCode, date, rs2,
+        |         rs2 - lag(rs2, 7) OVER w AS change0,
+        |         lag(rs2, 7) OVER w AS den,
+        |         COUNT(rs2) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cnt8
+        |  FROM z WINDOW w AS (PARTITION BY areaCode ORDER BY date)
+        |),
+        |fam AS (
+        |  SELECT areaCode, date, rs2, change0,
+        |         CASE WHEN change0 > 0 THEN 'UP' WHEN change0 < 0 THEN 'DOWN'
+        |              WHEN change0 = 0 THEN 'SAME' END AS direction,
+        |         CASE WHEN cnt8 = 8 THEN
+        |           CAST(CASE WHEN rs2 = 0 AND den > 0 THEN -100.0
+        |                WHEN rs2 / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1 = -1 THEN 0.0
+        |                ELSE round((rs2 / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1) * 100, 1)
+        |           END AS DOUBLE)
+        |         END AS pct
+        |  FROM ch
+        |),
+        |supp AS (
+        |  SELECT areaCode, date,
+        |         CASE WHEN rs2 = 2 THEN NULL ELSE rs2 END AS rsf,
+        |         CASE WHEN rs2 = 2 THEN NULL ELSE change0 END AS changef,
+        |         CASE WHEN rs2 = 2 THEN NULL ELSE direction END AS directionf,
+        |         CASE WHEN rs2 = 2 THEN NULL ELSE pct END AS pctf
+        |  FROM fam
+        |),
+        |rated AS (
+        |  SELECT supp.*, CAST(round(supp.rsf / abs(s.s_acctbal) * 100000, 1) AS DECIMAL(20,1)) AS rate
+        |  FROM supp LEFT JOIN supplier s ON supp.areaCode = CAST(s.s_suppkey AS VARCHAR)
+        |),
+        |anch AS (SELECT CAST(max(date) - INTERVAL 5 DAY AS DATE) AS a FROM rated)
+        |SELECT CAST(1 AS INTEGER) AS release_id, areaCode, '2026_8_1|msoa' AS partition_id,
+        |       strftime(r.date, '%Y-%m-%d') AS date,
+        |       '{"rollingSum":' || COALESCE(CAST(CAST(rsf AS BIGINT) AS VARCHAR), 'null')
+        |       || ',"change":' || COALESCE(CAST(CAST(changef AS BIGINT) AS VARCHAR), 'null')
+        |       || ',"direction":' || COALESCE('"' || directionf || '"', 'null')
+        |       || ',"changePercentage":' || COALESCE(CAST(pctf AS VARCHAR), 'null')
+        |       || ',"rollingRate":' || COALESCE(CAST(rate AS VARCHAR), 'null')
+        |       || '}' AS payload
+        |FROM rated r, anch
+        |WHERE r.date <= anch.a AND date_diff('day', r.date, anch.a) % 7 = 0""".stripMargin,
 
     "q36_trim_sides" ->
       s"""WITH $longCte,

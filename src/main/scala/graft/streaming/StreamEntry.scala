@@ -78,6 +78,35 @@ object StreamEntry {
       }.toDF()
   }
 
+  /** Streaming exactly-once-per-key dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    * watermark passes it, so at-least-once upstream delivery (the reference's
+    * queue retry policy, `host.json` maxDequeueCount) collapses to
+    * exactly-once rows without unbounded state. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase joins views of the same user
+    * within the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state on both sides is evicted
+    * once the watermark passes the interval — the streaming twin of
+    * [[graft.operators.AsOf]]'s backward window (batch q78). */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("view_value"))
+      .withWatermark("v_ts", "70 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Run a streaming query to completion over whatever is already in the
     * landing dir (memory sink) — the local smoke-test harness. */
   def runOnce(spark: SparkSession, df: DataFrame, name: String): StreamingQuery = {

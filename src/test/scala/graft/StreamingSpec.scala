@@ -37,6 +37,38 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("watermarked dedup collapses duplicate deliveries to exactly-once") {
+    // stage the landing dir with every event delivered twice (queue redelivery)
+    val dir = Files.createTempDirectory("landing_dup").toString
+    val ev = Tables.events(spark, sf).limit(200)
+    ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(dir)
+    val deduped = StreamEntry.dedupEvents(StreamEntry.readEvents(spark, dir))
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM dedup").collect()(0)
+    assert(n.getLong(0) === n.getLong(1), "each event_id must appear exactly once")
+    assert(n.getLong(1) === 200L)
+  }
+
+  test("stream-stream interval join matches its batch twin") {
+    val joined = StreamEntry.purchaseViewJoin(StreamEntry.readEvents(spark, landing))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT count(*) FROM ssj").collect()(0).getLong(0)
+    // batch twin on the same fixture
+    val ev = Tables.events(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val batch = p.join(v, "user_id")
+      .where(col("v_ts") <= col("p_ts") && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .count()
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
