@@ -20,7 +20,11 @@ object Fill {
 
   private def nonNullBounds(df: DataFrame, keys: Seq[String], dateCol: String,
                             metric: String): (Column, Column) = {
-    val w = Window.partitionBy(keys.map(col): _*)
+    // Full-frame bounds on the ORDERED (keys, date) spec: same one-pass
+    // aggregate as an unordered window, but sort-compatible with the rolling
+    // windows stacked after it — no mid-pipeline re-sort.
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     (min(when(col(metric).isNotNull, col(dateCol))).over(w),
      max(when(col(metric).isNotNull, col(dateCol))).over(w))
   }

@@ -37,9 +37,15 @@ object Rolling {
   }
 
   /** A7: all-zero guard (reference `replace_all_zero`, `rolling.py:58-62`):
-    * if a group's column sums to 0 (null-skipping), null the column group-wide. */
-  def allZeroToNull(df: DataFrame, keys: Seq[String], metric: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
+    * if a group's column sums to 0 (null-skipping), null the column group-wide.
+    * The full-partition sum rides on the SAME (keys, date) ordered window spec
+    * as the rolling family — an unordered spec here would void the sort
+    * guarantee between the surrounding windows and force Spark to re-sort the
+    * whole frame mid-pipeline. */
+  def allZeroToNull(df: DataFrame, keys: Seq[String], dateCol: String,
+                    metric: String): DataFrame = {
+    val w = byKeys(keys, dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.withColumn(metric, when(sum(col(metric)).over(w) === 0, lit(null)).otherwise(col(metric)))
   }
 
@@ -111,7 +117,7 @@ object Rolling {
     minSumAllowed.foreach { m =>
       d = d.withColumn(rs, when(col(rs) < m, minSumSub).otherwise(col(rs)))
     }
-    d = allZeroToNull(d, keys, rs)
+    d = allZeroToNull(d, keys, dateCol, rs)
     d = change(d, keys, dateCol, rs, s"${metric}Change")
     d = d.withColumn(s"${metric}Direction", direction(col(s"${metric}Change")))
     d = percentageChange(d, keys, dateCol, rs, s"${metric}ChangePercentage")

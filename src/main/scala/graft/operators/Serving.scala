@@ -21,7 +21,8 @@ object Serving {
   def percentileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
                      ps: Seq[(String, Double)]): DataFrame = {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(keys.map(col): _*)
+    // full frame on the same ordering: stacks with wOrd on one sort
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = df
       .where(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(wOrd))
@@ -43,7 +44,8 @@ object Serving {
   def percentileCont(df: DataFrame, keys: Seq[String], valueCol: String,
                      ps: Seq[(String, Double)]): DataFrame = {
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(keys.map(col): _*)
+    // full frame on the same ordering: stacks with wOrd on one sort
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = df
       .where(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(wOrd))

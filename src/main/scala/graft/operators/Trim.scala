@@ -54,7 +54,9 @@ object Trim {
                 noTrimMetrics: Set[String] = Set("variants")): DataFrame = {
     val grp = (keys :+ metricCol).map(col)
     val wOrd = Window.partitionBy(grp: _*).orderBy(col(dateCol))
-    val wAll = Window.partitionBy(grp: _*)
+    // full-frame spec on the same ordering: sort-compatible with wOrd so all
+    // four window columns stack on a single exchange + sort
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val p = col("__p")
     val withPos = df
       .withColumn("__p", row_number().over(wOrd))

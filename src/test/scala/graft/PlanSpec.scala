@@ -38,6 +38,14 @@ class PlanSpec extends SparkSpec {
     assert("\\+- Sort ".r.findAllIn(p).size === 1, p.take(2000))
   }
 
+  test("full EAV pipeline sorts its window stack exactly once") {
+    // zero-fill bounds, rolling family, all-zero guard, lag-7 and the 8-row
+    // pct window all ride one ordered spec; an unordered window spec anywhere
+    // in the chain reintroduces a mid-pipeline re-sort of the dense frame
+    val p = plan("q64_pipeline_sql")
+    assert("\\+- Sort ".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("latest-date semi join broadcasts the scalar side") {
     val p = plan("q15_semi_latest")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
