@@ -40,19 +40,26 @@ object Soak {
     val n2 = EavStore.read(spark, store).count()
     println(s"[soak] store rows after r2: $n2 (expected ${2 * n1})")
 
-    // Partition-pruned read: every file the pruned scan touches must live
-    // under the target partition's directory — asserted on inputFiles, not on
-    // the plan string (which may omit partition values entirely).
+    // Partition-pruned read, asserted on the scan's OWN driver metrics after
+    // execution (numPartitions/numFiles reflect the pruned selection —
+    // `inputFiles` and the plan string both describe the unpruned relation).
     val target = spark.read.parquet(store).select("partition_id").distinct().limit(1)
       .collect()(0).getString(0)
     val pruned = EavStore.read(spark, store).where(col("partition_id") === target)
-    val prunedFiles = pruned.inputFiles
-    require(prunedFiles.nonEmpty && prunedFiles.forall(_.contains(s"partition_id=$target")),
-      s"partition pruning failed: scan for '$target' touches " +
-        prunedFiles.filterNot(_.contains(s"partition_id=$target")).take(3).mkString(", "))
-    val prunedCount = timed("pruned single-partition read")(pruned.count())
-    println(s"[soak] partition '$target' rows=$prunedCount; " +
-      s"pruned scan touches ${prunedFiles.length} file(s), all under partition_id=$target")
+    val qe = pruned.queryExecution
+    val prunedCount = timed("pruned single-partition read")(qe.toRdd.count())
+    val scan = qe.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+    val totalFiles = EavStore.read(spark, store).inputFiles.length
+    partsRead.foreach(p => require(p == 1L,
+      s"partition pruning failed: scan for '$target' read $p partitions"))
+    require(filesRead > 0 && filesRead < totalFiles,
+      s"partition pruning failed: read $filesRead of $totalFiles files")
+    println(s"[soak] partition '$target' rows=$prunedCount; scan read " +
+      s"$filesRead of $totalFiles files (${partsRead.getOrElse(-1L)} partition)")
     spark.stop()
   }
 }
