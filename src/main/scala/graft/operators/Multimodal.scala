@@ -68,4 +68,17 @@ object Multimodal {
     features.where(col("kind") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(stepMs))).as("frame_ts"))
+
+  /** Resize plan: target dimensions fitting (width, height) inside a
+    * `maxDim` box preserving aspect ratio — the relational half of a resize
+    * (the pixel op itself belongs in the stubbed per-partition decode).
+    * Assets already inside the box keep their dimensions. */
+  def resizePlan(features: DataFrame, maxDim: Int = 512): DataFrame = {
+    val longest = greatest(col("width"), col("height")).cast("double")
+    val scale = when(longest <= maxDim, lit(1d)).otherwise(lit(maxDim) / longest)
+    features.withColumn("target_width",
+        greatest(round(col("width") * scale).cast("int"), lit(1)))
+      .withColumn("target_height",
+        greatest(round(col("height") * scale).cast("int"), lit(1)))
+  }
 }

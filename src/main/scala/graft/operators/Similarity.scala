@@ -129,6 +129,25 @@ object Similarity {
       .select("q_id", "cand_id", "score")
   }
 
+  /** Int8 scalar quantization of an embedding column: per-dimension corpus
+    * [min, max] → each component mapped to round((v-lo)/((hi-lo)/255)) in
+    * 0..255 — 4× smaller at rest than float32, the standard first compression
+    * step for a 100 TB embedding store. The stats pass reduces map-side to
+    * one row per dimension; the quantize pass is a broadcast join + one
+    * aggregation keyed by the vector id. All arithmetic in double so the op
+    * is engine-deterministic (oracle-able). */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val ex = df.select(col(idCol), posexplode(col(embCol)).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = ex.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+    ex.join(broadcast(stats), Seq("i"))
+      .withColumn("q", when(col("hi") === col("lo"), 0L)
+        .otherwise(round((col("v") - col("lo")) / ((col("hi") - col("lo")) / 255d)).cast("long")))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("q")))),
+        x => x.getField("q")).as("q8"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
     * `threshold`, blocked by LSH bucket so the pair space never materializes
     * globally. */

@@ -43,10 +43,33 @@ object VectorQueries {
         .withColumn("cosine", round(Similarity.dot(col("a_emb"), col("b_emb")), 3))
         .where(col("cosine") >= 0.9)
         .select("a_id", "b_id", "cosine")
-    })
+    }),
+
+    // Int8 scalar quantization of the embedding store (4x compression),
+    // serialized as a JSON int array for the driver compare.
+    "q82_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumn("q8", to_json(col("q8"))))
   )
 
   def oracles: Map[String, String] = Map(
+    "q82_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |stats AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
+        |q AS (
+        |  SELECT vec_id, ex.i,
+        |         CASE WHEN hi = lo THEN 0
+        |              ELSE CAST(round((v - lo) / ((hi - lo) / 255.0)) AS BIGINT) END AS q
+        |  FROM ex JOIN stats ON ex.i = stats.i
+        |)
+        |SELECT vec_id,
+        |       '[' || string_agg(CAST(q AS VARCHAR), ',' ORDER BY i) || ']' AS q8
+        |FROM q GROUP BY vec_id""".stripMargin,
+
     "q48_cosine_topk" ->
       """WITH ex AS (
         |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i

@@ -18,6 +18,23 @@ class MultimodalSpec extends SparkSpec {
       .forall { case (a, b) => a == b })
   }
 
+  test("resize plan fits every asset inside the box, preserving aspect") {
+    val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(spark, sf))
+    val resized = Multimodal.resizePlan(feats.toDF(), maxDim = 256).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (tw, th) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
+      if (w > 256 || h > 256) {
+        val scale = 256.0 / math.max(w, h)
+        assert(tw >= 1 && th >= 1 && tw <= 256 && th <= 256)
+        // exact contract: round-half-up of the scaled dim, clamped to >= 1
+        assert(tw === math.max(1L, math.round(w * scale)).toInt)
+        assert(th === math.max(1L, math.round(h * scale)).toInt)
+      } else assert(tw === w && th === h)
+    }
+  }
+
   test("frame-sample plan explodes only video assets at the step interval") {
     val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(spark, sf))
     val plan = Multimodal.frameSamplePlan(feats.toDF(), stepMs = 60000L)
