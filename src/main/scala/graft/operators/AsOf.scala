@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Bounded interval join: all (left, right) pairs with the same keys and
+    * `0 <= leftTime - rightTime <= maxGapSeconds` (right event precedes left
+    * within the gap).
+    *
+    * Scale design: NOT an inequality join (which Spark plans as a cross
+    * product per key). Both sides are bucketized into `maxGapSeconds`-wide
+    * epochs; the left side probes its own bucket and the previous one (any
+    * in-gap pair lands in one of the two), so this is a plain equi-join on
+    * (keys, bucket) — hash shuffle, candidates bounded by bucket co-residents
+    * — followed by the exact interval filter. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   maxGapSeconds: Long): DataFrame = {
+    val lSec = unix_timestamp(col(leftTime))
+    val rSec = unix_timestamp(col(rightTime))
+    val l = left
+      .withColumn("__bucket", explode(array(
+        floor(lSec / maxGapSeconds), floor(lSec / maxGapSeconds) - 1)))
+    val r = right.withColumn("__bucket", floor(rSec / maxGapSeconds))
+    l.join(r, keys :+ "__bucket")
+      .where(lSec - rSec >= 0 && lSec - rSec <= maxGapSeconds)
+      .drop("__bucket")
+  }
+
   /** @param keys       equi-join key columns (present on both sides)
     * @param leftTime   event-time column on `left`
     * @param rightTime  event-time column on `right` (may share the name)

@@ -58,6 +58,20 @@ object EventQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))),
 
+    // Bounded interval join (AsOf.intervalJoin): every (purchase, click)
+    // pair of the same user with the click in the preceding 30 minutes —
+    // bucketized equi-join, never a per-key cross product.
+    "q83_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      AsOf.intervalJoin(purchases, clicks, Seq("user_id"), "p_ts", "c_ts", 1800L)
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          unix_timestamp(col("p_ts")).as("p_sec"), unix_timestamp(col("c_ts")).as("c_sec"))
+    }),
+
     // As-of join (AsOf.asofBackward): each purchase picks up the user's
     // latest view at-or-before it — oracled by DuckDB's native ASOF JOIN.
     "q78_asof_join" -> ((s, dir) => {
@@ -121,6 +135,21 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q83_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS c_sec
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p_id, c_id, user_id, p_sec, c_sec
+        |FROM p JOIN c USING (user_id)
+        |WHERE p_sec - c_sec >= 0 AND p_sec - c_sec <= 1800""".stripMargin,
 
     "q78_asof_join" ->
       """WITH p AS (

@@ -51,6 +51,24 @@ class AsOfSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.getString(1) === "new")
   }
 
+  test("interval join pairs within the gap, via equi-join (no cross product)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2026-01-01 12:00:00"))).toDF("k", "l_id", "t")
+    val right = Seq(
+      (1L, 20L, ts("2026-01-01 11:45:00")), // in gap
+      (1L, 21L, ts("2026-01-01 11:30:00")), // exactly at gap boundary: kept
+      (1L, 22L, ts("2026-01-01 11:29:59")), // just outside
+      (1L, 23L, ts("2026-01-01 12:00:01"))  // after left: excluded
+    ).toDF("k", "r_id", "rt")
+    val out = AsOf.intervalJoin(left, right, Seq("k"), "t", "rt", 1800L)
+      .select("r_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(20L, 21L))
+    val plan = AsOf.intervalJoin(left, right, Seq("k"), "t", "rt", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a cross product:\n$plan")
+  }
+
   test("single shuffle: plan exchanges once on the join key") {
     import spark.implicits._
     val left = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("k", "t")
