@@ -46,6 +46,18 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), m), m))
   }
 
+  /** Deterministic train/validation split assignment: first byte of
+    * md5(key) under a cutoff → "valid", else "train". Reproducible across
+    * engines, runs, and cluster sizes (no RNG, no ordering dependence) — the
+    * property a held-out split needs so no document ever migrates between
+    * splits as the corpus grows. `validPermille` is approximated to 1/256
+    * granularity by the byte cutoff. */
+  def deterministicSplit(key: Column, validPermille: Int = 102): Column = {
+    val cutoff = f"${(validPermille * 256) / 1000}%02x"
+    when(substring(md5(key.cast("string")), 1, 2) < lit(cutoff), "valid")
+      .otherwise("train")
+  }
+
   /** Rolling-hash shingle fingerprints (winnowing-style document signature):
     * the `keep` smallest hashes of the n-token shingles — a compact sketch for
     * containment checks. */

@@ -152,6 +152,12 @@ object TextQueries {
         octet_length(col("text")).cast("long").as("byte_len"),
         lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"))),
 
+    // Deterministic held-out split: ~10% of documents to "valid" by md5
+    // byte cutoff — reproducible across engines/runs/cluster sizes.
+    "q84_split_assign" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.deterministicSplit(col("doc_id")).as("split"))),
+
     // PII scrub: email + long-digit-run redaction via codegen'd
     // regexp_replace (standard pretraining-privacy pass; patterns kept in
     // the Java∩RE2 regex subset so both engines agree)
@@ -166,6 +172,12 @@ object TextQueries {
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    "q84_split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |            THEN 'valid' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
     "q80_pii_scrub" ->
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(text,
