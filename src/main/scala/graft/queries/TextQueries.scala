@@ -109,7 +109,9 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      // df from tf (one row per doc×token already) — reusing it avoids a
+      // second full shuffle of the raw exploded tokens through distinct()
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(dfreq), Seq("token"))
         .crossJoin(broadcast(n))
         .withColumn("score",
