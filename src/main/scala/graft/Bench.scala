@@ -18,6 +18,16 @@ object Bench {
     graft.sources.Tables.names.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // ... and the WindowExec/Sort codegen templates, which count() never hits.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.range(1000).withColumn("g", col("id") % 7)
+        .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("id")))
+        .withColumn("s", sum("id").over(Window.partitionBy("g").orderBy("id")
+          .rowsBetween(-3, 0)))
+        .write.mode("overwrite").format("noop").save()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —

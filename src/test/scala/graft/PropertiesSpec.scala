@@ -5,8 +5,8 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Blake2b, Blake2s}
-import graft.operators.{Fill, Reshape, Rolling, Trim}
+import graft.functions.{Blake2b, Blake2s, ScoredCand, TopKAggregator}
+import graft.operators.{AsOf, Fill, Reshape, Rolling, Trim}
 
 /** Property-based invariants (SURVEY.md §5 plan): rolling-sum vs brute force,
   * densify/fill idempotence, trim invariants, hash determinism. */
@@ -74,6 +74,49 @@ class PropertiesSpec extends SparkSpec {
         .orderBy("date").select("m").as[Option[Double]].collect().toList
       assert(out.takeRight(5).forall(_.isEmpty))
       assert(out.dropRight(5) === vals.dropRight(5))
+    }
+  }
+
+  test("asofBackward equals the brute-force latest-at-or-before on random data") {
+    val evGen: Gen[(List[(Long, Int)], List[(Long, Int, Double)])] = for {
+      lt <- Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 50)))
+      rt <- Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 50)))
+    } yield (lt, rt.zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) })
+    forAllSeeded(evGen, 10) { case (lts, rts) =>
+      // dedup right (k, t) keeping max v so the expected match is unambiguous
+      val rdeduped = rts.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList
+      val left = lts.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, java.sql.Timestamp.valueOf(f"2026-01-01 00:${t / 60}%02d:${t % 60}%02d"))
+      }.toDF("l_id", "k", "t")
+      val right = rdeduped.map { case (k, t, v) =>
+        (k, java.sql.Timestamp.valueOf(f"2026-01-01 00:${t / 60}%02d:${t % 60}%02d"), v)
+      }.toDF("k", "rt", "v")
+      val got = AsOf.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+        .select("l_id", "v").as[(Long, Option[Double])].collect().toMap
+      lts.zipWithIndex.foreach { case ((k, t), i) =>
+        val expect = rdeduped.filter(r => r._1 == k && r._2 <= t) match {
+          case Nil => None
+          case xs => Some(xs.maxBy(r => (r._2, r._3))._3)
+        }
+        assert(got(i.toLong) === expect, s"left#$i key=$k t=$t")
+      }
+    }
+  }
+
+  test("TopKAggregator matches sort-and-take for any split of the input") {
+    val inGen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 9).map(_.toDouble), Gen.choose(0L, 1000L))),
+      Gen.choose(1, 6))
+    forAllSeeded(inGen, 15) { case (pairs, k) =>
+      val agg = new TopKAggregator(k)
+      // unique ids so the (score desc, id asc) expected order is unambiguous
+      val uniq = pairs.zipWithIndex.map { case ((s, i), n) => ScoredCand(s, i * 100 + n) }
+      val expect = uniq.sortBy(c => (-c.score, c.id)).take(k)
+      (1 until uniq.length).foreach { split =>
+        val (a, b) = uniq.splitAt(split)
+        val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged).items === expect, s"split=$split k=$k")
+      }
     }
   }
 
