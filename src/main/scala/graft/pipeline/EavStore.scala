@@ -41,12 +41,27 @@ object EavStore {
         incoming.unionByName(keepOld.localCheckpoint())
       case None => incoming
     }
-    merged.write
+    // Cluster on (partition_id, bounded hash bucket) before the partitioned
+    // write: without it every shuffle task holds rows of every partition and
+    // writes a file into each — partitions × tasks small files at scale.
+    // With it each store partition gets at most FilesPerPartition sized
+    // files, and the (partition_id, bucket) combos still spread across the
+    // executor pool for parallel writing. One extra shuffle of the output,
+    // paid once at the sink.
+    merged
+      .repartition(col("partition_id"), pmod(xxhash64(col("hash")), lit(FilesPerPartition)))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition_id")
       .parquet(path)
   }
+
+  /** Upper bound on parquet files per partition value per write — also the
+    * write parallelism per partition value, so it trades file count against
+    * concurrent writers. A release writing P partitions uses up to
+    * P × FilesPerPartition writer tasks. */
+  val FilesPerPartition = 16
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
