@@ -46,6 +46,26 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), m), m))
   }
 
+  /** Sliding-window document chunking: overlapping windows of `chunkTokens`
+    * tokens advancing by `strideTokens` — the standard pre-tokenization
+    * chunker for long documents. Pure generate + projection (explode over the
+    * window-start sequence, then a slice/join per chunk): map-side only, no
+    * shuffle, so it streams at any corpus size. The last window starts at the
+    * final stride position that still covers new tokens. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, strideTokens: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = greatest(
+      ceil((size(toks) - lit(chunkTokens)).cast("double") / strideTokens).cast("int") + 1,
+      lit(1))
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * strideTokens + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Deterministic train/validation split assignment: first byte of
     * md5(key) under a cutoff → "valid", else "train". Reproducible across
     * engines, runs, and cluster sizes (no RNG, no ordering dependence) — the

@@ -154,6 +154,12 @@ object TextQueries {
         octet_length(col("text")).cast("long").as("byte_len"),
         lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"))),
 
+    // Sliding-window chunking: 100-token chunks, stride 80 (20-token
+    // overlap) — map-side generate, no shuffle.
+    "q85_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 100, strideTokens = 80)),
+
     // Deterministic held-out split: ~10% of documents to "valid" by md5
     // byte cutoff — reproducible across engines/runs/cluster sizes.
     "q84_split_assign" -> ((s, dir) =>
@@ -174,6 +180,22 @@ object TextQueries {
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    "q85_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0,
+        |           greatest(CAST(ceil((n - 100) / 80.0) AS BIGINT), 0))) AS chunk_id
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_id,
+        |       array_to_string(toks[chunk_id * 80 + 1 : chunk_id * 80 + 100], ' ') AS chunk_text
+        |FROM idx""".stripMargin,
+
     "q84_split_assign" ->
       """SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
