@@ -14,14 +14,7 @@ object Soak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val store = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("eav_soak").toString + "/store")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create()
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

@@ -35,15 +35,21 @@ object AsOf {
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
                    maxGapSeconds: Long): DataFrame = {
-    val lSec = unix_timestamp(col(leftTime))
-    val rSec = unix_timestamp(col(rightTime))
+    // Times are staged as internal second-columns BEFORE the join so the gap
+    // filter never references a possibly-ambiguous shared column name
+    // (leftTime and rightTime may be spelled the same on both sides).
+    // Comparison is at whole-second precision (unix_timestamp floors).
     val l = left
+      .withColumn("__lsec", unix_timestamp(col(leftTime)))
       .withColumn("__bucket", explode(array(
-        floor(lSec / maxGapSeconds), floor(lSec / maxGapSeconds) - 1)))
-    val r = right.withColumn("__bucket", floor(rSec / maxGapSeconds))
+        floor(col("__lsec") / maxGapSeconds), floor(col("__lsec") / maxGapSeconds) - 1)))
+    val r = right
+      .withColumn("__rsec", unix_timestamp(col(rightTime)))
+      .withColumn("__bucket", floor(col("__rsec") / maxGapSeconds))
     l.join(r, keys :+ "__bucket")
-      .where(lSec - rSec >= 0 && lSec - rSec <= maxGapSeconds)
-      .drop("__bucket")
+      .where(col("__lsec") - col("__rsec") >= 0 &&
+        col("__lsec") - col("__rsec") <= maxGapSeconds)
+      .drop("__bucket", "__lsec", "__rsec")
   }
 
   /** @param keys       equi-join key columns (present on both sides)
@@ -51,6 +57,11 @@ object AsOf {
     * @param rightTime  event-time column on `right` (may share the name)
     * @param valueCols  right columns to attach; emitted under their own names
     * @param matchedTimeCol if nonempty, also emit the matched right row's time
+    *
+    * Precondition: `right` must be unique on (keys, rightTime) — with
+    * duplicate right rows at the same instant the tie-break is partition-
+    * layout-dependent and the attached payload is nondeterministic.
+    * Pre-aggregate the right side (as q78 does) to pick a canonical row.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String, valueCols: Seq[String],

@@ -86,7 +86,8 @@ object Reshape {
       .select(pairCols.map(col) :+
         explode(array_except(
           sequence(col("__lo"), col("__hi"), expr(s"interval $stepDays day")),
-          coalesce(col("__ds"), array().cast("array<date>")))).as(dateCol): _*)
+          coalesce(col("__ds"), array().cast(
+            org.apache.spark.sql.types.ArrayType(df.schema(dateCol).dataType))))).as(dateCol): _*)
       .select((keys :+ dateCol :+ nestingCol).map(col) ++
         valueCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)): _*)
     // Off-grid data rows don't exist on a stepped spine (the join-based spine

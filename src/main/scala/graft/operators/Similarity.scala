@@ -36,10 +36,15 @@ object Similarity {
                      scale: Int = 3): DataFrame = {
     val scored = candidates.join(broadcast(queries), col("cand_id") =!= col("q_id"))
       .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), scale))
-      .select("q_id", "cand_id", "score")
+      .select(col("q_id"), col("cand_id").cast("long").as("cand_id"), col("score"))
+      // null scores (null embeddings) or non-numeric ids can never rank in a
+      // top-k; dropping them up front also keeps them out of the typed
+      // aggregate's non-nullable (Double, Long) input encoder, which would
+      // otherwise throw at runtime
+      .where(col("score").isNotNull && col("cand_id").isNotNull)
     scored
       .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id").cast("long")).as("tk"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
       .select(col("q_id"), explode(col("tk.items")).as("c"))
       .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
   }

@@ -73,6 +73,10 @@ object TextAnalysis {
     * splits as the corpus grows. `validPermille` is approximated to 1/256
     * granularity by the byte cutoff. */
   def deterministicSplit(key: Column, validPermille: Int = 102): Column = {
+    // 1000 would need a 3-hex-char cutoff that the 2-char prefix compare
+    // silently mangles; an all-valid split is not a split.
+    require(validPermille >= 0 && validPermille <= 999,
+      s"validPermille must be in 0..999, got $validPermille")
     val cutoff = f"${(validPermille * 256) / 1000}%02x"
     when(substring(md5(key.cast("string")), 1, 2) < lit(cutoff), "valid")
       .otherwise("train")
