@@ -225,6 +225,43 @@ object MiscQueries {
         .agg(sum("l_quantity").cast("long").as("sum_qty"),
           count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))),
 
+    // The reference's biggest serving query (cache_prepopulate/query.sql,
+    // 292 lines): per area, rank the latest row per metric by (priority,
+    // date desc), map direction to arrow degrees (UP→0, SAME→90, DOWN→180),
+    // and aggregate everything into one JSON cache blob per area — W5 rank +
+    // conditional mapping + A13 JSONB_AGG in a single composite.
+    "q86_cache_blob" -> ((s, dir) => {
+      val fam = Rolling.changeBySum(
+        Reshape.densifyDates(Tables.supplierDaily(s, dir), Seq("l_suppkey"), "date")
+          .withColumn("qty", coalesce(col("qty"), lit(0d))),
+        Seq("l_suppkey"), "date", "qty")
+      val latest = fam.where(col("qtyRollingSum").isNotNull)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_suppkey"))
+            .orderBy(col("date").desc)))
+        .where(col("__rn") === 1)
+      val long = latest.select(col("l_suppkey"), col("date"),
+          col("qtyRollingSum").cast("decimal(20,1)").as("v1"),
+          col("qtyChange").cast("decimal(20,1)").as("v2"),
+          col("qtyChangePercentage").cast("decimal(20,1)").as("v3"),
+          when(col("qtyDirection") === "UP", 0)
+            .when(col("qtyDirection") === "SAME", 90)
+            .when(col("qtyDirection") === "DOWN", 180).as("degrees"))
+        .select(col("l_suppkey"), date_format(col("date"), "yyyy-MM-dd").as("date"),
+          explode(array(
+            struct(lit(1).as("priority"), lit("rollingSum").as("metric"),
+              col("v1").as("value"), lit(null).cast("int").as("degrees")),
+            struct(lit(2).as("priority"), lit("change").as("metric"),
+              col("v2").as("value"), col("degrees").as("degrees")),
+            struct(lit(3).as("priority"), lit("changePercentage").as("metric"),
+              col("v3").as("value"), lit(null).cast("int").as("degrees")))).as("e"))
+      long.groupBy(col("l_suppkey"), col("date"))
+        .agg(to_json(sort_array(collect_list(struct(
+          col("e.priority").as("priority"), col("e.metric").as("metric"),
+          col("e.value").as("value"), col("e.degrees").as("degrees")))),
+          Map("ignoreNullFields" -> "false")).as("blob"))
+    }),
+
     // The full MainPipeline with a DuckDB oracle: every stage (densify,
     // bounded zero-fill, rolling family, rate, trim, melt, JSON wrap)
     // replicated in SQL — the strongest end-to-end correctness statement.
@@ -366,6 +403,69 @@ object MiscQueries {
         |JOIN sizes sa ON sa.doc_id = a_id
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin,
+
+    "q86_cache_blob" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |bounds AS (SELECT min(date) AS lo, max(date) AS hi FROM daily),
+        |dates AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds
+        |),
+        |dense AS (
+        |  SELECT k.l_suppkey, d.date, COALESCE(daily.qty, 0) AS qty0
+        |  FROM (SELECT DISTINCT l_suppkey FROM daily) k
+        |  CROSS JOIN dates d
+        |  LEFT JOIN daily ON daily.l_suppkey = k.l_suppkey AND daily.date = d.date
+        |),
+        |rs AS (
+        |  SELECT l_suppkey, date,
+        |         CASE WHEN COUNT(qty0) OVER w7 = 7 THEN SUM(qty0) OVER w7 END AS rs0
+        |  FROM dense
+        |  WINDOW w7 AS (PARTITION BY l_suppkey ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |),
+        |z AS (
+        |  SELECT l_suppkey, date,
+        |         CASE WHEN SUM(rs0) OVER (PARTITION BY l_suppkey) = 0 THEN NULL ELSE rs0 END AS rsv
+        |  FROM rs
+        |),
+        |ch AS (
+        |  SELECT l_suppkey, date, rsv,
+        |         rsv - lag(rsv, 7) OVER w AS change,
+        |         lag(rsv, 7) OVER w AS den,
+        |         COUNT(rsv) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cnt8
+        |  FROM z WINDOW w AS (PARTITION BY l_suppkey ORDER BY date)
+        |),
+        |fam AS (
+        |  SELECT l_suppkey, date, rsv, change,
+        |         CASE WHEN change > 0 THEN 'UP' WHEN change < 0 THEN 'DOWN'
+        |              WHEN change = 0 THEN 'SAME' END AS direction,
+        |         CASE WHEN cnt8 = 8 THEN
+        |           CAST(CASE WHEN rsv = 0 AND den > 0 THEN -100.0
+        |                WHEN rsv / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1 = -1 THEN 0.0
+        |                ELSE round((rsv / (CASE WHEN den = 0 THEN 1 ELSE den END) - 1) * 100, 1)
+        |           END AS DOUBLE)
+        |         END AS pct
+        |  FROM ch
+        |),
+        |latest AS (
+        |  SELECT l_suppkey, date, rsv, change, direction, pct
+        |  FROM fam WHERE rsv IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY l_suppkey ORDER BY date DESC) = 1
+        |)
+        |SELECT l_suppkey, strftime(date, '%Y-%m-%d') AS date,
+        |  '[{"priority":1,"metric":"rollingSum","value":'
+        |    || COALESCE(CAST(CAST(rsv AS DECIMAL(20,1)) AS VARCHAR), 'null') || ',"degrees":null}'
+        |  || ',{"priority":2,"metric":"change","value":'
+        |    || COALESCE(CAST(CAST(change AS DECIMAL(20,1)) AS VARCHAR), 'null') || ',"degrees":'
+        |    || COALESCE(CAST(CASE direction WHEN 'UP' THEN 0 WHEN 'SAME' THEN 90
+        |                     WHEN 'DOWN' THEN 180 END AS VARCHAR), 'null') || '}'
+        |  || ',{"priority":3,"metric":"changePercentage","value":'
+        |    || COALESCE(CAST(CAST(pct AS DECIMAL(20,1)) AS VARCHAR), 'null') || ',"degrees":null}]' AS blob
+        |FROM latest""".stripMargin,
 
     "q67_msoa_pipeline" ->
       """WITH daily AS (
