@@ -115,6 +115,47 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise matches into dedup clusters (one keeper per component).
+    *
+    * Iterative min-label propagation: every node starts labeled with its own
+    * id; each round every node takes the minimum label in its neighborhood
+    * (including itself); fixpoint = components labeled by their minimum id.
+    * Each round is one shuffle (join on the edge key + groupBy node), lineage
+    * is cut per round with localCheckpoint, and iteration stops as soon as a
+    * round changes nothing — diameter-bounded, so the chains LSH dedup
+    * produces (tiny diameters) converge in a few rounds. For adversarial
+    * long-path graphs at extreme scale, swap in the large-star/small-star
+    * contraction; the label-propagation contract stays the same.
+    *
+    * @return (id, cluster) — every node from `pairs`, labeled with its
+    *         component's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .where(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash-64 of a token multiset: each token's 64-bit hash votes ±1 per bit
     * position; the fingerprint sets bit j where the vote sum is positive.
     * Built as 64 conditional sums over exploded tokens — one shuffle on the id. */

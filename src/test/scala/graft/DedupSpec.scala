@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq("b", "c"))
   }
 
+  test("connected components label chains, stars and separate clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (21L, 20L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) === 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(comp(_) === 10L))
+    assert(Seq(20L, 21L).forall(comp(_) === 20L))
+    assert(comp.size === 10)
+  }
+
   test("brute-force and LSH ANN agree on the top match for planted twins") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
