@@ -35,6 +35,9 @@ object AsOf {
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
                    maxGapSeconds: Long): DataFrame = {
+    // gap <= 0 would divide by zero below: with ANSI off __bucket goes null on
+    // both sides and the join silently matches nothing.
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive, got $maxGapSeconds")
     // Times are staged as internal second-columns BEFORE the join so the gap
     // filter never references a possibly-ambiguous shared column name
     // (leftTime and rightTime may be spelled the same on both sides).
@@ -67,6 +70,14 @@ object AsOf {
                    leftTime: String, rightTime: String, valueCols: Seq[String],
                    matchedTimeCol: String = ""): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Attached columns are emitted under their own names; a collision with an
+    // existing left column would produce an ambiguous-column frame that only
+    // fails at the caller's next reference. Fail here instead.
+    val collisions = (valueCols :+ matchedTimeCol).filter(_.nonEmpty)
+      .filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"asofBackward output columns ${collisions.mkString(", ")} collide with " +
+        "left columns; rename them on the right side first")
     val payloadType = {
       val fields = (rightTime +: valueCols).map(c => right.schema(c))
       org.apache.spark.sql.types.StructType(

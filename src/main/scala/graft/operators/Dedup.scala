@@ -153,6 +153,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // A silent wrong answer is worse than a failure: if the graph's diameter
+    // exceeds maxIter the labels are split components, not clusters. Callers
+    // on adversarial long-path graphs should raise maxIter (cost is one
+    // shuffle per extra round) or swap in large-star/small-star contraction.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "graph diameter exceeds maxIter — raise maxIter or use star contraction")
     labels
   }
 

@@ -31,9 +31,18 @@ object Similarity {
     * Top-k runs as a bounded typed aggregate ([[graft.functions.TopKAggregator]])
     * with map-side partial aggregation: each partition reduces to ≤2k rows per
     * query before the exchange, so the shuffle carries O(k × partitions) rows
-    * per query — never the full score matrix. */
+    * per query — never the full score matrix.
+    *
+    * Contract: `cand_id` must be an integral type (the typed aggregate's
+    * (Double, Long) encoder requires it). Enforced up front — a silent
+    * cast-to-null would otherwise drop valid candidates from the top-k. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      scale: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = candidates.schema("cand_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"bruteForceTopK requires an integral cand_id, got $idType; " +
+        "map string ids to dense longs first (e.g. zipWithUniqueId / xxhash64)")
     val scored = candidates.join(broadcast(queries), col("cand_id") =!= col("q_id"))
       .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), scale))
       .select(col("q_id"), col("cand_id").cast("long").as("cand_id"), col("score"))

@@ -69,6 +69,20 @@ class AsOfSpec extends SparkSpec {
       s"interval join fell back to a cross product:\n$plan")
   }
 
+  test("guards: non-positive gap and colliding value columns fail fast") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2026-01-01 12:00:00"), 5.0)).toDF("k", "t", "v")
+    val right = Seq((1L, ts("2026-01-01 10:00:00"), 1.0)).toDF("k", "rt", "v")
+    val gapErr = intercept[IllegalArgumentException] {
+      AsOf.intervalJoin(left, right, Seq("k"), "t", "rt", 0L)
+    }
+    assert(gapErr.getMessage.contains("maxGapSeconds"))
+    val collideErr = intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+    }
+    assert(collideErr.getMessage.contains("collide"))
+  }
+
   test("single shuffle: plan exchanges once on the join key") {
     import spark.implicits._
     val left = Seq((1L, ts("2026-01-01 12:00:00"))).toDF("k", "t")

@@ -59,6 +59,31 @@ class DedupSpec extends SparkSpec {
     assert(comp.size === 10)
   }
 
+  test("connected components fails loudly when maxIter is hit before fixpoint") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 has diameter 5; two rounds cannot propagate label 1
+    // to node 6, and a silent exit would return split components
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "a_id", "b_id", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // ... and the same chain converges with enough rounds
+    val comp = Dedup.connectedComponents(chain, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(comp(_) === 1L))
+  }
+
+  test("bruteForceTopK rejects non-integral candidate ids up front") {
+    val q = Seq((0L, Array.fill(4)(1.0f))).toDF("q_id", "q_emb")
+    val c = Seq(("a", Array.fill(4)(1.0f))).toDF("cand_id", "cand_emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(q, c, k = 1)
+    }
+    assert(e.getMessage.contains("integral cand_id"))
+  }
+
   test("brute-force and LSH ANN agree on the top match for planted twins") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
