@@ -35,12 +35,18 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only — summing the -1 failure sentinels
     // would make the benchmark read faster when queries break
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures a truncated stderr tail, which has dropped ~20
+    // queries from past rounds' artifacts — persist the complete sorted
+    // result ourselves so round-over-round comparison is lossless.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -57,6 +57,171 @@ def compare(name, spark_df, duck_df):
     return None
 
 
+# ---------- Python-side oracles for engine-hash queries ----------
+# These queries have no DuckDB-expressible oracle (keyed BLAKE2 digests,
+# xxhash64-derived fingerprints). Each is recomputed here INDEPENDENTLY:
+# BLAKE2 via hashlib (RFC 7693, what the reference's Python uses), xxhash64
+# via a from-scratch pure-Python XXH64 — no Spark code involved.
+
+import hashlib
+
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (11400714785074694791, 14029467366897019727,
+                           1609587929392839161, 9650029242287828579,
+                           2870177450012600261)
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxround(acc, inp):
+    return (_rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 (spec: github.com/Cyan4973/xxHash); Spark's xxhash64
+    default seed is 42. Returns the UNSIGNED 64-bit value."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xxround(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxround(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxround(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxround(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxround(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h = (_rotl(h ^ _xxround(0, int.from_bytes(data[i:i + 8], "little")), 27)
+             * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64, 23)
+             * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M64, 11) * _P1) & _M64
+        i += 1
+    h = ((h ^ (h >> 33)) * _P2) & _M64
+    h = ((h ^ (h >> 29)) * _P3) & _M64
+    return h ^ (h >> 32)
+
+
+def _xxh64_signed(data: bytes) -> int:
+    h = xxh64(data)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+RECORD_KEY = b"graft-record-key"  # MainPipeline.RecordKey
+
+
+def _docs(con):
+    return con.execute("SELECT doc_id, text FROM documents").df()
+
+
+def _date_str(s):
+    return pd.to_datetime(s).dt.strftime("%Y-%m-%d")
+
+
+def py_q35_blake2s_hash(con, spark_df, oracle):
+    d = _docs(con)
+    d["row_hash"] = d["text"].map(lambda t: hashlib.blake2s(
+        t.encode("utf-8"), key=RECORD_KEY, digest_size=12).hexdigest())
+    return spark_df, d[["doc_id", "row_hash"]]
+
+
+def py_q63_blake2b_slug(con, spark_df, oracle):
+    d = _docs(con)
+    d["slug"] = d["text"].map(lambda t: hashlib.blake2b(
+        t.encode("utf-8"), digest_size=32).hexdigest())
+    return spark_df, d[["doc_id", "slug"]]
+
+
+def py_q51_eav_pipeline(con, spark_df, oracle):
+    """Full EAV pipeline INCLUDING the row hash: the q64 oracle SQL rebuilds
+    every payload; the hash/release/partition columns are recomputed here
+    (uploader-style keyed BLAKE2s over date|areaType|areaCode|metric|release)."""
+    exp = con.execute(oracle["q64_pipeline_sql"]).df()
+    exp["areaType"] = "supplier"
+    exp["release_id"] = 1
+    exp["partition_id"] = "2026_8_1|supplier"
+    exp["hash"] = [
+        hashlib.blake2s((d + "supplier" + a + m + "1").encode("utf-8"),
+                        key=RECORD_KEY, digest_size=12).hexdigest()
+        for d, a, m in zip(exp["date"], exp["areaCode"], exp["metric"])]
+    spark_df = spark_df.copy()
+    spark_df["date"] = _date_str(spark_df["date"])
+    spark_df["release_id"] = spark_df["release_id"].astype("int64")
+    exp["release_id"] = exp["release_id"].astype("int64")
+    cols = ["hash", "release_id", "areaType", "areaCode", "metric",
+            "partition_id", "date", "payload"]
+    return spark_df[cols], exp[cols]
+
+
+def py_q47_fingerprint(con, spark_df, oracle):
+    """Polynomial rolling hash over whitespace tokens, mod 2^56
+    (TextAnalysis.fingerprint). split(' ') keeps empty tokens, matching
+    Java split with limit -1."""
+    m = 1 << 56
+    d = _docs(con)
+    def fp(text):
+        acc = 0
+        for t in text.split(" "):
+            acc = (acc * 31 + _xxh64_signed(t.encode("utf-8")) % m) % m
+        return acc
+    d["fingerprint"] = d["text"].map(fp)
+    return spark_df, d[["doc_id", "fingerprint"]]
+
+
+def _simhash64(text):
+    votes = [0] * 64
+    for t in text.split(" "):
+        h = xxh64(t.encode("utf-8"))
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    u = sum(1 << j for j in range(64) if votes[j] > 0)
+    return u  # unsigned form
+
+
+def py_q46_simhash_pairs(con, spark_df, oracle):
+    """SimHash near-dup pairs, banded exactly like Dedup.simhashNearDups:
+    candidates share >= 1 of four 16-bit bands; emit hamming <= 6."""
+    d = _docs(con)
+    sh = {int(r.doc_id): _simhash64(r.text) for r in d.itertuples()}
+    buckets = {}
+    for i, h in sh.items():
+        for b in range(4):
+            buckets.setdefault((b, (h >> (16 * b)) & 0xFFFF), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    rows = [(a, b, bin(sh[a] ^ sh[b]).count("1")) for a, b in sorted(pairs)
+            if bin(sh[a] ^ sh[b]).count("1") <= 6]
+    exp = pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"])
+    return spark_df, exp
+
+
+PY_ORACLES = {
+    "q35_blake2s_hash": py_q35_blake2s_hash,
+    "q63_blake2b_slug": py_q63_blake2b_slug,
+    "q51_eav_pipeline": py_q51_eav_pipeline,
+    "q47_fingerprint": py_q47_fingerprint,
+    "q46_simhash_pairs": py_q46_simhash_pairs,
+}
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -80,10 +245,21 @@ def main(sf_dir, out_dir):
             # e.g. array columns that pandas can't sort/hash — fail just this
             # query, mirroring the ORACLE-ERR handling, not the whole run
             results[name] = f"COMPARE-ERR {type(e).__name__}: {e}"
+    # queries with a Python-side oracle (engine hashes DuckDB can't express)
+    for name, fn in sorted(PY_ORACLES.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        try:
+            a, b = fn(con, spark_df, oracle)
+            results[name] = compare(name, a, b)
+        except Exception as e:
+            results[name] = f"PYORACLE-ERR {type(e).__name__}: {e}"
     # queries without oracle: rows-only
     import os
     for d in sorted(os.listdir(out_dir)):
-        if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracle and d not in PY_ORACLES:
             files = glob.glob(f"{out_dir}/{d}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             results[d] = None if n > 0 else "ROWS-ONLY: zero rows"
