@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TimeseriesQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ MiscQueries.queries ++ ServingQueries.queries
+      VectorQueries.queries ++ MiscQueries.queries ++ ServingQueries.queries ++
+      RoutedQueries.queries
 
   def oracleSql: Map[String, String] =
     TimeseriesQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ MiscQueries.oracles ++ ServingQueries.oracles
+      VectorQueries.oracles ++ MiscQueries.oracles ++ ServingQueries.oracles ++
+      RoutedQueries.oracles
 }

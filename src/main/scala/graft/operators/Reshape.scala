@@ -35,19 +35,29 @@ object Reshape {
     * every date in the *global* [min, max] range; data is outer-joined on.
     * The reference builds the spine as a pandas cross product per areaType;
     * here: distinct keys × broadcast date sequence. */
-  def densifyDates(df: DataFrame, keys: Seq[String], dateCol: String): DataFrame = {
+  def densifyDates(df: DataFrame, keys: Seq[String], dateCol: String,
+                   boundsBy: Seq[String] = Nil): DataFrame = {
     // Instead of materializing the full (keys × dates) spine and joining the
     // data onto it (two wide shuffles), emit only the MISSING (key, date)
     // rows — per key, the global date range minus the dates present
     // (array_except is a hash-set pass) — and union them with the original
     // rows. The only shuffle is the per-key collect_set aggregation, whose
     // output is one small row per key.
+    //
+    // `boundsBy` (must be a subset of `keys`) scopes the [min, max] range:
+    // empty = one global range (reference `homogenise_dates` within a chunk);
+    // non-empty = one range per group, for inputs that carry several chunks'
+    // worth of data (e.g. ChunkRouter route partitions, scoped per category).
+    require(boundsBy.forall(keys.contains), s"boundsBy $boundsBy must be within keys $keys")
     val valueCols = df.columns.filterNot((keys :+ dateCol).contains).toSeq
     val present = df.groupBy(keys.map(col): _*)
       .agg(collect_set(col(dateCol)).as("__ds"))
-    val bounds = present
+    val bounds = present.groupBy(boundsBy.map(col): _*)
       .agg(min(array_min(col("__ds"))).as("__lo"), max(array_max(col("__ds"))).as("__hi"))
-    val missing = present.crossJoin(broadcast(bounds))
+    val withBounds =
+      if (boundsBy.isEmpty) present.crossJoin(broadcast(bounds))
+      else present.join(broadcast(bounds), boundsBy)
+    val missing = withBounds
       .select(keys.map(col) :+
         explode(array_except(
           sequence(col("__lo"), col("__hi"), expr("interval 1 day")),

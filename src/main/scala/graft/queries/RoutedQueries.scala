@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ChunkRouter
+import graft.sources.Tables
+
+/** Reference composites added in round 3: the `run_direct` routed entry
+  * (chunk category dispatch), the homepage uptake/waffle composite, and the
+  * daily-report announcements window.
+  */
+object RoutedQueries {
+
+  /** Chunk fixture for q88: lineitem days pivoted into per-category wide
+    * chunks. `l_returnflag` picks the route — 'A' → "cases" (direct
+    * pipeline), 'N' → vaccinations-by-vaccination-date @ MSOA (msoa-lite
+    * path), 'R' → "variants" with no subcategory (unrouted → dropped, the
+    * reference's "no process handler defined"). */
+  private def chunkFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(
+        when(col("l_returnflag") === "A", "cases")
+          .when(col("l_returnflag") === "N", "vaccinations-by-vaccination-date")
+          .otherwise("variants").as("category"),
+        when(col("l_returnflag") === "N", "msoa").otherwise("ltla").as("areaType"),
+        col("l_suppkey").cast("string").as("areaCode"),
+        to_date(col("l_shipdate")).as("date"))
+      .agg(sum("l_quantity").cast("double").as("newCases"))
+      .withColumn("subcategory", lit(null).cast("string"))
+      .withColumn("cumVax",
+        when(dayofmonth(col("date")) % 5 === 0, col("newCases")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // run_direct routed entry (chunk_etl_processor/processor.py:25-85 +
+    // db_etl/etl.py:1027-1143): static handler table as a column expression,
+    // each route processed as one set-oriented pipeline, unrouted dropped.
+    "q88_run_direct" -> ((s, dir) =>
+      ChunkRouter.runRouted(chunkFixture(s, dir), Map(
+        ChunkRouter.Direct -> ChunkRouter.directHandler("newCases") _,
+        ChunkRouter.DirectMsoa -> ChunkRouter.msoaHandler("newCases", "cumVax") _))),
+
+    // Homepage latest-uptake triple (db_etl_homepage_graphs/queries.py:14-128
+    // VACCINATIONS_QUERY): three per-metric latest aggregates over a 20-day
+    // window, FULL-joined on (date, area_code), with the reference's
+    // ISNULL→0::INT / FLOOR cast quirks preserved exactly.
+    "q89_uptake_triple" -> ((s, dir) => {
+      val long = uptakeFixture(s, dir)
+      val anch = long.agg(date_sub(max("date"), 20).as("__anchor"))
+      val windowed = long.crossJoin(broadcast(anch))
+        .where(col("date") > col("__anchor") && col("value").isNotNull)
+      def dose(metric: String, p: String) = windowed
+        .where(col("metric") === metric)
+        .groupBy(col("area_type").as(p + "_area_type"),
+          col("area_code").as(p + "_area_code"))
+        .agg(max("date").as(p + "_date"), max("value").as(p + "_dose"))
+      val f = dose("firstDose", "f")
+      val sec = dose("secondDose", "s")
+      val t = dose("thirdDose", "t")
+      f.join(sec, col("f_date") === col("s_date") &&
+          col("f_area_code") === col("s_area_code"), "full")
+        .join(t, col("f_date") === col("t_date") &&
+          col("f_area_code") === col("t_area_code"), "full")
+        .groupBy(col("f_area_type").as("area_type"),
+          col("f_area_code").as("area_code"))
+        .agg(date_format(max("f_date"), "yyyy-MM-dd").as("date"),
+          when(max("f_dose").isNull, 0)
+            .otherwise(max(floor(col("f_dose"))).cast("int")).as("first_dose"),
+          when(max("s_dose").isNull, 0)
+            .otherwise(max(floor(col("s_dose"))).cast("int")).as("second_dose"),
+          when(max("t_dose").isNull, 0)
+            .otherwise(max(floor(col("t_dose"))).cast("int")).as("third_dose"))
+    }),
+
+    // Waffle-chart payload extraction (db_etl_homepage_graphs/grapher.py:133-170
+    // get_value_65_plus, tests/test_waffle_chart.py): pick the '65+' element
+    // of the nested demographics payload, default 0, int(round(x, 1))
+    // truncation semantics.
+    "q90_waffle_65plus" -> ((s, dir) => {
+      val nested = waffleFixture(s, dir)
+      val el = element_at(filter(col("payload"), x => x.getField("age") === "65+"), 1)
+      def pick(field: String) =
+        coalesce(round(el.getField(field), 1), lit(0d)).cast("int")
+      nested.select(col("area_type"), col("area_code"),
+        date_format(col("date"), "yyyy-MM-dd").as("date"),
+        pick("cumPeopleVaccinated").as("vaccination_date"),
+        pick("cumUptakePercentage").as("vaccination_date_percentage_dose"))
+    }),
+
+    // Daily-report announcements window (main_etl_daily_report/report.py:152-186):
+    // boolean-selected bounds — release-tied rows measured against the latest
+    // release date, others against "now" — launch inclusive, expire exclusive.
+    "q91_announcements" -> ((s, dir) => {
+      val ann = announcementsFixture(s, dir)
+      val rel = ann.agg(date_sub(max("launch"), 30).as("__release"))
+      val a = ann.crossJoin(broadcast(rel))
+        .withColumn("__now", date_add(col("__release"), 2))
+      a.where(
+          ((col("deploy_with_release") && col("launch") <= col("__release")) ||
+            (!col("deploy_with_release") && col("launch") <= col("__now"))) &&
+          ((col("remove_with_release") && col("expire") > col("__release")) ||
+            (!col("remove_with_release") && col("expire") > col("__now"))))
+        .select(col("id").cast("string").as("id"),
+          date_format(col("launch"), "yyyy-MM-dd").as("launch"),
+          date_format(col("expire"), "yyyy-MM-dd").as("expire"),
+          date_format(coalesce(col("date"), col("launch")), "yyyy-MM-dd").as("date"),
+          col("body"))
+        .orderBy(col("launch").desc, col("expire").desc)
+    })
+  )
+
+  /** EAV-ish uptake fixture: lineitem daily sums as three dose metrics keyed
+    * by return flag, with nulls every 7th day to exercise the NOTNULL filter. */
+  private def uptakeFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(
+        when(col("l_returnflag") === "A", "firstDose")
+          .when(col("l_returnflag") === "N", "secondDose")
+          .otherwise("thirdDose").as("metric"),
+        col("l_suppkey").cast("string").as("area_code"),
+        to_date(col("l_shipdate")).as("date"))
+      .agg(sum("l_quantity").cast("double").as("value"))
+      .withColumn("area_type", lit("supplier"))
+      .withColumn("value",
+        when(dayofmonth(col("date")) % 7 === 0, lit(null)).otherwise(col("value")))
+
+  /** Nested demographics payload fixture: per supplier, an array of
+    * age-keyed structs ('65+' from 'A' rows, others from 'N'/'R'). */
+  private def waffleFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"),
+        when(col("l_returnflag") === "A", "65+")
+          .when(col("l_returnflag") === "N", "50-64")
+          .otherwise("under50").as("age"))
+      .agg(sum("l_quantity").cast("double").as("cumPeopleVaccinated"),
+        (sum("l_quantity") / 1000d).as("cumUptakePercentage"),
+        max(to_date(col("l_shipdate"))).as("maxd"))
+      .groupBy(col("l_suppkey"))
+      .agg(sort_array(collect_list(struct(col("age"),
+          col("cumPeopleVaccinated"), col("cumUptakePercentage")))).as("payload"),
+        max("maxd").as("date"))
+      .select(lit("supplier").as("area_type"),
+        col("l_suppkey").cast("string").as("area_code"), col("date"), col("payload"))
+
+  /** Announcements fixture from orders: launch/expire windows and the two
+    * release-tie booleans derived deterministically from the order key. */
+  private def announcementsFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("id"),
+        to_date(col("o_orderdate")).as("launch"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 90 + 1).cast("int")).as("expire"),
+        (col("o_orderkey") % 2 === 0).as("deploy_with_release"),
+        (col("o_orderkey") % 3 === 0).as("remove_with_release"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
+          .otherwise(date_add(to_date(col("o_orderdate")), 1)).as("date"),
+        col("o_orderstatus").as("body"))
+
+  def oracles: Map[String, String] = Map(
+
+    "q89_uptake_triple" ->
+      """WITH long AS (
+        |  SELECT CASE WHEN l_returnflag = 'A' THEN 'firstDose'
+        |              WHEN l_returnflag = 'N' THEN 'secondDose'
+        |              ELSE 'thirdDose' END AS metric,
+        |         CAST(l_suppkey AS VARCHAR) AS area_code,
+        |         CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS value0
+        |  FROM lineitem GROUP BY 1, 2, 3
+        |),
+        |lv AS (
+        |  SELECT metric, 'supplier' AS area_type, area_code, date,
+        |         CASE WHEN day(date) % 7 = 0 THEN NULL ELSE value0 END AS value
+        |  FROM long
+        |),
+        |anch AS (SELECT CAST(max(date) - INTERVAL 20 DAY AS DATE) AS a FROM lv),
+        |w AS (
+        |  SELECT lv.* FROM lv, anch WHERE lv.date > anch.a AND lv.value IS NOT NULL
+        |),
+        |f AS (
+        |  SELECT area_type AS f_area_type, area_code AS f_area_code,
+        |         max(date) AS f_date, max(value) AS f_dose
+        |  FROM w WHERE metric = 'firstDose' GROUP BY 1, 2
+        |),
+        |s AS (
+        |  SELECT area_code AS s_area_code, max(date) AS s_date, max(value) AS s_dose
+        |  FROM w WHERE metric = 'secondDose' GROUP BY 1
+        |),
+        |t AS (
+        |  SELECT area_code AS t_area_code, max(date) AS t_date, max(value) AS t_dose
+        |  FROM w WHERE metric = 'thirdDose' GROUP BY 1
+        |)
+        |SELECT f_area_type AS area_type, f_area_code AS area_code,
+        |       strftime(MAX(f_date), '%Y-%m-%d') AS date,
+        |       CASE WHEN MAX(f_dose) IS NULL THEN 0
+        |            ELSE CAST(MAX(FLOOR(f_dose)) AS INT) END AS first_dose,
+        |       CASE WHEN MAX(s_dose) IS NULL THEN 0
+        |            ELSE CAST(MAX(FLOOR(s_dose)) AS INT) END AS second_dose,
+        |       CASE WHEN MAX(t_dose) IS NULL THEN 0
+        |            ELSE CAST(MAX(FLOOR(t_dose)) AS INT) END AS third_dose
+        |FROM f
+        |FULL JOIN s ON f_date = s_date AND f_area_code = s_area_code
+        |FULL JOIN t ON f_date = t_date AND f_area_code = t_area_code
+        |GROUP BY f_area_type, f_area_code""".stripMargin,
+
+    "q90_waffle_65plus" ->
+      """WITH ages AS (
+        |  SELECT l_suppkey,
+        |         CASE WHEN l_returnflag = 'A' THEN '65+'
+        |              WHEN l_returnflag = 'N' THEN '50-64'
+        |              ELSE 'under50' END AS age,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS people,
+        |         CAST(SUM(l_quantity) AS DOUBLE) / 1000 AS pct,
+        |         max(CAST(l_shipdate AS DATE)) AS maxd
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT l_suppkey, max(maxd) AS date,
+        |         max(CASE WHEN age = '65+' THEN people END) AS p65,
+        |         max(CASE WHEN age = '65+' THEN pct END) AS u65
+        |  FROM ages GROUP BY 1
+        |)
+        |SELECT 'supplier' AS area_type, CAST(l_suppkey AS VARCHAR) AS area_code,
+        |       strftime(date, '%Y-%m-%d') AS date,
+        |       CAST(trunc(COALESCE(round(p65, 1), 0)) AS INT) AS vaccination_date,
+        |       CAST(trunc(COALESCE(round(u65, 1), 0)) AS INT) AS vaccination_date_percentage_dose
+        |FROM agg""".stripMargin,
+
+    "q91_announcements" ->
+      """WITH ann AS (
+        |  SELECT o_orderkey AS id,
+        |         CAST(o_orderdate AS DATE) AS launch,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 + 1 AS INT) AS expire,
+        |         (o_orderkey % 2 = 0) AS deploy_with_release,
+        |         (o_orderkey % 3 = 0) AS remove_with_release,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |              ELSE CAST(o_orderdate AS DATE) + 1 END AS date,
+        |         o_orderstatus AS body
+        |  FROM orders
+        |),
+        |rel AS (SELECT CAST(max(launch) - INTERVAL 30 DAY AS DATE) AS r FROM ann)
+        |SELECT CAST(id AS VARCHAR) AS id,
+        |       strftime(launch, '%Y-%m-%d') AS launch,
+        |       strftime(expire, '%Y-%m-%d') AS expire,
+        |       strftime(COALESCE(date, launch), '%Y-%m-%d') AS date,
+        |       body
+        |FROM ann, rel
+        |WHERE ((deploy_with_release AND launch <= r)
+        |       OR (NOT deploy_with_release AND launch <= r + 2))
+        |  AND ((remove_with_release AND expire > r)
+        |       OR (NOT remove_with_release AND expire > r + 2))
+        |ORDER BY launch DESC, expire DESC""".stripMargin,
+
+    "q88_run_direct" ->
+      """WITH chunks AS (
+        |  SELECT CASE WHEN l_returnflag = 'A' THEN 'cases'
+        |              WHEN l_returnflag = 'N' THEN 'vaccinations-by-vaccination-date'
+        |              ELSE 'variants' END AS category,
+        |         CAST(l_suppkey AS VARCHAR) AS areaCode,
+        |         CAST(l_shipdate AS DATE) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS newCases
+        |  FROM lineitem GROUP BY 1, 2, 3
+        |),
+        |c2 AS (
+        |  SELECT *, CASE WHEN day(date) % 5 = 0 THEN newCases END AS cumVax
+        |  FROM chunks
+        |),
+        |-- 'variants' has no handler (subcategory is null) -> dropped
+        |direct AS (SELECT * FROM c2 WHERE category = 'cases'),
+        |msoa AS (SELECT * FROM c2 WHERE category = 'vaccinations-by-vaccination-date'),
+        |db AS (SELECT category, min(date) AS lo, max(date) AS hi FROM direct GROUP BY 1),
+        |ddates AS (
+        |  SELECT category, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM db
+        |),
+        |ddense AS (
+        |  SELECT k.category, k.areaCode, d.date, dir.newCases
+        |  FROM (SELECT DISTINCT category, areaCode FROM direct) k
+        |  JOIN ddates d USING (category)
+        |  LEFT JOIN direct dir ON dir.category = k.category
+        |   AND dir.areaCode = k.areaCode AND dir.date = d.date
+        |),
+        |dzf AS (
+        |  SELECT category, areaCode, date,
+        |         CASE WHEN date >= min(CASE WHEN newCases IS NOT NULL THEN date END) OVER g
+        |               AND date <  max(CASE WHEN newCases IS NOT NULL THEN date END) OVER g
+        |              THEN COALESCE(newCases, 0) ELSE newCases END AS newCases
+        |  FROM ddense WINDOW g AS (PARTITION BY category, areaCode)
+        |),
+        |droll AS (
+        |  SELECT *, CASE WHEN COUNT(newCases) OVER w7 = 7 THEN SUM(newCases) OVER w7 END AS rollingSum
+        |  FROM dzf
+        |  WINDOW w7 AS (PARTITION BY category, areaCode ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |),
+        |mb AS (SELECT category, min(date) AS lo, max(date) AS hi FROM msoa GROUP BY 1),
+        |mdates AS (
+        |  SELECT category, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM mb
+        |),
+        |mdense AS (
+        |  SELECT k.category, k.areaCode, d.date, m.newCases, m.cumVax
+        |  FROM (SELECT DISTINCT category, areaCode FROM msoa) k
+        |  JOIN mdates d USING (category)
+        |  LEFT JOIN msoa m ON m.category = k.category
+        |   AND m.areaCode = k.areaCode AND m.date = d.date
+        |),
+        |mfill AS (
+        |  SELECT category, areaCode, date,
+        |         CASE WHEN date >= min(CASE WHEN newCases IS NOT NULL THEN date END) OVER g
+        |               AND date <  max(CASE WHEN newCases IS NOT NULL THEN date END) OVER g
+        |              THEN COALESCE(newCases, 0) ELSE newCases END AS newCases,
+        |         CASE WHEN date >= min(CASE WHEN cumVax IS NOT NULL THEN date END) OVER g
+        |               AND date <  max(CASE WHEN cumVax IS NOT NULL THEN date END) OVER g
+        |              THEN COALESCE(cumVax,
+        |                last_value(cumVax IGNORE NULLS) OVER (g ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |              ELSE cumVax END AS cumVax
+        |  FROM mdense WINDOW g AS (PARTITION BY category, areaCode)
+        |)
+        |SELECT category, areaCode, strftime(date, '%Y-%m-%d') AS date,
+        |       'newCases' AS metric, newCases AS value FROM droll
+        |UNION ALL
+        |SELECT category, areaCode, strftime(date, '%Y-%m-%d'),
+        |       'newCasesRollingSum', rollingSum FROM droll
+        |UNION ALL
+        |SELECT category, areaCode, strftime(date, '%Y-%m-%d'),
+        |       'newCases', newCases FROM mfill
+        |UNION ALL
+        |SELECT category, areaCode, strftime(date, '%Y-%m-%d'),
+        |       'cumVax', cumVax FROM mfill""".stripMargin
+  )
+}
