@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata. The Spark-side machinery — schema, typed
-  * Datasets, per-partition batch decode, partitioning — is real; the actual
-  * codec step is a clearly-marked deterministic STUB (media codecs are not
-  * available in this build environment).
+  * Datasets, per-partition batch decode, partitioning — is real. IMAGE decode
+  * is real too (`javax.imageio` ships with the JDK: PNG/JPEG/GIF/BMP);
+  * audio/video fall back to a clearly-marked deterministic STUB (no such
+  * codecs on a bare JVM).
   *
   * Scale design: decode runs in `mapPartitions` so any native/batched decoder
   * amortizes per-partition setup; assets keep their partition key so feature
-  * extraction never reshuffles raw bytes.
+  * extraction never reshuffles raw bytes; image dimensions come from a
+  * header-only `ImageReader` probe, never a full pixel decode.
   */
 object Multimodal {
 
@@ -38,13 +40,43 @@ object Multimodal {
       duration_ms = if (a.kind == "image") 0L else math.abs(h) % 600000L)
   }
 
+  /** Real image decode: header-only dimension probe via `javax.imageio` —
+    * the reader parses just the metadata (IHDR / SOF marker), not the pixel
+    * data, so this is cheap even for large assets. Returns None when no JDK
+    * reader recognises the bytes (corrupt file, or a format like WebP). */
+  def decodeImage(a: Asset): Option[AssetFeatures] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(a.media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val header = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
+          Some(AssetFeatures(a.asset_id, a.kind, a.media.length.toLong, header,
+            width = r.getWidth(0), height = r.getHeight(0), duration_ms = 0L))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None
+    } finally in.close()
+  }
+
+  /** Full decode: real for images (falling back to the stub on unreadable
+    * bytes), stubbed for audio/video. */
+  def decode(a: Asset): AssetFeatures =
+    if (a.kind == "image") decodeImage(a).getOrElse(stubDecode(a))
+    else stubDecode(a)
+
   /** Batch feature extraction: per-partition iteration (decoder setup happens
     * once per partition, mirroring a `mapInPandas` batch UDF). */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // per-partition decoder init would go here
-      it.map(stubDecode)
+      it.map(decode)
     }
   }
 

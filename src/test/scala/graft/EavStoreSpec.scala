@@ -36,6 +36,37 @@ class EavStoreSpec extends SparkSpec {
     assert(payloads("h4") === "new4")
   }
 
+  test("ON CONFLICT DO UPDATE semantics: changed payload lands exactly once") {
+    // reference uploader.py:320-325 — a re-released row with the same
+    // (hash, partition_id) must REPLACE the stored payload: not drop the
+    // update, not keep both versions.
+    val dir = Files.createTempDirectory("eav_upd").toString + "/store"
+    val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",
+      "partition_id", "date", "payload")
+    EavStore.upsert(spark,
+      Seq(row("h1", "p1", "2021-01-01", "v1")).toDF(schema: _*), dir)
+    EavStore.upsert(spark,
+      Seq(row("h1", "p1", "2021-01-09", "v2")).toDF(schema: _*), dir)
+    val rows = EavStore.read(spark, dir)
+      .select("hash", "date", "payload").collect()
+    assert(rows.length === 1, s"expected exactly one row, got ${rows.length}")
+    assert(rows.head.getString(2) === "v2")
+    assert(rows.head.getDate(1).toString === "2021-01-09")
+  }
+
+  test("upsert is idempotent: re-upserting the same release changes nothing") {
+    val dir = Files.createTempDirectory("eav_idem").toString + "/store"
+    val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",
+      "partition_id", "date", "payload")
+    val rel = Seq(row("h1", "p1", "2021-01-01", "v1"),
+      row("h2", "p2", "2021-01-02", "v2")).toDF(schema: _*)
+    EavStore.upsert(spark, rel, dir)
+    EavStore.upsert(spark, rel, dir)
+    val after = EavStore.read(spark, dir)
+      .select("hash", "payload").as[(String, String)].collect().toSet
+    assert(after === Set("h1" -> "v1", "h2" -> "v2"))
+  }
+
   test("write clustering bounds files per store partition") {
     val dir = Files.createTempDirectory("eav_files").toString + "/store"
     val rows = (1 to 5000).map(i =>

@@ -18,6 +18,30 @@ class MultimodalSpec extends SparkSpec {
       .forall { case (a, b) => a == b })
   }
 
+  test("real image decode reads true PNG and JPEG dimensions through Spark") {
+    import spark.implicits._
+    def encoded(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8040)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", encoded(123, 45, "png"), Map.empty),
+      Multimodal.Asset(2L, "image", encoded(64, 256, "jpg"), Map.empty),
+      // unreadable bytes fall back to the labeled stub, never throw
+      Multimodal.Asset(3L, "image", "not an image".getBytes("UTF-8"), Map.empty)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats(1L).width === 123 && feats(1L).height === 45)
+    assert(feats(2L).width === 64 && feats(2L).height === 256)
+    assert(feats(1L).header_hex.startsWith("89504e47")) // PNG magic
+    assert(feats(3L).width >= 1) // stub fallback
+  }
+
   test("resize plan fits every asset inside the box, preserving aspect") {
     val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(spark, sf))
     val resized = Multimodal.resizePlan(feats.toDF(), maxDim = 256).collect()
