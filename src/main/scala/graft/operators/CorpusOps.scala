@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * greedy sequence packing, stratified sampling, and per-source token caps —
+  * the steps between "cleaned documents" and "training shards".
+  *
+  * Everything is hash-derived (no RNG) and window/projection-composed, so the
+  * same corpus always produces the same shards at any parallelism — the
+  * reproducibility property a 100 TB data build needs for resumable runs.
+  * Each operator costs exactly one hash shuffle.
+  */
+object CorpusOps {
+
+  /** Deterministic uniform in [0, 1) from a key: the first 8 hex chars of
+    * md5 scaled by 2^32. Engine-portable (DuckDB computes the identical
+    * value), unlike an RNG seeded per partition. */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296d)
+
+  /** Token-budget sequence packing ("concatenate then cut"): documents are
+    * routed to `nShards` shards by id, greedily concatenated in id order
+    * within each shard, and each document labeled with the training bin it
+    * starts in — `bin = tokensBefore / budget` — and its offset inside that
+    * bin. Documents may straddle a bin boundary, exactly like fixed-window
+    * packing of a concatenated token stream.
+    *
+    * One shuffle (by shard) + one sort (by id); shards pack independently so
+    * the operator scales out linearly with `nShards`. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Int, nShards: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val withShard = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"))
+    val before = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withShard
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / budgetTokens).as("bin"),
+        pmod(col("cum_before"), lit(budgetTokens.toLong)).as("offset"))
+  }
+
+  /** Stratified sampling with per-stratum keep rates (e.g. rebalancing a
+    * language mix): a document survives iff its hash-uniform falls under its
+    * stratum's rate. Growth-stable — adding documents never flips existing
+    * keep/drop decisions — and a pure filter (no shuffle at all). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0d): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be within [0, 1]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(hashUniform(col(idCol)) < rate)
+  }
+
+  /** Per-source token cap (data-mixing dedup of over-represented domains):
+    * within each source, documents are ranked by (hash, id) — a stable,
+    * content-blind order — and kept while the running token total stays
+    * within `capTokens`; the document that crosses the cap and everything
+    * after it are dropped. One shuffle on the source key. */
+  def capSourceTokens(df: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, capTokens: Long): DataFrame = {
+    require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    val withTokens = df.withColumn("n_tokens",
+        TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withTokens
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= capTokens)
+      .drop("__h")
+  }
+}

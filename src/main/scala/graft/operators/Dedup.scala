@@ -145,12 +145,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      // The new label and the did-it-change flag are computed in ONE pass and
+      // checkpointed together: the convergence probe is then a local scan of
+      // the checkpointed blocks instead of a second join+shuffle per round.
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .where(col("cluster") =!= col("old")).isEmpty
-      labels = next
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       iter += 1
     }
     // A silent wrong answer is worse than a failure: if the graph's diameter

@@ -3,12 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.CorpusOps
 import graft.pipeline.ChunkRouter
 import graft.sources.Tables
 
-/** Reference composites added in round 3: the `run_direct` routed entry
-  * (chunk category dispatch), the homepage uptake/waffle composite, and the
-  * daily-report announcements window.
+/** Round-3 additions: the `run_direct` routed entry (chunk category
+  * dispatch), the homepage uptake/waffle composite, the daily-report
+  * announcements window, and the corpus-assembly operators (sequence
+  * packing, stratified sampling, per-source token caps).
   */
 object RoutedQueries {
 
@@ -107,7 +109,27 @@ object RoutedQueries {
           date_format(coalesce(col("date"), col("launch")), "yyyy-MM-dd").as("date"),
           col("body"))
         .orderBy(col("launch").desc, col("expire").desc)
-    })
+    }),
+
+    // Token-budget sequence packing: greedy concatenate-then-cut plan per
+    // shard — every doc labeled with its training bin and offset.
+    "q92_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(Tables.load(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 512, nShards = 4)),
+
+    // Stratified sampling: per-language keep rates from a hash-uniform —
+    // growth-stable, shuffle-free.
+    "q93_stratified_sample" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(Tables.load(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang", "source")),
+
+    // Per-source token cap: stable hash-ordered greedy keep within each
+    // source until the cap is reached.
+    "q94_source_cap" -> ((s, dir) =>
+      CorpusOps.capSourceTokens(Tables.load(s, dir, "documents"), "doc_id",
+          "source", "text", capTokens = 2000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens"))
   )
 
   /** EAV-ish uptake fixture: lineitem daily sums as three dose metrics keyed
@@ -158,6 +180,46 @@ object RoutedQueries {
         col("o_orderstatus").as("body"))
 
   def oracles: Map[String, String] = Map(
+
+    "q92_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         doc_id % 4 AS shard
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+        |       CAST(cum_before % 512 AS BIGINT) AS "offset"
+        |FROM c""".stripMargin,
+
+    "q93_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+        |                  WHEN 'de' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q94_source_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 2000""".stripMargin,
 
     "q89_uptake_triple" ->
       """WITH long AS (

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Corpus-assembly invariants: packing covers every doc exactly once with
+  * in-budget offsets, sampling is growth-stable with sane rates, and source
+  * caps are maximal (one more doc would exceed the cap). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("packSequences: every doc exactly once, offset < budget, bins contiguous") {
+    val packed = CorpusOps.packSequences(docs, "doc_id", "text",
+      budgetTokens = 512, nShards = 4).cache()
+    assert(packed.count() === docs.count())
+    assert(packed.where(col("offset") < 0 || col("offset") >= 512).isEmpty)
+    assert(packed.where(pmod(col("doc_id"), lit(4)) =!= col("shard")).isEmpty)
+    // bin numbering per shard is contiguous from 0: max bin == distinct bins - 1
+    val bins = packed.groupBy("shard")
+      .agg(max("bin").as("mx"), countDistinct("bin").as("n"))
+      .where(col("mx") =!= col("n") - 1)
+    assert(bins.isEmpty)
+    // offset equals running total mod budget: recompute independently
+    val recomputed = packed.orderBy("shard", "doc_id")
+      .select("shard", "n_tokens", "offset").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).forall { case (_, rows) =>
+        rows.scanLeft(0L)(_ + _._2).zip(rows).forall {
+          case (cumBefore, (_, _, off)) => off === cumBefore % 512
+        }
+      }
+    assert(recomputed)
+    packed.unpersist()
+  }
+
+  test("stratifiedSample: rates hold approximately and decisions are growth-stable") {
+    val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.0), defaultRate = 0.2)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") === total("fr"))          // rate 1.0 keeps everything
+    assert(!byLang.contains("de"))                // rate 0.0 keeps nothing
+    val enRatio = byLang("en").toDouble / total("en")
+    assert(enRatio > 0.3 && enRatio < 0.7, s"en ratio $enRatio")
+    // growth stability: sampling a subset yields the subset of the decisions
+    val half = docs.where(col("doc_id") < 250)
+    val sampledHalf = CorpusOps.stratifiedSample(half, "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.0), defaultRate = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val fullBelow = sampled.where(col("doc_id") < 250)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampledHalf === fullBelow)
+  }
+
+  test("capSourceTokens: within cap per source, and maximal") {
+    val cap = 2000L
+    val kept = CorpusOps.capSourceTokens(docs, "doc_id", "source", "text", cap)
+    val totals = kept.groupBy("source").agg(sum("n_tokens").as("tot"),
+      max("cum_tokens").as("mx"))
+    assert(totals.where(col("tot") > cap).isEmpty)
+    // maximality: for each source, the smallest DROPPED doc in hash order
+    // would push the total past the cap
+    val perSourceKept = totals.select("source", "tot").as[(String, Long)]
+      .collect().toMap
+    val dropped = docs.withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .join(kept.select("doc_id").withColumn("k", lit(1)), Seq("doc_id"), "left_anti")
+      .orderBy("source", "h", "doc_id")
+      .select("source", "n_tokens").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, rows) => s -> rows.head._2 }
+    dropped.foreach { case (s, firstDroppedTokens) =>
+      assert(perSourceKept.getOrElse(s, 0L) + firstDroppedTokens > cap,
+        s"source $s dropped a doc that would still have fit")
+    }
+  }
+}

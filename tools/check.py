@@ -213,7 +213,98 @@ def py_q46_simhash_pairs(con, spark_df, oracle):
     return spark_df, exp
 
 
+class _JavaRandom:
+    """java.util.Random (the engine under scala.util.Random): 48-bit LCG +
+    the polar-method nextGaussian, reimplemented bit-for-bit."""
+
+    def __init__(self, seed):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+        self._have_g = False
+        self._next_g = 0.0
+
+    def _next(self, bits):
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        return self.seed >> (48 - bits)
+
+    def next_double(self):
+        return ((self._next(26) << 27) + self._next(27)) / float(1 << 53)
+
+    def next_gaussian(self):
+        import math
+        if self._have_g:
+            self._have_g = False
+            return self._next_g
+        while True:
+            v1 = 2 * self.next_double() - 1
+            v2 = 2 * self.next_double() - 1
+            s = v1 * v1 + v2 * v2
+            if 0 < s < 1:
+                break
+        mult = math.sqrt(-2 * math.log(s) / s)
+        self._next_g = v2 * mult
+        self._have_g = True
+        return v1 * mult
+
+
+def _spark_round(x, scale):
+    """Spark's round(double, n): BigDecimal.valueOf (shortest decimal repr,
+    like Python repr) then HALF_UP."""
+    import decimal
+    q = decimal.Decimal(1).scaleb(-scale)
+    return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
+def py_q49_lsh_ann(con, spark_df, oracle):
+    """LSH-bucketed ANN (Similarity.lshTopK defaults: dim=64, nBits=6,
+    nTables=4, seed=42, k=5): hyperplanes regenerated with the Java LCG in
+    Array.fill order, dots accumulated in index order, buckets and rerank
+    mirrored exactly."""
+    emb = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+    vecs = {int(r.vec_id): [float(v) for v in r.embedding]
+            for r in emb.itertuples()}
+    dim, n_bits, n_tables, seed, k = 64, 6, 4, 42, 5
+    planes = {}  # (table, bit) -> plane vector
+    for t in range(n_tables):
+        rnd = _JavaRandom(seed + t * 7919)
+        for i in range(n_bits):
+            planes[(t, i)] = [rnd.next_gaussian() for _ in range(dim)]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def bucket(t, v):
+        b = 0
+        for i in range(n_bits):
+            if dot(v, planes[(t, i)]) >= 0:
+                b += 1 << i
+        return b
+
+    buckets = {}  # (table, bucket) -> [cand_id]
+    for cid, v in vecs.items():
+        for t in range(n_tables):
+            buckets.setdefault((t, bucket(t, v)), []).append(cid)
+    rows = []
+    for qid in sorted(vecs):
+        if qid % 50 != 0:
+            continue
+        cands = set()
+        for t in range(n_tables):
+            cands.update(buckets.get((t, bucket(t, vecs[qid])), []))
+        cands.discard(qid)
+        scored = sorted(
+            ((_spark_round(dot(vecs[qid], vecs[c]), 3), c) for c in cands),
+            key=lambda sc: (-sc[0], sc[1]))
+        rows.extend((qid, c, s) for s, c in scored[:k])
+    exp = pd.DataFrame(rows, columns=["q_id", "cand_id", "score"])
+    return spark_df, exp
+
+
 PY_ORACLES = {
+    "q49_lsh_ann": py_q49_lsh_ann,
     "q35_blake2s_hash": py_q35_blake2s_hash,
     "q63_blake2b_slug": py_q63_blake2b_slug,
     "q51_eav_pipeline": py_q51_eav_pipeline,
