@@ -20,7 +20,14 @@ object Bench {
           .rowsBetween(-3, 0)))
         .write.mode("overwrite").format("noop").save()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // One representative query untimed: the very first query otherwise
+    // absorbs several seconds of executor/codegen warmup, and Map iteration
+    // order is unstable across builds — past rounds read that as phantom
+    // per-query regressions. Timed queries then run in sorted-name order so
+    // every round measures the same schedule.
+    SparkEntry.queries("q04_rolling_sum_7d")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —
       // count() would let Catalyst prune the projection work away.
@@ -35,11 +42,11 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only — summing the -1 failure sentinels
     // would make the benchmark read faster when queries break
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a truncated stderr tail, which has dropped ~20

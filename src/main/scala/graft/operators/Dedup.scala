@@ -118,15 +118,16 @@ object Dedup {
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise matches into dedup clusters (one keeper per component).
     *
-    * Iterative min-label propagation: every node starts labeled with its own
-    * id; each round every node takes the minimum label in its neighborhood
-    * (including itself); fixpoint = components labeled by their minimum id.
-    * Each round is one shuffle (join on the edge key + groupBy node), lineage
-    * is cut per round with localCheckpoint, and iteration stops as soon as a
-    * round changes nothing — diameter-bounded, so the chains LSH dedup
-    * produces (tiny diameters) converge in a few rounds. For adversarial
-    * long-path graphs at extreme scale, swap in the large-star/small-star
-    * contraction; the label-propagation contract stays the same.
+    * Min-label propagation with pointer jumping: every node starts labeled
+    * with its own id; each round every node takes the minimum label in its
+    * neighborhood (including itself) and then follows its label's OWN label
+    * one hop (path halving). The jump contracts label chains geometrically,
+    * so convergence needs O(log diameter) rounds, not O(diameter) — a
+    * million-node path converges in ~20 rounds instead of a million. Each
+    * round is two keyed shuffles (edge join + label self-join), lineage cut
+    * per round with localCheckpoint; iteration stops when a round changes
+    * nothing. Labels only ever decrease and only ever hold ids from the same
+    * component, so the fixpoint labels every component by its minimum id.
     *
     * @return (id, cluster) — every node from `pairs`, labeled with its
     *         component's minimum id.
@@ -145,13 +146,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      val stepped = labels.withColumnRenamed("cluster", "old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("c1"))
+      // Pointer jump (path halving): adopt the label's own label. Label
+      // values are always node ids, so the self-join hits unless the label
+      // is already a root this round.
+      val parents = stepped.select(col("id").as("k"), col("c1").as("gp"))
       // The new label and the did-it-change flag are computed in ONE pass and
       // checkpointed together: the convergence probe is then a local scan of
-      // the checkpointed blocks instead of a second join+shuffle per round.
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
+      // the checkpointed blocks instead of another join+shuffle per round.
+      val next = stepped.join(parents, col("c1") === col("k"), "left")
+        .select(col("id"), col("old"),
+          least(col("c1"), coalesce(col("gp"), col("c1"))).as("cluster"))
+        .select(col("id"), col("cluster"), (col("cluster") < col("old")).as("__chg"))
         .localCheckpoint()
       converged = next.where(col("__chg")).isEmpty
       labels = next.drop("__chg")

@@ -129,7 +129,14 @@ object RoutedQueries {
     "q94_source_cap" -> ((s, dir) =>
       CorpusOps.capSourceTokens(Tables.load(s, dir, "documents"), "doc_id",
           "source", "text", capTokens = 2000)
-        .select("doc_id", "source", "n_tokens", "cum_tokens"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")),
+
+    // Linear-counting distinct estimate — the oracle-checkable sketch
+    // (md5 buckets reproduce in DuckDB), q71's verifiable sibling.
+    "q95_linear_count" -> ((s, dir) =>
+      graft.operators.Cardinality.linearCount(
+        Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey",
+        m = 4096, out = "approx_parts"))
   )
 
   /** EAV-ish uptake fixture: lineitem daily sums as three dose metrics keyed
@@ -180,6 +187,21 @@ object RoutedQueries {
         col("o_orderstatus").as("body"))
 
   def oracles: Map[String, String] = Map(
+
+    "q95_linear_count" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM lineitem
+        |),
+        |f AS (
+        |  SELECT l_returnflag, COUNT(DISTINCT bucket) AS filled FROM b GROUP BY 1
+        |)
+        |SELECT l_returnflag,
+        |       CASE WHEN filled < 4096 THEN
+        |         CAST(round(-4096.0 * ln((4096.0 - filled) / 4096)) AS BIGINT)
+        |       END AS approx_parts
+        |FROM f""".stripMargin,
 
     "q92_pack_sequences" ->
       """WITH t AS (

@@ -75,6 +75,17 @@ class DedupSpec extends SparkSpec {
     assert((1L to 6L).forall(comp(_) === 1L))
   }
 
+  test("pointer jumping converges a 300-node path within the default 20 rounds") {
+    import spark.implicits._
+    // plain label propagation would need 299 rounds on this graph; the
+    // path-halving jump must bring it under maxIter=20 (~log2(300) + slack)
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(chain, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === 300)
+    assert(comp.values.forall(_ === 1L))
+  }
+
   test("bruteForceTopK rejects non-integral candidate ids up front") {
     val q = Seq((0L, Array.fill(4)(1.0f))).toDF("q_id", "q_emb")
     val c = Seq(("a", Array.fill(4)(1.0f))).toDF("cand_id", "cand_emb")
