@@ -55,4 +55,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q49_lsh_ann")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("corpus assembly: packing/capping shuffle once, sampling not at all") {
+    assert("hashpartitioning".r.findAllIn(plan("q92_pack_sequences")).size === 1)
+    assert("hashpartitioning".r.findAllIn(plan("q94_source_cap")).size === 1)
+    val sample = plan("q93_stratified_sample")
+    assert(!sample.contains("Exchange"), sample.take(1500))
+  }
+
+  test("chunk routing filters rows at the scan and never cross-joins") {
+    val p = plan("q88_run_direct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the route predicate is a CASE on l_returnflag, so it can't become a
+    // parquet PushedFilter — but it MUST sit directly above the scan (row
+    // pruning before any aggregation), and column pruning must still hold
+    assert("Filter [^\\n]*l_returnflag[^\\n]*\\n[^\\n]*FileScan parquet".r
+      .findFirstIn(p).isDefined, p.take(1500))
+    assert(!p.contains("l_extendedprice"))
+  }
 }
