@@ -150,16 +150,24 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("c1"))
-      // Pointer jump (path halving): adopt the label's own label. Label
-      // values are always node ids, so the self-join hits unless the label
-      // is already a root this round.
-      val parents = stepped.select(col("id").as("k"), col("c1").as("gp"))
+      // Pointer jump (path halving) from round 2 on: adopt the label's own
+      // label. Label values are always node ids, so the self-join hits unless
+      // the label is already a root. Round 1 skips the jump — on the shallow
+      // graphs LSH dedup produces, plain propagation settles most labels in
+      // that round and the extra self-join shuffle would be pure overhead;
+      // deep graphs still get the geometric contraction from round 2 onward.
+      val jumped =
+        if (iter == 0) stepped.withColumnRenamed("c1", "cluster")
+        else {
+          val parents = stepped.select(col("id").as("k"), col("c1").as("gp"))
+          stepped.join(parents, col("c1") === col("k"), "left")
+            .select(col("id"), col("old"),
+              least(col("c1"), coalesce(col("gp"), col("c1"))).as("cluster"))
+        }
       // The new label and the did-it-change flag are computed in ONE pass and
       // checkpointed together: the convergence probe is then a local scan of
       // the checkpointed blocks instead of another join+shuffle per round.
-      val next = stepped.join(parents, col("c1") === col("k"), "left")
-        .select(col("id"), col("old"),
-          least(col("c1"), coalesce(col("gp"), col("c1"))).as("cluster"))
+      val next = jumped
         .select(col("id"), col("cluster"), (col("cluster") < col("old")).as("__chg"))
         .localCheckpoint()
       converged = next.where(col("__chg")).isEmpty
