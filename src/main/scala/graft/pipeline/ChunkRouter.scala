@@ -84,6 +84,20 @@ object ChunkRouter {
       metricName = "metric", valueName = "value")
   }
 
+  /** `run_demographics`' core on a route partition: adapt the chunk columns
+    * to the spec and run the full demographics pipeline. Produces the nested
+    * array-of-structs chunk shape — deliberately different from the direct
+    * routes' EAV shape, exactly as in the reference, so it is dispatched on
+    * its own rather than unioned with them. Expects one category per
+    * invocation (the reference dispatches per chunk; route partitions of a
+    * single demographics category preserve that scope). */
+  def demographicsHandler(spec: DemographicsPipeline.Spec,
+                          population: DataFrame)(df: DataFrame): DataFrame =
+    DemographicsPipeline.run(
+      df.select(Seq("areaType", "areaCode", "date", spec.nestingCol,
+        spec.baseMetric).map(col): _*),
+      spec, population)
+
   /** `run_direct_msoas`' processing core: homogenise + normalise only
     * (zero-fill the event metric, forward-fill the cumulative one) — no
     * rolling family (`etl.py:1113-1119`). */

@@ -40,6 +40,31 @@ class ChunkRouterSpec extends SparkSpec {
     assert(routeOf("variants", None, None) === None)
   }
 
+  test("demographics route dispatches through the full demographics pipeline") {
+    import graft.pipeline.DemographicsPipeline
+    val chunks = Seq(
+      ("cases-by-specimen-date", Option("age-demographics"), "ltla", "A1",
+        "2026-01-01", "00_04", 3.0),
+      ("cases-by-specimen-date", Option("age-demographics"), "ltla", "A1",
+        "2026-01-02", "00_04", 4.0),
+      ("nonsense", Option("age-demographics"), "ltla", "A1",
+        "2026-01-01", "00_04", 99.0))
+      .toDF("category", "subcategory", "areaType", "areaCode", "date", "age",
+        "newCases")
+      .withColumn("date", to_date(col("date")))
+    val pop = Seq(("A1", "00_04", 1000.0)).toDF("areaCode", "age", "population")
+    val out = ChunkRouter.runRouted(chunks, Map(
+      ChunkRouter.Demographics -> ChunkRouter.demographicsHandler(
+        DemographicsPipeline.Spec("age", 1, "newCases", "cases",
+          "newCasesAgeDemographics"), pop) _))
+    val rows = out.orderBy("date").collect()
+    assert(rows.length === 2) // the unrouted category's row is gone
+    assert(out.columns.contains("newCasesAgeDemographics"))
+    val first = rows.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("newCasesAgeDemographics")
+    assert(first.head.getAs[String]("age") === "00_04")
+    assert(first.head.getAs[Double]("cases") === 3.0)
+  }
+
   test("unknown categories are unrouted and runRouted drops them") {
     assert(routeOf("nonsense", None, None) === None)
     val chunks = Seq(
