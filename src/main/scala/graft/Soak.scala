@@ -46,12 +46,16 @@ object Soak {
     }.head
     val filesRead = scan.metrics("numFiles").value
     val partsRead = scan.metrics.get("numPartitions").map(_.value)
-    val totalFiles = EavStore.read(spark, store).inputFiles.length
+    val storeFiles = EavStore.read(spark, store).inputFiles
+    val totalFiles = storeFiles.length
     partsRead.foreach(p => require(p == 1L,
       s"partition pruning failed: scan for '$target' read $p partitions"))
     // With a single-partition store a pruned scan legitimately reads every
     // file, so the strict inequality only applies when there is >1 partition.
-    val nParts = spark.read.parquet(store).select("partition_id").distinct().count()
+    // Partition count comes free from the already-listed file paths — no
+    // extra store scan.
+    val nParts = storeFiles
+      .flatMap(_.split("/").find(_.startsWith("partition_id="))).distinct.length
     require(filesRead > 0 && (nParts <= 1 || filesRead < totalFiles),
       s"partition pruning failed: read $filesRead of $totalFiles files ($nParts partitions)")
     println(s"[soak] partition '$target' rows=$prunedCount; scan read " +

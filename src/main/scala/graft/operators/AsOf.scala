@@ -71,13 +71,16 @@ object AsOf {
                    matchedTimeCol: String = ""): DataFrame = {
     val leftCols = left.columns.toSeq
     // Attached columns are emitted under their own names; a collision with an
-    // existing left column would produce an ambiguous-column frame that only
-    // fails at the caller's next reference. Fail here instead.
-    val collisions = (valueCols :+ matchedTimeCol).filter(_.nonEmpty)
-      .filter(leftCols.contains)
+    // existing left column — or among themselves — would produce an
+    // ambiguous-column frame that only fails at the caller's next reference.
+    // Fail here instead.
+    val attached = (valueCols :+ matchedTimeCol).filter(_.nonEmpty)
+    val collisions = attached.filter(leftCols.contains)
     require(collisions.isEmpty,
       s"asofBackward output columns ${collisions.mkString(", ")} collide with " +
         "left columns; rename them on the right side first")
+    require(attached.distinct.length == attached.length,
+      s"asofBackward attached columns contain duplicates: ${attached.mkString(", ")}")
     val payloadType = {
       val fields = (rightTime +: valueCols).map(c => right.schema(c))
       org.apache.spark.sql.types.StructType(

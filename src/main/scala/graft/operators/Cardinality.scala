@@ -26,9 +26,7 @@ object Cardinality {
   def linearCount(df: DataFrame, keys: Seq[String], valueCol: String,
                   m: Int = 4096, out: String = "approx_distinct"): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
-    val bucket = pmod(
-      conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(m.toLong))
+    val bucket = pmod(CorpusOps.md5Prefix32(col(valueCol)), lit(m.toLong))
     df.select(keys.map(col) :+ bucket.as("__bucket"): _*)
       .groupBy(keys.map(col): _*)
       .agg(countDistinct(col("__bucket")).as("__filled"))

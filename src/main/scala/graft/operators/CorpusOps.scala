@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Deterministic uniform in [0, 1) from a key: the first 8 hex chars of
-    * md5 scaled by 2^32. Engine-portable (DuckDB computes the identical
-    * value), unlike an RNG seeded per partition. */
+  /** First 32 bits of md5(key) as a long — the shared engine-portable hash
+    * primitive behind [[hashUniform]] and `Cardinality.linearCount`
+    * (DuckDB spells it `('0x' || substr(md5(x), 1, 8))::BIGINT`). */
+  def md5Prefix32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic uniform in [0, 1) from a key: [[md5Prefix32]] scaled by
+    * 2^32. Engine-portable, unlike an RNG seeded per partition. */
   def hashUniform(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
-      lit(4294967296d)
+    md5Prefix32(key).cast("double") / lit(4294967296d)
 
   /** Token-budget sequence packing ("concatenate then cut"): documents are
     * routed to `nShards` shards by id, greedily concatenated in id order

@@ -44,25 +44,32 @@ object Multimodal {
     * the reader parses just the metadata (IHDR / SOF marker), not the pixel
     * data, so this is cheap even for large assets. Returns None when no JDK
     * reader recognises the bytes (corrupt file, or a format like WebP). */
-  def decodeImage(a: Asset): Option[AssetFeatures] = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(a.media))
+  def decodeImage(a: Asset): Option[AssetFeatures] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(in)
-          val header = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
-          Some(AssetFeatures(a.asset_id, a.kind, a.media.length.toLong, header,
-            width = r.getWidth(0), height = r.getHeight(0), duration_ms = 0L))
-        } finally r.dispose()
-      }
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream: the
+      // latter defaults to a disk-backed cache that would copy every asset's
+      // bytes to an executor temp file before the ~8-byte header read.
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(a.media))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val header = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
+            Some(AssetFeatures(a.asset_id, a.kind, a.media.length.toLong, header,
+              width = r.getWidth(0), height = r.getHeight(0), duration_ms = 0L))
+          } finally r.dispose()
+        }
+      } finally in.close()
     } catch {
-      case _: java.io.IOException => None
-    } finally in.close()
-  }
+      // ImageIO plugins throw RuntimeExceptions (not just IOException) on
+      // malformed-but-recognized headers; any failure means "not decodable
+      // here" and must fall back to the stub, never kill the task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Full decode: real for images (falling back to the stub on unreadable
     * bytes), stubbed for audio/video. */

@@ -53,15 +53,19 @@ object ChunkRouter {
   /** Tag each chunk row with its route (null = unrouted). */
   def route(chunks: DataFrame, categoryCol: String = "category",
             subcategoryCol: String = "subcategory",
-            areaTypeCol: String = "areaType"): DataFrame =
+            areaTypeCol: String = "areaType"): DataFrame = {
+    require(!chunks.columns.contains("route"),
+      "input already has a 'route' column; rename it before routing")
     chunks.withColumn("route",
       routeExpr(col(categoryCol), col(subcategoryCol), col(areaTypeCol)))
+  }
 
   /** Dispatch: run each registered handler on its full route partition and
     * union the results (handlers must agree on an output schema). Rows whose
     * route has no handler are dropped. */
   def runRouted(chunks: DataFrame,
                 handlers: Map[String, DataFrame => DataFrame]): DataFrame = {
+    require(handlers.nonEmpty, "runRouted needs at least one handler")
     val tagged = route(chunks)
     handlers.map { case (tag, handler) =>
       handler(tagged.where(col("route") === tag).drop("route"))
@@ -92,11 +96,20 @@ object ChunkRouter {
     * invocation (the reference dispatches per chunk; route partitions of a
     * single demographics category preserve that scope). */
   def demographicsHandler(spec: DemographicsPipeline.Spec,
-                          population: DataFrame)(df: DataFrame): DataFrame =
+                          population: DataFrame)(df: DataFrame): DataFrame = {
+    // Several categories share the demographics route; running two of them
+    // through one pipeline call would silently merge their rows once
+    // `category` is dropped. Enforce the one-category contract loudly —
+    // the check is metadata-scale (a distinct on one column).
+    val cats = df.select("category").distinct().collect().map(_.getString(0))
+    require(cats.length <= 1,
+      s"demographicsHandler expects one category per invocation, got " +
+        s"${cats.sorted.mkString(", ")}; dispatch each category separately")
     DemographicsPipeline.run(
       df.select(Seq("areaType", "areaCode", "date", spec.nestingCol,
         spec.baseMetric).map(col): _*),
       spec, population)
+  }
 
   /** `run_direct_msoas`' processing core: homogenise + normalise only
     * (zero-fill the event metric, forward-fill the cumulative one) — no

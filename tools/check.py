@@ -340,6 +340,9 @@ def main(sf_dir, out_dir):
     for name, fn in sorted(PY_ORACLES.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            # a vanished dump must surface as a FAIL, not shrink the
+            # denominator silently (mirrors the SQL-oracle loop)
+            results[name] = "MISSING spark output"
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         try:
