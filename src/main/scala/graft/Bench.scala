@@ -27,21 +27,28 @@ object Bench {
     // every round measures the same schedule.
     SparkEntry.queries("q04_rolling_sum_7d")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full materialization of every output column —
-      // count() would let Catalyst prune the projection work away.
-      // A failed query records -1, never its elapsed time.
-      val sec =
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> sec
-    }
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink forces full materialization of every output column —
+        // count() would let Catalyst prune the projection work away.
+        // A failed query records -1, never its elapsed time.
+        val sec =
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        name -> sec
+      }
+    // SPARK_GRAFT_BENCH_PASSES=2 reports the SECOND pass per query —
+    // steady-state numbers with codegen/IO caches warm, the figure that
+    // round-over-round comparison should use. Default stays one cold pass
+    // (the driver's contract).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(1)
+    val results = (1 to passes).map(_ => onePass()).last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only — summing the -1 failure sentinels
@@ -52,7 +59,8 @@ object Bench {
     // The driver captures a truncated stderr tail, which has dropped ~20
     // queries from past rounds' artifacts — persist the complete sorted
     // result ourselves so round-over-round comparison is lossless.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val artifact = if (passes > 1) "BENCH_STEADY.json" else "BENCH_FULL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
