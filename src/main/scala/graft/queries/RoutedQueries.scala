@@ -136,7 +136,41 @@ object RoutedQueries {
     "q95_linear_count" -> ((s, dir) =>
       graft.operators.Cardinality.linearCount(
         Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey",
-        m = 4096, out = "approx_parts"))
+        m = 4096, out = "approx_parts")),
+
+    // The demographics route end to end THROUGH the router: an
+    // age-demographics chunk feed dispatched by (category, subcategory) into
+    // the full demographics pipeline — closes the third run_direct route
+    // with the same oracle rigor as q68 (identical math, routed entry).
+    "q96_routed_demographics" -> ((s, dir) => {
+      val chunks = Tables.load(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1995)
+        .select(lit("cases-by-specimen-date").as("category"),
+          lit("age-demographics").as("subcategory"),
+          lit("supplier").as("areaType"),
+          col("l_suppkey").cast("string").as("areaCode"),
+          to_date(col("l_shipdate")).as("date"),
+          col("l_returnflag").as("age"), col("l_quantity"))
+        .groupBy("category", "subcategory", "areaType", "areaCode", "date", "age")
+        .agg(sum("l_quantity").cast("double").as("newCases"))
+      val pop = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").cast("string").as("areaCode"),
+          abs(col("s_acctbal")).as("population"))
+        .crossJoin(s.createDataFrame(Seq(Tuple1("A"), Tuple1("N"), Tuple1("R")))
+          .toDF("age"))
+      ChunkRouter.runRouted(chunks, Map(
+        ChunkRouter.Demographics -> ChunkRouter.demographicsHandler(
+          graft.pipeline.DemographicsPipeline.Spec("age", 1, "newCases", "cases",
+            "newCasesAgeDemographics"), pop) _))
+        .select(col("areaType"), col("areaCode"),
+          date_format(col("date"), "yyyy-MM-dd").as("date"),
+          to_json(transform(col("newCasesAgeDemographics"), x => struct(
+            x.getField("age").as("age"),
+            x.getField("cases").cast("long").as("cases"),
+            x.getField("rollingSum").cast("long").as("rollingSum"),
+            x.getField("rollingRate").cast("decimal(20,1)").as("rollingRate"))),
+            Map("ignoreNullFields" -> "false")).as("newCasesAgeDemographics"))
+    })
   )
 
   /** EAV-ish uptake fixture: lineitem daily sums as three dose metrics keyed
@@ -187,6 +221,10 @@ object RoutedQueries {
         col("o_orderstatus").as("body"))
 
   def oracles: Map[String, String] = Map(
+
+    // identical math to q68 (the router adds dispatch, not arithmetic) —
+    // share its oracle text rather than fork a 40-line CTE chain
+    "q96_routed_demographics" -> MiscQueries.oracles("q68_demographics"),
 
     "q95_linear_count" ->
       """WITH b AS (

@@ -6,7 +6,7 @@ import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Blake2b, Blake2s, ScoredCand, TopKAggregator}
-import graft.operators.{AsOf, Fill, Reshape, Rolling, Trim}
+import graft.operators.{AsOf, CorpusOps, Fill, Reshape, Rolling, Trim}
 
 /** Property-based invariants (SURVEY.md §5 plan): rolling-sum vs brute force,
   * densify/fill idempotence, trim invariants, hash determinism. */
@@ -116,6 +116,55 @@ class PropertiesSpec extends SparkSpec {
         val (a, b) = uniq.splitAt(split)
         val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
         assert(agg.finish(merged).items === expect, s"split=$split k=$k")
+      }
+    }
+  }
+
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(5, 25)
+    texts <- Gen.listOfN(n, Gen.choose(1, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+        .map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("packSequences matches the brute-force sequential packing on random docs") {
+    forAllSeeded(docsGen, 10) { docs =>
+      val budget = 17
+      val got = CorpusOps.packSequences(
+          docs.toDF("doc_id", "text"), "doc_id", "text", budget, nShards = 3)
+        .select("doc_id", "shard", "n_tokens", "bin", "offset")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      docs.groupBy(_._1 % 3).foreach { case (shard, shardDocs) =>
+        var cum = 0L
+        shardDocs.sortBy(_._1).foreach { case (id, text) =>
+          val nTok = text.split(" ", -1).length.toLong
+          val (gid, gShard, gTok, gBin, gOff) = got(id)
+          assert(gShard === shard && gTok === nTok)
+          assert(gBin === cum / budget, s"doc $id bin")
+          assert(gOff === cum % budget, s"doc $id offset")
+          cum += nTok
+        }
+      }
+    }
+  }
+
+  test("capSourceTokens keeps exactly the maximal hash-order prefix per source") {
+    forAllSeeded(docsGen, 10) { docs =>
+      val cap = 40L
+      val df = docs.map { case (i, t) => (i, s"src${i % 2}", t) }
+        .toDF("doc_id", "source", "text")
+      val kept = CorpusOps.capSourceTokens(df, "doc_id", "source", "text", cap)
+        .select("doc_id").as[Long].collect().toSet
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      docs.groupBy(_._1 % 2).foreach { case (_, srcDocs) =>
+        val ordered = srcDocs.sortBy { case (i, _) => (md5hex(i.toString), i) }
+        var cum = 0L
+        ordered.foreach { case (id, text) =>
+          cum += text.split(" ", -1).length
+          assert(kept.contains(id) === (cum <= cap), s"doc $id cum=$cum")
+        }
       }
     }
   }
