@@ -88,6 +88,28 @@ object TextAnalysis {
   def shingleSketch(textCol: Column, n: Int = 5, keep: Int = 8): Column =
     slice(array_sort(transform(Dedup.shingles(textCol, n), s => xxhash64(s))), 1, keep)
 
+  /** Corpus-unigram log-probability score — the classic LM-based quality
+    * filter (documents whose tokens are improbable under the corpus unigram
+    * distribution are boilerplate/garbled candidates): per doc, the mean of
+    * `ln(count(token) / totalTokens)` over its tokens, rounded for
+    * engine-determinism.
+    *
+    * Scale shape: token frequencies are ONE map-side-combined groupBy on the
+    * token (the vocabulary is data-sized, so it is joined by hash — never
+    * broadcast); the per-doc mean is a second keyed aggregation. Two
+    * shuffles total, both on natural keys. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     scale: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt")).as("__total"))
+    toks.join(freqs, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("cnt").cast("double") / col("__total"))), scale)
+        .as("mean_logprob"))
+  }
+
   /** Language ID by stopword vote (see TextQueries.lexicon for the lexicon
     * shape): returns per-doc best language; pure relational ops. */
   def languageId(docs: DataFrame, idCol: String, textCol: String,

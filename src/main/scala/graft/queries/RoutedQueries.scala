@@ -138,6 +138,12 @@ object RoutedQueries {
         Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey",
         m = 4096, out = "approx_parts")),
 
+    // Corpus-unigram log-prob quality score — the LM-based quality filter
+    // over the documents table; avg of ln(token frequency / corpus total).
+    "q97_unigram_logprob" -> ((s, dir) =>
+      graft.operators.TextAnalysis.unigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // The demographics route end to end THROUGH the router: an
     // age-demographics chunk feed dispatched by (category, subcategory) into
     // the full demographics pipeline — closes the third run_direct route
@@ -225,6 +231,17 @@ object RoutedQueries {
     // identical math to q68 (the router adds dispatch, not arithmetic) —
     // share its oracle text rather than fork a 40-line CTE chain
     "q96_routed_demographics" -> MiscQueries.oracles("q68_demographics"),
+
+    "q97_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |freqs AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT SUM(cnt) AS t FROM freqs)
+        |SELECT doc_id,
+        |       round(AVG(ln(CAST(cnt AS DOUBLE) / t)), 4) AS mean_logprob
+        |FROM toks JOIN freqs USING (tok), total
+        |GROUP BY doc_id""".stripMargin,
 
     "q95_linear_count" ->
       """WITH b AS (
