@@ -58,4 +58,20 @@ class ServingSpec extends SparkSpec {
     val bRows = out.where($"k" === "b" && $"m" === 0.0).count()
     assert(bRows === 2)
   }
+
+  test("HLL estimate stays within tolerance of the exact distinct count") {
+    // q71's approx_count_distinct output is engine-internal (no oracle);
+    // bound its error against the exact count instead: rsd=0.02 should land
+    // well inside 5% on this fixture (deterministic for fixed data).
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val both = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+    both.collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val rel = math.abs(approx - exact) / exact
+      assert(rel < 0.05, s"flag ${r.getString(0)}: exact=$exact approx=$approx rel=$rel")
+    }
+  }
 }
