@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.HashFunctions.register(spark)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q04_rolling_sum_7d", "q21_star_join", "q48_cosine_topk", "q51_eav_pipeline")
     names.foreach { n =>

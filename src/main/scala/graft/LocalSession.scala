@@ -17,6 +17,7 @@ object LocalSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.HashFunctions.register(spark)
     spark
   }
 }

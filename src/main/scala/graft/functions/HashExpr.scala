@@ -77,6 +77,10 @@ object HashFunctions {
           Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
           Cast(exprs(2), IntegerType)),
         "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot",
+        exprs => DotProductExpr(exprs(0), exprs(1)),
+        "scala_udf")
       registered += spark
     }
   }

@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine/dot product of two float-array columns as a codegen'd higher-order
-    * expression (no UDF): cast to double element-wise, multiply, sum in index
-    * order (deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Cosine/dot product of two numeric-array columns via the native
+    * [[graft.functions.DotProductExpr]] — zero-allocation loop over both
+    * array buffers, same index-order double accumulation as the composed
+    * higher-order form (equivalence guarded by DotProductSpec). The session
+    * the plan is analyzed under must have the graft functions registered
+    * (`HashFunctions.register` or `GraftExtensions`). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The composed higher-order-function form of [[dot]] — kept as the
+    * registration-free fallback and the semantic reference the native
+    * expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
 

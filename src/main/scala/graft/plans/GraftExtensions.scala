@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
-import graft.functions.{Blake2bHexExpr, Blake2sHexExpr}
+import graft.functions.{Blake2bHexExpr, Blake2sHexExpr, DotProductExpr}
 
 /** SparkSessionExtensions entry point: installs the graft function surface
   * into any session at build time —
@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => Blake2bHexExpr(
         Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
         Cast(exprs(2), IntegerType))))
+    ext.injectFunction(ternary("graft_dot",
+      classOf[DotProductExpr].getCanonicalName,
+      exprs => DotProductExpr(exprs(0), exprs(1))))
   }
 }
