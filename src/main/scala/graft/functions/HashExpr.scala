@@ -81,6 +81,8 @@ object HashFunctions {
         "graft_dot",
         exprs => DotProductExpr(exprs(0), exprs(1)),
         "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash", HashFunctions.buildMinhash, "scala_udf")
       registered += spark
     }
   }
@@ -93,4 +95,17 @@ object HashFunctions {
   /** Column API: BLAKE2b hex (unkeyed slug form unless a key is supplied). */
   def blake2bHex(data: Column, key: String, digestSize: Int): Column =
     call_function("blake2b_hex", data, lit(key), lit(digestSize))
+
+  /** Builder for `graft_minhash(baseHashes, numHashes, seed)` — the count
+    * and seed must be literals (coefficients are fixed at plan time). */
+  private[graft] val buildMinhash: Seq[Expression] => Expression = { exprs =>
+    def lit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash $what must be an integer literal, got $other")
+    }
+    val (as, bs) = MinHashCoefs.generate(
+      lit(exprs(1), "numHashes"), lit(exprs(2), "seed"))
+    MinHashSigExpr(exprs(0), as.toSeq, bs.toSeq)
+  }
 }

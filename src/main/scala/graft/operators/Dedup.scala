@@ -49,11 +49,20 @@ object Dedup {
   def shingleHashes(shinglesCol: Column): Column =
     transform(shinglesCol, s => pmod(xxhash64(s), lit(MersenneP)))
 
-  /** Signature from pre-computed base hashes: `numHashes` universal-hash
-    * permutations `(a*h + b) mod p`, coefficients fixed by seed. Callers keep
-    * `baseHashes` in its own projection so Catalyst doesn't clone the xxhash
-    * pass into every slot. */
-  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
+  /** Signature from pre-computed base hashes via the native
+    * [[graft.functions.MinHashSigExpr]]: all `numHashes` universal-hash
+    * minima in ONE pass over the base-hash array (the composed form below
+    * materializes a transformed array per slot per row). Coefficients are
+    * the same seed-fixed sequence — signatures are identical (MinHashSpec).
+    * The session must have the graft functions registered
+    * (`HashFunctions.register` / `GraftExtensions`). */
+  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column =
+    call_function("graft_minhash", baseHashes, lit(numHashes), lit(0x5eed))
+
+  /** The composed higher-order-function form of [[minhashFromHashes]] —
+    * registration-free fallback and the semantic reference the native
+    * expression is tested against. */
+  def minhashFromHashesHof(baseHashes: Column, numHashes: Int): Column = {
     val rnd = new scala.util.Random(0x5eed)
     def coef() = 1L + rnd.nextInt((MersenneP - 1).toInt)
     array((0 until numHashes).map { _ =>

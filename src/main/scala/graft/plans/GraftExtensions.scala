@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
-import graft.functions.{Blake2bHexExpr, Blake2sHexExpr, DotProductExpr}
+import graft.functions.{Blake2bHexExpr, Blake2sHexExpr, DotProductExpr, MinHashSigExpr}
 
 /** SparkSessionExtensions entry point: installs the graft function surface
   * into any session at build time —
@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ternary("graft_dot",
       classOf[DotProductExpr].getCanonicalName,
       exprs => DotProductExpr(exprs(0), exprs(1))))
+    ext.injectFunction(ternary("graft_minhash",
+      classOf[MinHashSigExpr].getCanonicalName,
+      graft.functions.HashFunctions.buildMinhash))
   }
 }
