@@ -83,6 +83,12 @@ object HashFunctions {
         "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash", HashFunctions.buildMinhash, "scala_udf")
+      // The extensions path injects this at build time; for an already-built
+      // session the experimental hook is the sanctioned equivalent.
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteDotProduct)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RewriteDotProduct
+      }
       registered += spark
     }
   }

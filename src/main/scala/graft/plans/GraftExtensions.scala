@@ -45,5 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ternary("graft_minhash",
       classOf[MinHashSigExpr].getCanonicalName,
       graft.functions.HashFunctions.buildMinhash))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
