@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.CorpusOps
@@ -138,6 +138,33 @@ object RoutedQueries {
         Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey",
         m = 4096, out = "approx_parts")),
 
+    // Publish-date delta postprocessor (chunk_etl_postprocessing/vaccinations
+    // /queries.py PUBLISH_DATE_CALCULATION): today's per-(area, metric)
+    // release sum minus yesterday's, clamped at 0, metric renamed
+    // *ByVaccinationDate -> *ByPublishDate, rewrapped as {"value": n}.
+    "q98_publish_delta" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def release(filter: Column) = li.where(filter)
+        .groupBy(col("l_suppkey").cast("string").as("area_code"),
+          when(col("l_returnflag") === "A", "first")
+            .when(col("l_returnflag") === "N", "second")
+            .otherwise("third").as("dose"))
+        .agg(max(to_date(col("l_shipdate"))).as("date"),
+          sum("l_quantity").cast("double").as("value"))
+      val today = release(lit(true))
+      val yesterday = release(year(col("l_shipdate")) <= 1992)
+        .select(col("area_code"), col("dose"), col("value").as("y_value"))
+      val delta = (col("value") - col("y_value")).cast("long")
+      today.join(yesterday, Seq("area_code", "dose"), "left")
+        .select(col("area_code"),
+          when(col("dose") === "first", "newPeopleVaccinatedFirstDoseByPublishDate")
+            .when(col("dose") === "second", "newPeopleVaccinatedSecondDoseByPublishDate")
+            .otherwise("newPeopleVaccinatedThirdInjectionByPublishDate").as("metric"),
+          date_format(col("date"), "yyyy-MM-dd").as("date"),
+          to_json(struct(when(delta < 0, 0L).otherwise(delta).as("value")),
+            Map("ignoreNullFields" -> "false")).as("payload"))
+    }),
+
     // Corpus-unigram log-prob quality score — the LM-based quality filter
     // over the documents table; avg of ln(token frequency / corpus total).
     "q97_unigram_logprob" -> ((s, dir) =>
@@ -231,6 +258,35 @@ object RoutedQueries {
     // identical math to q68 (the router adds dispatch, not arithmetic) —
     // share its oracle text rather than fork a 40-line CTE chain
     "q96_routed_demographics" -> MiscQueries.oracles("q68_demographics"),
+
+    "q98_publish_delta" ->
+      """WITH today AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS area_code,
+        |         CASE WHEN l_returnflag = 'A' THEN 'first'
+        |              WHEN l_returnflag = 'N' THEN 'second'
+        |              ELSE 'third' END AS dose,
+        |         max(CAST(l_shipdate AS DATE)) AS date,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |yesterday AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS area_code,
+        |         CASE WHEN l_returnflag = 'A' THEN 'first'
+        |              WHEN l_returnflag = 'N' THEN 'second'
+        |              ELSE 'third' END AS dose,
+        |         CAST(SUM(l_quantity) AS DOUBLE) AS y_value
+        |  FROM lineitem WHERE year(l_shipdate) <= 1992 GROUP BY 1, 2
+        |)
+        |SELECT t.area_code,
+        |       CASE t.dose WHEN 'first' THEN 'newPeopleVaccinatedFirstDoseByPublishDate'
+        |                   WHEN 'second' THEN 'newPeopleVaccinatedSecondDoseByPublishDate'
+        |                   ELSE 'newPeopleVaccinatedThirdInjectionByPublishDate' END AS metric,
+        |       strftime(t.date, '%Y-%m-%d') AS date,
+        |       '{"value":' || COALESCE(CAST(
+        |          CASE WHEN CAST(t.value - y.y_value AS BIGINT) < 0 THEN 0
+        |               ELSE CAST(t.value - y.y_value AS BIGINT) END AS VARCHAR), 'null')
+        |       || '}' AS payload
+        |FROM today t LEFT JOIN yesterday y USING (area_code, dose)""".stripMargin,
 
     "q97_unigram_logprob" ->
       """WITH toks AS (
