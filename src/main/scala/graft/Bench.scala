@@ -47,7 +47,8 @@ object Bench {
     // steady-state numbers with codegen/IO caches warm, the figure that
     // round-over-round comparison should use. Default stays one cold pass
     // (the driver's contract).
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(1)
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(1))
     val results = (1 to passes).map(_ => onePass()).last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

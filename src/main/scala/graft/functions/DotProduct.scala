@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Native dot product of two numeric-array columns — the hot inner loop of
   * every ANN / near-dup / LSH query (SURVEY.md Similarity family).
@@ -27,41 +27,52 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
+  private val supported: Map[DataType, String] = Map(
+    FloatType -> "getFloat", DoubleType -> "getDouble", LongType -> "getLong",
+    IntegerType -> "getInt", ShortType -> "getShort", ByteType -> "getByte")
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(t, _) => supported.contains(t)
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects array<float|double> inputs, got " +
+      s"graft_dot expects arrays of numeric elements, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def getter(e: Expression): String =
+    supported(e.dataType.asInstanceOf[ArrayType].elementType)
+
+  private def read(xs: ArrayData, i: Int, get: String): Double = get match {
+    case "getFloat" => xs.getFloat(i).toDouble
+    case "getDouble" => xs.getDouble(i)
+    case "getLong" => xs.getLong(i).toDouble
+    case "getInt" => xs.getInt(i).toDouble
+    case "getShort" => xs.getShort(i).toDouble
+    case "getByte" => xs.getByte(i).toDouble
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val (lf, rf) = (isFloat(left), isFloat(right))
+    val (lg, rg) = (getter(left), getter(right))
     var acc = 0d
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += read(x, i, lg) * read(y, i, rg)
       i += 1
     }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    val lGet = getter(left)
+    val rGet = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

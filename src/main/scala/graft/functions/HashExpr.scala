@@ -61,28 +61,26 @@ object HashFunctions {
 
   @volatile private var registered: Set[SparkSession] = Set.empty
 
-  /** Register `blake2s_hex`/`blake2b_hex` for SQL / `expr()` /
-    * `call_function` use. */
+  /** The one builder per function — shared verbatim by this registry path
+    * and GraftExtensions, so the two registration routes cannot drift. */
+  private[graft] val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "blake2s_hex" -> (exprs => Blake2sHexExpr(
+      Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
+      Cast(exprs(2), IntegerType))),
+    "blake2b_hex" -> (exprs => Blake2bHexExpr(
+      Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
+      Cast(exprs(2), IntegerType))),
+    "graft_dot" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
+    "graft_minhash" -> (exprs => HashFunctions.buildMinhash(exprs)))
+
+  /** Register the graft function surface for SQL / `expr()` /
+    * `call_function` use on an already-built session. */
   def register(spark: SparkSession): Unit = synchronized {
     if (!registered(spark)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "blake2s_hex",
-        exprs => Blake2sHexExpr(
-          Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
-          Cast(exprs(2), IntegerType)),
-        "scala_udf")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "blake2b_hex",
-        exprs => Blake2bHexExpr(
-          Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
-          Cast(exprs(2), IntegerType)),
-        "scala_udf")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot",
-        exprs => DotProductExpr(exprs(0), exprs(1)),
-        "scala_udf")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_minhash", HashFunctions.buildMinhash, "scala_udf")
+      builders.foreach { case (name, build) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, build, "scala_udf")
+      }
       // The extensions path injects this at build time; for an already-built
       // session the experimental hook is the sanctioned equivalent.
       if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteDotProduct)) {

@@ -32,11 +32,13 @@ object MinHashCoefs {
   * allocations before any min is taken. This expression keeps `n` running
   * minima in a primitive long[] and scans the base hashes once.
   *
-  * Arithmetic matches `pmod(h*a + b, p)` exactly: base hashes lie in
-  * [0, p) and coefficients in [1, p), so `h*a + b < 2^62` never overflows
-  * and the plain `%` is already non-negative. Null input array → null;
-  * null elements are skipped like `array_min` does (all-null/empty input →
-  * null slots).
+  * Arithmetic matches `pmod(h*a + b, p)`: `floorMod` gives pmod's
+  * non-negative result for any sign of input, and for the intended domain —
+  * base hashes in [0, p) as produced by `Dedup.shingleHashes` — `h*a + b <
+  * 2^62` never overflows a long. (Out-of-domain inputs big enough to
+  * overflow differ from the ANSI HOF form, which would throw instead of
+  * wrapping.) Null input array → null; null elements are skipped like
+  * `array_min` does (all-null/empty input → null slots).
   */
 case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
     extends UnaryExpression {
@@ -64,7 +66,7 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
         val h = xs.getLong(i)
         var j = 0
         while (j < n) {
-          val v = (h * as(j) + bs(j)) % MinHashCoefs.MersenneP
+          val v = java.lang.Math.floorMod(h * as(j) + bs(j), MinHashCoefs.MersenneP)
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -94,7 +96,7 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
          |  if (!$xs.isNullAt($i)) {
          |    long $h = $xs.getLong($i);
          |    for (int $j = 0; $j < $n; $j++) {
-         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${MinHashCoefs.MersenneP}L;
+         |      long $v = java.lang.Math.floorMod($h * $aRef[$j] + $bRef[$j], ${MinHashCoefs.MersenneP}L);
          |      if ($v < $mins[$j]) $mins[$j] = $v;
          |    }
          |  }

@@ -61,13 +61,12 @@ object Dedup {
 
   /** The composed higher-order-function form of [[minhashFromHashes]] —
     * registration-free fallback and the semantic reference the native
-    * expression is tested against. */
+    * expression is tested against. Coefficients come from the SAME shared
+    * generator, so the two forms cannot drift. */
   def minhashFromHashesHof(baseHashes: Column, numHashes: Int): Column = {
-    val rnd = new scala.util.Random(0x5eed)
-    def coef() = 1L + rnd.nextInt((MersenneP - 1).toInt)
-    array((0 until numHashes).map { _ =>
-      val (a, b) = (coef(), coef())
-      array_min(transform(baseHashes, h => pmod(h * a + b, lit(MersenneP))))
+    val (as, bs) = graft.functions.MinHashCoefs.generate(numHashes, 0x5eed)
+    array(as.indices.map { j =>
+      array_min(transform(baseHashes, h => pmod(h * as(j) + bs(j), lit(MersenneP))))
     }: _*)
   }
 

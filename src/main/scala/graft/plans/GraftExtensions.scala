@@ -2,10 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{BinaryType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Blake2bHexExpr, Blake2sHexExpr, DotProductExpr, MinHashSigExpr}
+import graft.functions.HashFunctions
 
 /** SparkSessionExtensions entry point: installs the graft function surface
   * into any session at build time —
@@ -22,29 +21,15 @@ import graft.functions.{Blake2bHexExpr, Blake2sHexExpr, DotProductExpr, MinHashS
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def ternary(name: String, clazz: String,
-                      build: Seq[Expression] => Expression) =
-    (FunctionIdentifier(name),
-      new ExpressionInfo(clazz, name),
-      (exprs: Seq[Expression]) => build(exprs))
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(ternary("blake2s_hex",
-      classOf[Blake2sHexExpr].getCanonicalName,
-      exprs => Blake2sHexExpr(
-        Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
-        Cast(exprs(2), IntegerType))))
-    ext.injectFunction(ternary("blake2b_hex",
-      classOf[Blake2bHexExpr].getCanonicalName,
-      exprs => Blake2bHexExpr(
-        Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
-        Cast(exprs(2), IntegerType))))
-    ext.injectFunction(ternary("graft_dot",
-      classOf[DotProductExpr].getCanonicalName,
-      exprs => DotProductExpr(exprs(0), exprs(1))))
-    ext.injectFunction(ternary("graft_minhash",
-      classOf[MinHashSigExpr].getCanonicalName,
-      graft.functions.HashFunctions.buildMinhash))
+    // one shared builder map — this path and HashFunctions.register cannot
+    // drift apart
+    HashFunctions.builders.foreach { case (name, build) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          build(exprs)))
+    }
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

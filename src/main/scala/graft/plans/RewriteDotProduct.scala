@@ -57,6 +57,10 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
         finish)
       if zero == 0d && isIdentity(finish) &&
+        // the product must already be a DOUBLE multiply: a float-typed
+        // Multiply rounds (or overflows to Inf) per element, and rewriting
+        // it to the double-widening native form would change results
+        m.dataType == DoubleType &&
         numericArray(left) && numericArray(right) &&
         asVar(m.left).exists(_.exprId == x.exprId) &&
         asVar(m.right).exists(_.exprId == y.exprId) &&
