@@ -66,6 +66,48 @@ object CorpusOps {
     df.where(hashUniform(col(idCol)) < rate)
   }
 
+  /** Corpus-level block dedup (the line-level dedup of CCNet-style cleaning,
+    * on fixed `blockTokens`-token blocks since the fixture corpus has no
+    * newlines): every document is split into consecutive token blocks, each
+    * block instance survives iff it is the corpus-wide FIRST occurrence of
+    * its exact text (ordered by id, then position), and survivors are
+    * re-joined in original order. Emits per-document block counts and the
+    * deduplicated text (null when nothing survives).
+    *
+    * Scale shape: one window shuffle keyed by block text (the global
+    * keep-first decision) + one group-by shuffle keyed by doc id (the
+    * reassembly). Block texts are bounded (`blockTokens` tokens), so the
+    * first exchange carries rows proportional to the corpus token count —
+    * never a cross product — and hot blocks (boilerplate repeated millions of
+    * times) stay a single window partition processed by one streaming rank,
+    * not a join fan-out. */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
+                  blockTokens: Int): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    val toks = split(col(textCol), " ")
+    val nBlocks = ceil(size(toks).cast("double") / blockTokens).cast("int")
+    val blocks = transform(sequence(lit(0), greatest(nBlocks - 1, lit(0))),
+      i => array_join(slice(toks, i * blockTokens + 1, blockTokens), " "))
+    val exploded = df.select(col(idCol), posexplode(blocks).as(Seq("pos", "block")))
+    val firstOcc = Window.partitionBy(col("block")).orderBy(col(idCol), col("pos"))
+    exploded
+      .withColumn("keep", row_number().over(firstOcc) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                when(col("keep"), col("block")).as("block")))),
+              s => s.getField("block").isNotNull),
+            s => s.getField("block")),
+          " ").as("__txt"))
+      .select(col(idCol), col("n_blocks"), col("n_kept"),
+        when(col("n_kept") > 0, col("__txt")).as("deduped_text"))
+  }
+
   /** Per-source token cap (data-mixing dedup of over-represented domains):
     * within each source, documents are ranked by (hash, id) — a stable,
     * content-blind order — and kept while the running token total stays

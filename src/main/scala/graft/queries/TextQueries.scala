@@ -46,16 +46,8 @@ object TextQueries {
     // no hits → 'unknown'
     "q41_lang_id" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val lex = s.createDataFrame(lexicon).toDF("cand_lang", "token")
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val scores = toks.join(broadcast(lex), Seq("token"))
-        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
-      val best = Serving.topNPerGroup(scores, Seq("doc_id"),
-        Seq(col("hits").desc, col("cand_lang").asc), 1, useRowNumber = true)
       docs.select(col("doc_id"), col("lang"))
-        .join(best.select(col("doc_id"), col("cand_lang")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"))
+        .join(predictedLang(s, docs), Seq("doc_id"))
     }),
 
     // Quality scoring: token stats + stopword ratio → bounded score
@@ -173,8 +165,75 @@ object TextQueries {
       Tables.load(s, dir, "documents").select(col("doc_id"),
         regexp_replace(regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          "[0-9]{6,}", "<NUM>").as("scrubbed")))
+          "[0-9]{6,}", "<NUM>").as("scrubbed"))),
+
+    // Corpus-level block dedup (CCNet line-dedup analogue on 3-token
+    // blocks): keep only first occurrences of each exact block corpus-wide,
+    // reassemble surviving blocks per document.
+    "q99_block_dedup" -> ((s, dir) =>
+      CorpusOps.dedupBlocks(Tables.load(s, dir, "documents"),
+        "doc_id", "text", blockTokens = 3)),
+
+    // Two-pass heavy hitters: bounded-memory Misra-Gries candidates
+    // (mergeable sketch, map-side combined) + exact recount of the candidate
+    // set only. With 64 counters the sketch provably surfaces every token
+    // above N/65, so the N/20-threshold output equals the exact answer.
+    "q100_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cands = toks.agg(graft.functions.FreqSketch.misraGries(64)(col("token")).as("mg"))
+        .select(explode(col("mg.tokens")).as("token"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") >= ceil(col("n_total").cast("double") / 20))
+        .select(col("token"), col("n"))
+    }),
+
+    // C4-style cleaning composite: language-consistency filter (predicted ==
+    // labeled) → quality floor → corpus exact-dedup keep-first → PII scrub.
+    // Each stage is an already-verified operator; this is the chained
+    // pipeline a pretraining data build runs end to end.
+    "q102_clean_compose" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val langOk = docs
+        .join(predictedLang(s, docs), Seq("doc_id"))
+        .where(col("predicted_lang") === col("lang"))
+      val quality = langOk
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(split(col("text"), " "),
+            t => array_contains(array(stopwords.map(lit): _*), t))).cast("long"))
+        .withColumn("quality_score",
+          round(least(col("n_tokens").cast("double"), lit(100d)) / 100d
+            * (lit(1d) - col("n_stop").cast("double") / col("n_tokens")), 3))
+        .where(col("quality_score") >= 0.2)
+      val deduped = quality
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("__rn") === 1)
+      deduped.select(col("doc_id"), col("lang"), col("quality_score"),
+        regexp_replace(regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("scrubbed"))
+    })
   )
+
+  /** Stopword-vote language prediction shared by q41 and the q102 cleaning
+    * composite: argmax of lexicon hits (ties → lang asc, no hits →
+    * 'unknown'). */
+  private def predictedLang(s: SparkSession, docs: DataFrame): DataFrame = {
+    val lex = s.createDataFrame(lexicon).toDF("cand_lang", "token")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val scores = toks.join(broadcast(lex), Seq("token"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+    val best = Serving.topNPerGroup(scores, Seq("doc_id"),
+      Seq(col("hits").desc, col("cand_lang").asc), 1, useRowNumber = true)
+    docs.select(col("doc_id"))
+      .join(best.select(col("doc_id"), col("cand_lang")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"))
+  }
 
   private val lexValues = lexicon
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
@@ -337,6 +396,81 @@ object TextQueries {
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS byte_len,
         |       lower(hex(encode(left(text, 8)))) AS header_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q99_block_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0,
+        |           greatest(CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1, 0))) AS pos
+        |  FROM t
+        |),
+        |b AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(toks[pos * 3 + 1 : pos * 3 + 3], ' ') AS block
+        |  FROM idx
+        |),
+        |r AS (
+        |  SELECT doc_id, pos, block,
+        |         row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_blocks,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+        |            THEN string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos)
+        |       END AS deduped_text
+        |FROM r GROUP BY doc_id""".stripMargin,
+
+    "q100_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT token, COUNT(*) AS n
+        |FROM toks, tot
+        |GROUP BY token, n_total
+        |HAVING COUNT(*) >= ceil(n_total / 20.0)""".stripMargin,
+
+    "q102_clean_compose" ->
+      s"""WITH lex(cand_lang, token) AS (VALUES $lexValues),
+         |ltoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+         |  FROM ltoks JOIN lex USING (token) GROUP BY doc_id, cand_lang
+         |),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM scores
+         |  ) WHERE rn = 1
+         |),
+         |langok AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  LEFT JOIN best ON d.doc_id = best.doc_id
+         |  WHERE d.lang = COALESCE(best.cand_lang, 'unknown')
+         |),
+         |quality AS (
+         |  SELECT doc_id, lang, text,
+         |         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100) / 100
+         |           * (1 - CAST(len(list_filter(string_split(text, ' '),
+         |                t -> t IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
+         |              / len(string_split(text, ' '))), 3) AS quality_score
+         |  FROM langok
+         |),
+         |qual AS (SELECT * FROM quality WHERE quality_score >= 0.2),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, lang, quality_score, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM qual
+         |  ) WHERE rn = 1
+         |)
+         |SELECT doc_id, lang, quality_score,
+         |       regexp_replace(regexp_replace(text,
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+         |FROM dedup""".stripMargin
   )
 }
