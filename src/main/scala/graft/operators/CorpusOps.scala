@@ -87,7 +87,7 @@ object CorpusOps {
     val toks = split(col(textCol), " ")
     val nBlocks = ceil(size(toks).cast("double") / blockTokens).cast("int")
     val blocks = transform(sequence(lit(0), greatest(nBlocks - 1, lit(0))),
-      i => array_join(slice(toks, i * blockTokens + 1, blockTokens), " "))
+      i => array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " "))
     val exploded = df.select(col(idCol), posexplode(blocks).as(Seq("pos", "block")))
     val firstOcc = Window.partitionBy(col("block")).orderBy(col(idCol), col("pos"))
     exploded

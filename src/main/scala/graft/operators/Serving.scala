@@ -15,25 +15,37 @@ object Serving {
     * `despatch_ops_workers/map_percentiles/queries.py:14-96`).
     * PostgreSQL semantics: smallest value whose cume_dist >= p, i.e. the
     * element at 1-based index ceil(p*n) of the sorted group. Computed with a
-    * rank window rather than `percentile_approx` so results are exact and
-    * engine-agnostic. One shuffle on `keys`.
+    * cumulative-count window over the per-key value histogram rather than
+    * `percentile_approx` so results are exact and engine-agnostic.
     */
   def percentileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
                      ps: Seq[(String, Double)]): DataFrame = {
-    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    // full frame on the same ordering: stacks with wOrd on one sort
-    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = df
+    // Value-histogram construction: collapse raw rows to (keys, value, count)
+    // with a hash aggregate FIRST (map-side partial combine), then run the
+    // cumulative window over the histogram. percentile_disc(p) = the smallest
+    // value whose cumulative count reaches ceil(p*n), so the histogram loses
+    // nothing — and the window's input is |keys × distinct values| rows, not
+    // the corpus. A rank window over raw rows would shuffle every row into
+    // its key partition (for a global/constant key: one partition of the
+    // entire table); the histogram shuffles counts.
+    val hist = df
       .where(col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    // full frame on the same ordering: stacks with cum on one sort
+    val all = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withCum = hist
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n", sum(col("__c")).over(all))
     val aggs =
       min(col(valueCol)).as("min_value") +:
       max(col(valueCol)).as("max_value") +:
       ps.map { case (name, p) =>
-        min(when(col("__rn") >= ceil(lit(p) * col("__n")), col(valueCol))).as(name)
+        min(when(col("__cum") >= ceil(lit(p) * col("__n")), col(valueCol))).as(name)
       }
-    ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    withCum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** A9: interpolating percentiles (pandas `Series.quantile` / SQL
@@ -43,23 +55,31 @@ object Serving {
     * engines compute bit-identical arithmetic. */
   def percentileCont(df: DataFrame, keys: Seq[String], valueCol: String,
                      ps: Seq[(String, Double)]): DataFrame = {
-    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    // full frame on the same ordering: stacks with wOrd on one sort
-    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = df
+    // Same value-histogram construction as percentileDisc: the sorted-rank
+    // positions lo/hi are recovered from cumulative counts (the value at
+    // 1-based rank r is the smallest value whose cumulative count >= r), so
+    // the window input is the per-key value histogram, never the raw rows.
+    val hist = df
       .where(col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    // full frame on the same ordering: stacks with cum on one sort
+    val all = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withCum = hist
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n", sum(col("__c")).over(all))
     val aggs = ps.map { case (name, p) =>
       val pos = lit(p) * (col("__n") - 1) + 1 // 1-based fractional position
       val lo = floor(pos)
       val hi = ceil(pos)
       val frac = pos - lo
-      val vLo = max(when(col("__rn") === lo, col(valueCol)))
-      val vHi = max(when(col("__rn") === hi, col(valueCol)))
+      val vLo = min(when(col("__cum") >= lo, col(valueCol)))
+      val vHi = min(when(col("__cum") >= hi, col(valueCol)))
       (vLo + (vHi - vLo) * max(frac)).as(name)
     }
-    ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    withCum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** W5/O2/O3: keep the top `n` rows per group by rank order (reference

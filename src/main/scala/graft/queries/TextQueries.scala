@@ -73,12 +73,24 @@ object TextQueries {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))),
 
     // Exact token-set Jaccard within source blocks (blocked pairwise
-    // similarity — the verifiable core of near-dup detection)
+    // similarity — the verifiable core of near-dup detection). The token
+    // self-join is bounded: a stopword-grade token appearing in nearly every
+    // document of a block would generate ~docs² join rows while carrying no
+    // Jaccard discrimination, so tokens with document frequency > dfCap per
+    // (source, lang) block are dropped from BOTH the intersection and the
+    // set sizes (Jaccard over the capped token sets — the oracle mirrors the
+    // same cap). Join fan-out is thus O(dfCap²) pairs per token at any
+    // corpus size; MinHash (q45) remains the approximate scale path.
     "q44_jaccard_pairs" -> ((s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
+      val dfCap = 100
+      val raw = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
           explode(split(col("text"), " ")).as("token"))
         .distinct()
+      val toks = raw
+        .withColumn("__df", count(lit(1)).over(
+          Window.partitionBy(col("source"), col("lang"), col("token"))))
+        .where(col("__df") <= dfCap).drop("__df")
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
       val a = toks.select(col("source"), col("lang"), col("doc_id").as("a_id"), col("token"))
       val b = toks.select(col("source"), col("lang"), col("doc_id").as("b_id"), col("token"))
@@ -319,10 +331,15 @@ object TextQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q44_jaccard_pairs" ->
-      """WITH toks AS (
+      """WITH raw AS (
         |  SELECT DISTINCT doc_id, source, lang, token FROM (
         |    SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS token FROM documents
         |  )
+        |),
+        |toks AS (
+        |  SELECT doc_id, source, lang, token FROM (
+        |    SELECT raw.*, COUNT(*) OVER (PARTITION BY source, lang, token) AS df FROM raw
+        |  ) WHERE df <= 100
         |),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
         |inter AS (

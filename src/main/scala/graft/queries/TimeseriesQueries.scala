@@ -153,10 +153,12 @@ object TimeseriesQueries {
     "q13_percentiles" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
       val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
-      val per = Serving.percentileDisc(li, Seq("l_returnflag"), "l_quantity", ps)
-      val all = Serving.percentileDisc(li.withColumn("l_returnflag", lit("ALL")),
-        Seq("l_returnflag"), "l_quantity", ps)
-      per.unionByName(all)
+      // Union BEFORE the percentile pass (mirroring the oracle's src CTE):
+      // one window stack over a real union attribute. Relabeling with a
+      // literal key and computing separately would constant-fold the
+      // partition key into an unpartitioned window (PlanSpec guards this).
+      val src = li.unionByName(li.withColumn("l_returnflag", lit("ALL")))
+      Serving.percentileDisc(src, Seq("l_returnflag"), "l_quantity", ps)
     }),
 
     // J6: full-outer alignment of per-status daily order counts

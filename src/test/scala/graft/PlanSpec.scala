@@ -63,6 +63,28 @@ class PlanSpec extends SparkSpec {
     assert(!sample.contains("Exchange"), sample.take(1500))
   }
 
+  test("top-N rank takes an ordered slice, not a global sort-to-one") {
+    val p = plan("q59_sort_rank")
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k
+    // heaps merged at the driver — the full table is never shuffled into a
+    // single sort partition
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("no declared query plans an unpartitioned window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // An empty partitionSpec funnels the operator's whole input through one
+    // partition (Spark's own "No Partition Defined" warning) — fine on a
+    // bounded slice, catastrophic on a table. Guard every declared query.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("chunk routing filters rows at the scan and never cross-joins") {
     val p = plan("q88_run_direct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
