@@ -158,6 +158,19 @@ object TextQueries {
         octet_length(col("text")).cast("long").as("byte_len"),
         lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header_hex"))),
 
+    // Real media decode end to end: each doc is wrapped into a genuine
+    // WAV / MP4 / BMP whose header encodes sizes derived from the text's
+    // byte length, then decoded by the header-only probes (RIFF chunk walk,
+    // ISO BMFF box walk, imageio) through the binary-column mapPartitions
+    // path. The oracle recomputes every decoded feature from strlen(text)
+    // arithmetic — a wrong byte offset anywhere in parser or synthesizer
+    // breaks the match.
+    "q101_media_decode" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticAssets(s, dir))
+        .toDF()
+        .select(col("asset_id"), col("kind"), col("width"), col("height"),
+          col("duration_ms"))),
+
     // Sliding-window chunking: 100-token chunks, stride 80 (20-token
     // overlap) — map-side generate, no shuffle.
     "q85_chunk_docs" -> ((s, dir) =>
@@ -413,6 +426,21 @@ object TextQueries {
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS byte_len,
         |       lower(hex(encode(left(text, 8)))) AS header_hex
+        |FROM documents""".stripMargin,
+
+    "q101_media_decode" ->
+      """SELECT doc_id AS asset_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image'
+        |                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN strlen(text) % 100 + 1
+        |                            WHEN 1 THEN 0
+        |                            ELSE strlen(text) % 320 + 1 END AS INT) AS width,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN strlen(text) % 50 + 1
+        |                            WHEN 1 THEN 0
+        |                            ELSE strlen(text) % 240 + 1 END AS INT) AS height,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |                            WHEN 1 THEN strlen(text) // 8
+        |                            ELSE strlen(text) END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "q99_block_dedup" ->

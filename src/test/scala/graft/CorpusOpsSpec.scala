@@ -54,6 +54,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sampledHalf === fullBelow)
   }
 
+  test("dedupBlocks: corpus-wide keep-first, hot blocks and empty survivors") {
+    // "a b" is the hot block (appears in three docs) — the corpus-wide
+    // keep-first decision must keep exactly the doc-1 instance. Doc 2 is
+    // entirely made of already-seen blocks → zero survivors, null text.
+    val docs = Seq(
+      (1L, "a b c d"), // both blocks first occurrences
+      (2L, "a b c d"), // both duplicate → empty survivor
+      (3L, "a b x y"), // one duplicate, one fresh
+      (4L, "e")        // short tail block
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dedupBlocks(docs, "doc_id", "text", blockTokens = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 0L, null),
+      (3L, 2L, 1L, "x y"),
+      (4L, 1L, 1L, "e")))
+  }
+
   test("capSourceTokens: within cap per source, and maximal") {
     val cap = 2000L
     val kept = CorpusOps.capSourceTokens(docs, "doc_id", "source", "text", cap)

@@ -42,6 +42,48 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).width >= 1) // stub fallback
   }
 
+  test("WAV probe reads byte rate and data size from the RIFF header") {
+    // 8000 B/s byte rate, 12000-byte payload → 1500 ms
+    val wav = Multimodal.wavBytes(new Array[Byte](12000), sampleRate = 8000)
+    val f = Multimodal.decodeWav(Multimodal.Asset(1L, "audio", wav, Map.empty))
+    assert(f.isDefined)
+    assert(f.get.duration_ms === 1500L)
+    assert(f.get.header_hex.startsWith("52494646")) // "RIFF"
+    // truncated / non-RIFF bytes → None, never a throw
+    assert(Multimodal.decodeWav(
+      Multimodal.Asset(2L, "audio", "RIFFbut short".getBytes, Map.empty)).isEmpty)
+    assert(Multimodal.decodeWav(
+      Multimodal.Asset(3L, "audio", wav.take(30), Map.empty)).isEmpty)
+  }
+
+  test("MP4 probe reads mvhd duration and tkhd 16.16 dimensions") {
+    val mp4 = Multimodal.mp4Bytes(durationMs = 90500L, width = 640, height = 360)
+    val f = Multimodal.decodeMp4(Multimodal.Asset(1L, "video", mp4, Map.empty))
+    assert(f.isDefined)
+    assert(f.get.duration_ms === 90500L)
+    assert(f.get.width === 640 && f.get.height === 360)
+    assert(Multimodal.decodeMp4(
+      Multimodal.Asset(2L, "video", "not a movie at all".getBytes, Map.empty)).isEmpty)
+  }
+
+  test("BMP header synthesizer round-trips through the imageio probe") {
+    val bmp = Multimodal.bmpBytes(width = 77, height = 31)
+    val f = Multimodal.decodeImage(Multimodal.Asset(1L, "image", bmp, Map.empty))
+    assert(f.isDefined)
+    assert(f.get.width === 77 && f.get.height === 31)
+  }
+
+  test("synthetic media corpus decodes via the real probes, never the stub") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, sf))
+      .collect()
+    assert(feats.nonEmpty)
+    // audio assets report zero dimensions (probe result), which the stub
+    // can never produce (stub widths are always >= 1)
+    assert(feats.filter(_.kind == "audio").forall(f => f.width === 0 && f.duration_ms >= 0))
+    assert(feats.filter(_.kind == "video").forall(f => f.width >= 1 && f.width <= 320))
+    assert(feats.filter(_.kind == "image").forall(f => f.width >= 1 && f.width <= 100))
+  }
+
   test("resize plan fits every asset inside the box, preserving aspect") {
     val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(spark, sf))
     val resized = Multimodal.resizePlan(feats.toDF(), maxDim = 256).collect()
