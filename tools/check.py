@@ -303,7 +303,25 @@ def py_q49_lsh_ann(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q71_approx_distinct(con, spark_df, oracle):
+    """HLL estimates are engine-specific, so exact-hash comparison is
+    impossible — instead require every group's estimate within 5% of the
+    exact distinct count (the declared rsd is 2%). The compared frames are
+    (group, within_tol) so any out-of-band estimate fails the hash match."""
+    exact = con.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts "
+        "FROM lineitem GROUP BY 1").df()
+    merged = spark_df.merge(exact, on="l_returnflag", how="outer")
+    merged["within_tol"] = (
+        (merged.approx_parts - merged.exact_parts).abs()
+        <= 0.05 * merged.exact_parts)
+    a = merged[["l_returnflag", "within_tol"]]
+    b = exact[["l_returnflag"]].assign(within_tol=True)
+    return a, b
+
+
 PY_ORACLES = {
+    "q71_approx_distinct": py_q71_approx_distinct,
     "q49_lsh_ann": py_q49_lsh_ann,
     "q35_blake2s_hash": py_q35_blake2s_hash,
     "q63_blake2b_slug": py_q63_blake2b_slug,
