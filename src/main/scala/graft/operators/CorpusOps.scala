@@ -66,6 +66,33 @@ object CorpusOps {
     df.where(hashUniform(col(idCol)) < rate)
   }
 
+  /** Deterministic weighted reservoir sample (Efraimidis–Spirakis A-ES):
+    * each item gets priority ln(u) / w where u is its hash-uniform in (0, 1)
+    * and w its weight; the k LARGEST priorities per group are the sample —
+    * inclusion probability proportional to weight, exactly the classic
+    * scheme, but with the uniform derived from md5(id) instead of an RNG so
+    * the draw is reproducible on any cluster and mirrorable by a SQL oracle.
+    *
+    * Scale shape: the top-k is the bounded [[graft.functions.TopKAgg]]
+    * typed aggregate — each input partition reduces to ≤2k candidates per
+    * group BEFORE the exchange, so the shuffle carries O(k × partitions)
+    * rows per group, never the corpus. A rank-window formulation would
+    * shuffle and sort every row.
+    *
+    * u is offset by +0.5/2^32 to stay strictly inside (0, 1): ln(0) would
+    * produce -Inf priorities that silently never sample. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (md5Prefix32(col(idCol)).cast("double") + lit(0.5)) / lit(4294967296d)
+    val pri = log(u) / col(weightCol).cast("double")
+    df.withColumn("__pri", pri)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.topK(k)(col("__pri"), col(idCol)).as("__top"))
+      .select(col(groupCol), explode(col("__top.items")).as("__item"))
+      .select(col(groupCol), col("__item.id").as(idCol))
+  }
+
   /** Corpus-level block dedup (the line-level dedup of CCNet-style cleaning,
     * on fixed `blockTokens`-token blocks since the fixture corpus has no
     * newlines): every document is split into consecutive token blocks, each

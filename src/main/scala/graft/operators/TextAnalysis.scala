@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis scalar operators for training-data pipelines: token counting,
@@ -108,6 +109,34 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(avg(log(col("cnt").cast("double") / col("__total"))), scale)
         .as("mean_logprob"))
+  }
+
+  /** Corpus-bigram LM quality score: mean ln p(w2|w1) over the document's
+    * adjacent token pairs, with p(w2|w1) = c(w1,w2) / c(w1,·) estimated from
+    * the corpus itself (so every observed bigram has positive probability —
+    * no smoothing constant to tune). The sharper sibling of
+    * [[unigramLogProb]]: repetitive or templated text scores high,
+    * word-salad scores low even when its unigrams are common.
+    *
+    * Scale shape: the bigram LM is built with one hash aggregate over the
+    * pair stream (map-side combined); the leading-token totals ride a window
+    * over the LM table (|bigram vocab| rows, not the corpus); scoring is one
+    * equi-join on (w1, w2). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    scale: Int = 4): DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = df
+      .where(size(t) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    pairs.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("c12").cast("double") / col("c1"))), scale)
+        .as("mean_bigram_logprob"))
   }
 
   /** Language ID by stopword vote (see TextQueries.lexicon for the lexicon

@@ -154,12 +154,29 @@ object ServingQueries {
         .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
           countDistinct(col("l_partkey")).as("n_parts"))),
 
-    // HLL approximate distinct — rows-only (sketch values are
-    // engine-specific); the scale path for 100 TB cardinalities.
+    // HLL approximate distinct — tolerance-banded oracle (estimates are
+    // engine-specific; check.py requires each within 5% of the exact
+    // count); the scale path for 100 TB cardinalities.
     "q71_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
+    // Greenwald-Khanna quantile sketch (Spark's built-in percentile_approx):
+    // the bounded-memory mergeable path for percentiles over 100 TB —
+    // completing the sketch family (cardinality: HLL/linear counting,
+    // frequency: Misra-Gries, quantiles: GK). check.py verifies each
+    // returned value's true rank sits within the sketch's rank-error bound
+    // of its target quantile.
+    "q105_approx_quantiles" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("p25"),
+          col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"))),
 
     // R4: nested densify — (key × category × date) spine, left-join data
     // (homogenisation.py:81-130)

@@ -216,6 +216,23 @@ object TextQueries {
         .select(col("token"), col("n"))
     }),
 
+    // Deterministic weighted reservoir sample (Efraimidis-Spirakis via
+    // md5-derived uniforms): 5 docs per source, inclusion probability
+    // proportional to token count, reproducible on any cluster and mirrored
+    // exactly by the oracle. Top-k runs as the bounded TopKAggregator -
+    // O(k x partitions) shuffle rows per group, never the corpus.
+    "q103_weighted_sample" -> ((s, dir) =>
+      CorpusOps.weightedSample(
+        Tables.load(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "source", "n_tokens", k = 5)),
+
+    // Corpus-bigram LM quality score (the sharper sibling of q97's unigram):
+    // mean ln p(w2|w1) with p estimated from the corpus itself.
+    "q104_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.load(s, dir, "documents"),
+        "doc_id", "text")),
+
     // C4-style cleaning composite: language-consistency filter (predicted ==
     // labeled) → quality floor → corpus exact-dedup keep-first → PII scrub.
     // Each stage is an already-verified operator; this is the chained
@@ -442,6 +459,38 @@ object TextQueries {
         |                            WHEN 1 THEN strlen(text) // 8
         |                            ELSE strlen(text) END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    "q103_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id, source,
+        |         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |            / 4294967296.0) / n_tokens AS pri
+        |  FROM w
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+        |  FROM p
+        |)
+        |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin,
+
+    "q104_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(t[1 : len(t) - 1]) AS w1,
+        |         unnest(t[2 : len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2
+        |),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1)
+        |SELECT doc_id,
+        |       round(AVG(ln(CAST(c12 AS DOUBLE) / c1)), 4) AS mean_bigram_logprob
+        |FROM bg JOIN bc USING (w1, w2) JOIN tot USING (w1)
+        |GROUP BY doc_id""".stripMargin,
 
     "q99_block_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

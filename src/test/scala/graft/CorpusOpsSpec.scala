@@ -74,6 +74,32 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, 1L, 1L, "e")))
   }
 
+  test("weightedSample: matches an independent Efraimidis-Spirakis computation") {
+    val k = 3
+    val weighted = docs.withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    val got = CorpusOps.weightedSample(weighted, "doc_id", "source", "n_tokens", k)
+      .as[(String, Long)].collect().toSet
+    // independent recomputation: md5-prefix uniform -> ln(u)/w -> top-k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296d
+      math.log(u) / w
+    }
+    val expected = weighted.select("source", "doc_id", "n_tokens")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.map { case (_, id, w) => (id, pri(id, w)) }
+          .sortBy { case (id, p) => (-p, id) }.take(k)
+          .map { case (id, _) => (src, id) }
+      }.toSet
+    assert(got === expected)
+    // every group contributes at most k rows
+    assert(got.groupBy(_._1).values.forall(_.size <= k))
+  }
+
   test("capSourceTokens: within cap per source, and maximal") {
     val cap = 2000L
     val kept = CorpusOps.capSourceTokens(docs, "doc_id", "source", "text", cap)

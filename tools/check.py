@@ -320,8 +320,34 @@ def py_q71_approx_distinct(con, spark_df, oracle):
     return a, b
 
 
+def py_q105_approx_quantiles(con, spark_df, oracle):
+    """Greenwald-Khanna sketch values are implementation-specific; the
+    guarantee is on RANK: a value returned for quantile phi must have true
+    rank within (phi ± eps)·n, eps = 1/accuracy (plus 1/n discreteness).
+    Compared frames are (group, within_tol)."""
+    li = con.execute(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem").df()
+    groups = sorted(li.l_returnflag.unique())
+    rows_a = []
+    for _, r in spark_df.iterrows():
+        g = li[li.l_returnflag == r.l_returnflag].l_extendedprice
+        n = len(g)
+        tol = 1e-4 + 1.0 / max(n, 1)
+        ok = n > 0 and all(
+            # true-rank interval [frac(<v), frac(<=v)] must intersect phi±tol
+            (g <= r[cname]).sum() / n >= phi - tol
+            and (g < r[cname]).sum() / n <= phi + tol
+            for cname, phi in (("p25", .25), ("p50", .5), ("p75", .75)))
+        rows_a.append((r.l_returnflag, bool(ok)))
+    a = pd.DataFrame(rows_a, columns=["l_returnflag", "within_tol"])
+    b = pd.DataFrame([(f, True) for f in groups],
+                     columns=["l_returnflag", "within_tol"])
+    return a, b
+
+
 PY_ORACLES = {
     "q71_approx_distinct": py_q71_approx_distinct,
+    "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
     "q35_blake2s_hash": py_q35_blake2s_hash,
     "q63_blake2b_slug": py_q63_blake2b_slug,
