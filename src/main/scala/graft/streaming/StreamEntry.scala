@@ -78,6 +78,38 @@ object StreamEntry {
       }.toDF()
   }
 
+  case class MGShardOut(shard: Long, tokens: Seq[String], estimates: Seq[Long])
+
+  /** Streaming heavy hitters: the stateful twin of the batch Misra-Gries
+    * sketch (q100). Tokens shard by hash; each shard keeps ONE bounded
+    * k-counter [[graft.functions.MGBuf]] in `mapGroupsWithState`, folding
+    * every micro-batch through the same `reduce` the batch aggregator uses,
+    * and emits its current candidate set each trigger (Update mode). Shards
+    * partition the token space, so cross-shard merging is a plain union and
+    * the per-shard guarantee (every token above shardN/(k+1) present) holds
+    * over the stream's full history — with state bounded at
+    * O(nShards × k) counters forever, regardless of stream volume. */
+  def heavyHitters(spark: SparkSession, tokens: DataFrame,
+                   k: Int = 64, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.MisraGriesAggregator(k)
+    tokens
+      .select(pmod(xxhash64(col("token")), lit(nShards.toLong)).as("shard"),
+        col("token"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[graft.functions.MGBuf, MGShardOut](
+        GroupStateTimeout.NoTimeout()) {
+        (shard, it, state) =>
+          val buf = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, rec) => agg.reduce(b, rec._2)
+          }
+          state.update(buf)
+          val res = agg.finish(buf)
+          MGShardOut(shard, res.tokens, res.estimates)
+      }.toDF()
+  }
+
   /** Streaming exactly-once-per-key dedup with bounded state:
     * `dropDuplicatesWithinWatermark` keeps each key's state only until the
     * watermark passes it, so at-least-once upstream delivery (the reference's

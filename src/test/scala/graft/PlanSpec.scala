@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned WindowExec in: ${offenders.distinct.mkString(", ")}")
   }
 
+  test("heavy hitters: sketch reduces map-side, candidates broadcast") {
+    val p = plan("q100_heavy_hitters")
+    // pass 1 must partial-aggregate (<=64 counters per partition cross the
+    // wire); pass 2's recount must join candidates by broadcast, never by
+    // shuffling the token stream against them
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("weighted sample: one shuffle, bounded top-k partials") {
+    val p = plan("q103_weighted_sample")
+    assert("hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(p).size === 2) // partial + final
+  }
+
+  test("media decode plan never exchanges raw binary columns") {
+    val p = plan("q101_media_decode")
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("chunk routing filters rows at the scan and never cross-joins") {
     val p = plan("q88_run_direct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

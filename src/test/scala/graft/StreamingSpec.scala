@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     assert(n.getLong(1) === 200L)
   }
 
+  test("streaming heavy hitters surface hot tokens with bounded state") {
+    // skewed token stream: "hot" is ~1/3 of all tokens, the rest spread
+    // over 400 distinct noise tokens — far under any shard's N/(k+1) bar
+    val dir = Files.createTempDirectory("landing_tokens").toString
+    val toks = (1 to 3000).map { i =>
+      if (i % 3 == 0) "hot" else s"noise${i % 400}"
+    }
+    import spark.implicits._
+    toks.toDF("token").coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = StreamEntry.heavyHitters(spark,
+      spark.readStream.schema("token STRING").parquet(dir), k = 8, nShards = 4)
+    val q = stream.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hh").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT shard, tokens, estimates FROM hh").collect()
+    assert(rows.nonEmpty)
+    val candidates = rows.flatMap(_.getSeq[String](1)).toSet
+    assert(candidates.contains("hot"))
+    // bounded state: no shard ever holds more than k counters
+    assert(rows.forall(_.getSeq[String](1).size <= 8))
+    // the hot token's estimate lower-bounds its true count within the MG
+    // error (its shard saw at most all 3000 tokens -> slack <= 3000/9)
+    val hotEst = rows.filter(_.getSeq[String](1).contains("hot"))
+      .map(r => r.getSeq[Long](2)(r.getSeq[String](1).indexOf("hot"))).max
+    assert(hotEst <= 1000L && hotEst >= 1000L - 3000L / 9)
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val joined = StreamEntry.purchaseViewJoin(StreamEntry.readEvents(spark, landing))
     val q = joined.writeStream.outputMode(OutputMode.Append)
