@@ -216,6 +216,12 @@ object TextQueries {
         .select(col("token"), col("n"))
     }),
 
+    // Single-pass table profiler ("ANALYZE TABLE" preflight): per column,
+    // row/null counts, oracle-checkable linear-counting distinct, max
+    // rendered width - one aggregate over the table, stacked by explode.
+    "q106_profile" -> ((s, dir) =>
+      Profile.profile(Tables.load(s, dir, "documents"))),
+
     // Deterministic weighted reservoir sample (Efraimidis-Spirakis via
     // md5-derived uniforms): 5 docs per source, inclusion probability
     // proportional to token count, reproducible on any cluster and mirrored
@@ -279,6 +285,27 @@ object TextQueries {
 
   private val lexValues = lexicon
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+
+  /** The q106 oracle, generated per documents column so both engines profile
+    * the identical column set with the identical linear-counting sketch. */
+  private val profileOracle: String = {
+    val branches = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""  SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |         COUNT(*) - COUNT($c) AS n_null,
+         |         COUNT(DISTINCT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT % 4096) AS filled,
+         |         MAX(strlen(CAST($c AS VARCHAR))) AS max_len
+         |  FROM documents""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH s AS (
+       |$branches
+       |)
+       |SELECT col_name, n_rows, n_null,
+       |       CASE WHEN filled < 4096 THEN
+       |         CAST(round(-4096.0 * ln((4096.0 - filled) / 4096)) AS BIGINT)
+       |       END AS approx_distinct,
+       |       CAST(max_len AS BIGINT) AS max_len
+       |FROM s""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q85_chunk_docs" ->
@@ -459,6 +486,8 @@ object TextQueries {
         |                            WHEN 1 THEN strlen(text) // 8
         |                            ELSE strlen(text) END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    "q106_profile" -> profileOracle,
 
     "q103_weighted_sample" ->
       """WITH w AS (

@@ -97,6 +97,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming upsert into the EAV store converges to the batch result") {
+    // the reference's queue -> DB ingestion: micro-batches land through
+    // foreachBatch into EavStore.upsert; at-least-once redelivery (the
+    // doubled landing dir) must still converge to exactly the batch store
+    val dir = Files.createTempDirectory("landing_eav").toString
+    val store = Files.createTempDirectory("eav_store").toString + "/store"
+    val ev = Tables.events(spark, sf).limit(300)
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").parquet(dir)
+    def toEav(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit("h"), col("event_id")).as("hash"),
+      col("event_type").as("partition_id"),
+      col("ts").cast("string").as("date"),
+      col("value").cast("string").as("payload"))
+    val writer = StreamEntry.foreachBatchPipeline(
+      StreamEntry.readEvents(spark, dir),
+      transform = toEav,
+      sink = (batch, _) => graft.pipeline.EavStore.upsert(spark, batch, store))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val stored = graft.pipeline.EavStore.read(spark, store)
+    // exactly-once rows despite doubled delivery, same as a batch upsert
+    assert(stored.count() === 300L)
+    assert(stored.select("hash").distinct().count() === 300L)
+    val batchExpected = graft.operators.Dedup.exactFirst(
+      toEav(ev.toDF()), Seq("hash", "partition_id"), "date").count()
+    assert(stored.count() === batchExpected)
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
