@@ -33,7 +33,7 @@ object Multimodal {
     * signature, batching and schema stay identical. */
   def stubDecode(a: Asset): AssetFeatures = {
     val len = a.media.length.toLong
-    val header = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
+    val header = headerHex(a.media)
     // Deterministic fake dimensions derived from content — NOT a real decode.
     val h = a.media.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
     AssetFeatures(a.asset_id, a.kind, len, header,
@@ -60,7 +60,7 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(in)
-            val header = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
+            val header = headerHex(a.media)
             Some(AssetFeatures(a.asset_id, a.kind, a.media.length.toLong, header,
               width = r.getWidth(0), height = r.getHeight(0), duration_ms = 0L))
           } finally r.dispose()
@@ -91,15 +91,21 @@ object Multimodal {
       var off = 12
       var byteRate = 0L
       var dataLen = -1L
-      while (off + 8 <= b.length && (byteRate == 0L || dataLen < 0L)) {
+      var ok = true
+      while (ok && off + 8 <= b.length && (byteRate == 0L || dataLen < 0L)) {
         val sz = u32le(off + 4)
         tag(off) match {
-          // byte rate sits at offset 8 of the fmt payload
-          case "fmt " if off + 20 <= b.length => byteRate = u32le(off + 16)
-          case "data"                         => dataLen = sz
-          case _                              => ()
+          // byte rate sits at offset 8 of the fmt payload; the chunk itself
+          // must declare the full 16-byte PCM header or the read would land
+          // in the NEXT chunk's bytes
+          case "fmt " if sz >= 16 && off + 20 <= b.length =>
+            byteRate = u32le(off + 16)
+          case "data" => dataLen = sz
+          case _      => ()
         }
-        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+        // a corrupt size whose advance is <= 0 would loop forever
+        val advance = 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks word-aligned
+        if (advance <= 0) ok = false else off += advance
       }
       if (byteRate <= 0 || dataLen < 0) None
       else Some(AssetFeatures(a.asset_id, a.kind, b.length.toLong, headerHex(b),

@@ -29,7 +29,9 @@ object Profile {
         count(col(c)).as(s"__n_$c"),
         countDistinct(pmod(CorpusOps.md5Prefix32(col(c)), lit(m.toLong)))
           .as(s"__f_$c"),
-        max(length(col(c).cast("string"))).cast("long").as(s"__len_$c"))
+        // octet_length, not length: the oracle's strlen counts BYTES, and
+        // the two diverge on any multi-byte UTF-8 value (q50 convention)
+        max(octet_length(col(c).cast("string"))).cast("long").as(s"__len_$c"))
     } :+ count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>

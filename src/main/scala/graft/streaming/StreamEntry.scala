@@ -94,6 +94,9 @@ object StreamEntry {
     import spark.implicits._
     val agg = new graft.functions.MisraGriesAggregator(k)
     tokens
+      // null tokens would make the shard null and kill the primitive-typed
+      // encoder; the batch aggregator skips nulls, so match that here
+      .where(col("token").isNotNull)
       .select(pmod(xxhash64(col("token")), lit(nShards.toLong)).as("shard"),
         col("token"))
       .as[(Long, String)]

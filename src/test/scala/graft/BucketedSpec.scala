@@ -32,7 +32,12 @@ class BucketedSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key reuses the write-time distribution") {
-    val agg = spark.table("b_lineitem")
+    // self-contained: (re)write the table so this test runs in isolation
+    Bucketed.writeTable(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "b_lineitem_agg", 4, Seq("l_orderkey"), Seq("l_orderkey"))
+    val agg = spark.table("b_lineitem_agg")
       .groupBy("l_orderkey").agg(sum("l_quantity"))
     val p = agg.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(1500))

@@ -54,6 +54,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Asset(2L, "audio", "RIFFbut short".getBytes, Map.empty)).isEmpty)
     assert(Multimodal.decodeWav(
       Multimodal.Asset(3L, "audio", wav.take(30), Map.empty)).isEmpty)
+    // adversarial chunk size 0xFFFFFFF8 (-8): the walk must terminate with
+    // None, not advance by zero forever
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(0xFFFFFFF8).array()
+    assert(Multimodal.decodeWav(
+      Multimodal.Asset(4L, "audio", evil, Map.empty)).isEmpty)
+    // truncated fmt chunk (sz=4): must NOT read the next chunk's bytes as a
+    // byte rate — no fmt found, result None
+    val shortFmt = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(4).putInt(0)
+      .put("data".getBytes).putInt(8).array()
+    assert(Multimodal.decodeWav(
+      Multimodal.Asset(5L, "audio", shortFmt, Map.empty)).isEmpty)
   }
 
   test("MP4 probe reads mvhd duration and tkhd 16.16 dimensions") {

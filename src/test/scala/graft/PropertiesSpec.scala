@@ -169,6 +169,64 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries keeps its guarantee and error bound under any split point") {
+    val streamGen = Gen.zip(
+      Gen.listOfN(300, Gen.frequency(
+        5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        10 -> Gen.choose(0, 50).map(i => s"n$i"))),
+      Gen.choose(4, 16))
+    forAllSeeded(streamGen, 12) { case (stream, k) =>
+      val agg = new graft.functions.MisraGriesAggregator(k)
+      val n = stream.length
+      val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      (1 until n by 37).foreach { split =>
+        val (a, b) = stream.splitAt(split)
+        val buf = agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        val res = agg.finish(buf)
+        assert(res.tokens.size <= k)
+        // the frequent-item guarantee survives the merge
+        truth.foreach { case (t, c) =>
+          if (c > n / (k + 1))
+            assert(res.tokens.contains(t), s"$t count=$c k=$k split=$split")
+        }
+        // every estimate lower-bounds truth, within the summed error bound
+        res.tokens.zip(res.estimates).foreach { case (t, e) =>
+          assert(e <= truth(t) && truth(t) - e <= n / (k + 1) + 1,
+            s"$t est=$e true=${truth(t)} k=$k")
+        }
+      }
+    }
+  }
+
+  test("dedupBlocks keeps exactly the (id, pos)-first occurrences, reassembled in order") {
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(3, 12)
+      texts <- Gen.listOfN(n, Gen.choose(1, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(corpusGen, 8) { docs =>
+      val bt = 2
+      val out = CorpusOps.dedupBlocks(
+          docs.toDF("doc_id", "text"), "doc_id", "text", bt)
+        .select("doc_id", "n_blocks", "n_kept", "deduped_text")
+        .as[(Long, Long, Long, Option[String])].collect()
+        .map(r => r._1 -> r).toMap
+      val blocksOf = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).toList.grouped(bt).map(_.mkString(" ")).toList
+      }.toMap
+      val seen = scala.collection.mutable.Set[String]()
+      docs.sortBy(_._1).foreach { case (id, _) =>
+        val kept = blocksOf(id).filter(seen.add)
+        val (_, gN, gKept, gText) = out(id)
+        assert(gN === blocksOf(id).length.toLong, s"doc $id n_blocks")
+        assert(gKept === kept.length.toLong, s"doc $id n_kept")
+        assert(gText === (if (kept.nonEmpty) Some(kept.mkString(" ")) else None),
+          s"doc $id text")
+      }
+    }
+  }
+
   test("blake2s/blake2b are deterministic, length-correct, and key-sensitive") {
     forAllSeeded(Gen.zip(Gen.asciiPrintableStr, Gen.choose(1, 32)), 30) { case (s, n) =>
       val data = s.getBytes("UTF-8")
