@@ -216,6 +216,44 @@ object TextQueries {
         .select(col("token"), col("n"))
     }),
 
+    // Release diff (dataset-versioning QA): two corpus snapshots full-outer
+    // join on id, content hashes compare map-side - added / removed /
+    // changed in one id-keyed shuffle per side, the canonical release-audit
+    // shape at any corpus size. Snapshots are deterministic slices of the
+    // fixture (modular filters + a reversed-text perturbation).
+    "q107_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cur = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("cur_hash"))
+      val prev = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 17 === 3, reverse(col("text")))
+            .otherwise(col("text"))).as("prev_hash"))
+      cur.join(prev, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("prev_hash").isNull, "added")
+            .when(col("cur_hash").isNull, "removed")
+            .when(col("cur_hash") =!= col("prev_hash"), "changed"))
+        .where(col("status").isNotNull)
+        .select("doc_id", "status")
+    }),
+
+    // Unicode canonicalization ahead of dedup: the native graft_nfc
+    // expression (Spark has no built-in NFC; a UDF would break whole-stage
+    // codegen). Combining marks are injected deterministically so NFC has
+    // real work on every row; the oracle is DuckDB's nfc_normalize.
+    "q108_nfc_normalize" -> ((s, dir) => {
+      // the replacement is the DECOMPOSED sequence a + U+0301 (combining
+      // acute), so NFC has composition work on every row; the oracle injects
+      // the identical sequence via chr(769) and composes with nfc_normalize
+      val injected = regexp_replace(col("text"), "a", "á")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        md5(call_function("graft_nfc", injected)).as("norm_hash"),
+        octet_length(call_function("graft_nfc", injected)).cast("long")
+          .as("norm_bytes"))
+    }),
+
     // Single-pass table profiler ("ANALYZE TABLE" preflight): per column,
     // row/null counts, oracle-checkable linear-counting distinct, max
     // rendered width - one aggregate over the table, stacked by explode.
@@ -488,6 +526,29 @@ object TextQueries {
         |FROM documents""".stripMargin,
 
     "q106_profile" -> profileOracle,
+
+    "q107_corpus_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id, md5(text) AS cur_hash FROM documents WHERE doc_id % 11 != 0
+        |),
+        |prev AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 17 = 3 THEN reverse(text) ELSE text END) AS prev_hash
+        |  FROM documents WHERE doc_id % 13 != 0
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN prev_hash IS NULL THEN 'added'
+        |            WHEN cur_hash IS NULL THEN 'removed'
+        |            WHEN cur_hash != prev_hash THEN 'changed' END AS status
+        |FROM cur FULL OUTER JOIN prev USING (doc_id)
+        |WHERE prev_hash IS NULL OR cur_hash IS NULL OR cur_hash != prev_hash""".stripMargin,
+
+    "q108_nfc_normalize" ->
+      ("""SELECT doc_id,
+         |       md5(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS norm_hash,
+         |       CAST(strlen(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS BIGINT)
+         |         AS norm_bytes
+         |FROM documents""").stripMargin,
 
     "q103_weighted_sample" ->
       """WITH w AS (
