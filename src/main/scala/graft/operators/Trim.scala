@@ -23,10 +23,19 @@ object Trim {
   /** P5: trim_end (reference `trimmer.py:39-50`): null the listed metrics on
     * rows whose date is within the trailing `daysToTrim` of the *global* max
     * date (kept where `date <= max - daysToTrim`). The scalar max rides along
-    * as a broadcast cross-join — no per-row subquery, no driver collect. */
+    * as a broadcast cross-join — no per-row subquery, no driver collect.
+    *
+    * `cutoffFrom`: when `df` is an expensive derived plan (a densified,
+    * window-stacked pipeline frame), deriving the scalar from `df` itself
+    * makes Catalyst RECOMPUTE that whole subtree once more just for one
+    * max(date) — there is no common-subtree reuse across a crossJoin. Any
+    * upstream frame with the same maximum date (e.g. the raw daily rollup:
+    * densify never extends past the observed max) yields the identical
+    * cutoff for a fraction of the work. */
   def trimEnd(df: DataFrame, dateCol: String, metrics: Seq[String],
-              daysToTrim: Int = 5): DataFrame = {
-    val cutoff = df.agg(date_sub(max(col(dateCol)), daysToTrim).as("__cutoff"))
+              daysToTrim: Int = 5, cutoffFrom: Option[DataFrame] = None): DataFrame = {
+    val cutoff = cutoffFrom.getOrElse(df)
+      .agg(date_sub(max(col(dateCol)), daysToTrim).as("__cutoff"))
     val joined = df.crossJoin(broadcast(cutoff))
     metrics.filter(df.columns.toSet).foldLeft(joined)((acc, m) =>
       acc.withColumn(m, when(col(dateCol) <= col("__cutoff"), col(m)))

@@ -50,9 +50,13 @@ object MainPipeline {
       rolled.join(broadcast(pop), Seq("areaCode"), "left"),
       "qtyRollingSum", "population", "qtyRollingRate").drop("population")
 
-    // P5: trailing 5-day trim on the event-dated metrics
+    // P5: trailing 5-day trim on the event-dated metrics. The cutoff scalar
+    // comes from the RAW daily frame (same max date as the dense frame):
+    // deriving it from `rated` would re-derive the whole densify subtree a
+    // second time just for one max(date) — ~40% of the old q51 plan.
     val trimmed = Trim.trimEnd(rated, "date",
-      Seq("qty", "qtyRollingSum", "qtyRollingRate"), daysToTrim = 5)
+      Seq("qty", "qtyRollingSum", "qtyRollingRate"), daysToTrim = 5,
+      cutoffFrom = Some(daily))
 
     // R2 + P8: melt wide → EAV long with JSON-wrapped payloads
     val metrics = Seq("qty", "qtyRollingSum", "qtyChange", "qtyDirection",

@@ -44,6 +44,10 @@ class PlanSpec extends SparkSpec {
     // in the chain reintroduces a mid-pipeline re-sort of the dense frame
     val p = plan("q64_pipeline_sql")
     assert("\\+- Sort ".r.findAllIn(p).size === 1, p.take(3000))
+    // and the trim cutoff must come from the cheap upstream frame: deriving
+    // it from the dense frame re-computes the whole densify subtree (seen as
+    // a second set of collect_set ObjectHashAggregates) for one max(date)
+    assert("ObjectHashAggregate".r.findAllIn(p).size <= 4, p.take(3000))
   }
 
   test("latest-date semi join broadcasts the scalar side") {
