@@ -54,8 +54,12 @@ object MsoaPipeline {
       s"${metric}RollingSum", "population", s"${metric}RollingRate").drop("population")
 
     // Periodic thinning: keep every 7th day anchored at latest-5
-    // (processor.py:67-93).
-    val anchor = rated.agg(date_sub(max(col("date")), 5).as("__anchor"))
+    // (processor.py:67-93). The anchor scalar derives from the RAW daily
+    // frame — zero-pad/densify never extend past daily's global max, and
+    // aggregating the derived frame would make Catalyst recompute the whole
+    // pad+densify+window subtree a second time for one max(date) (the q51
+    // lesson, PlanSpec-pinned there).
+    val anchor = daily.agg(date_sub(max(col("date")), 5).as("__anchor"))
     val sampled = rated.crossJoin(broadcast(anchor))
       .where(col("date") <= col("__anchor") &&
         datediff(col("__anchor"), col("date")) % 7 === 0)

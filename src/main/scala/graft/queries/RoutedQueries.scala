@@ -49,7 +49,11 @@ object RoutedQueries {
     // ISNULL→0::INT / FLOOR cast quirks preserved exactly.
     "q89_uptake_triple" -> ((s, dir) => {
       val long = uptakeFixture(s, dir)
-      val anch = long.agg(date_sub(max("date"), 20).as("__anchor"))
+      // anchor from the raw scan: the fixture's groupBy preserves the max
+      // ship date, and aggregating the fixture itself would re-run its
+      // shuffle just for this scalar (the q51 lesson)
+      val anch = Tables.load(s, dir, "lineitem")
+        .agg(date_sub(max(to_date(col("l_shipdate"))), 20).as("__anchor"))
       val windowed = long.crossJoin(broadcast(anch))
         .where(col("date") > col("__anchor") && col("value").isNotNull)
       def dose(metric: String, p: String) = windowed
