@@ -103,7 +103,10 @@ object TextAnalysis {
                      scale: Int = 4): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = freqs.agg(sum(col("cnt")).as("__total"))
+    // total token count from a map-only pass over the raw frame — summing
+    // `freqs` would re-run the vocabulary shuffle just for this scalar
+    val total = df.select(size(tokens(col(textCol))).as("__n"))
+      .agg(sum(col("__n")).cast("long").as("__total"))
     toks.join(freqs, Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))

@@ -75,7 +75,10 @@ object ServingQueries {
     // (msoa_etl_db/processor.py:67-93)
     "q56_periodic_sample" -> ((s, dir) => {
       val daily = Tables.supplierDaily(s, dir)
-      val anchor = daily.agg(date_sub(max(col("date")), 5).as("__anchor"))
+      // anchor from the raw scan: the rollup preserves the max ship date,
+      // and aggregating `daily` would re-run its shuffle for one scalar
+      val anchor = Tables.load(s, dir, "lineitem")
+        .agg(date_sub(max(to_date(col("l_shipdate"))), 5).as("__anchor"))
       daily.crossJoin(broadcast(anchor))
         .where(col("date") <= col("__anchor") &&
           datediff(col("__anchor"), col("date")) % 7 === 0)
