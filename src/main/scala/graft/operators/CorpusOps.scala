@@ -135,6 +135,66 @@ object CorpusOps {
         when(col("n_kept") > 0, col("__txt")).as("deduped_text"))
   }
 
+  /** Temperature-based source mixing (the `p_s^α` re-weighting used to
+    * flatten a pretraining source distribution): each source's share of a
+    * `budgetTokens` target is proportional to `tokens_s^alpha`, so `alpha = 1`
+    * preserves the natural mix and `alpha → 0` approaches uniform-per-source.
+    * A document survives iff its hash-uniform falls under its source's keep
+    * rate `min(1, budget·w_s / tokens_s)` — deterministic and growth-stable.
+    *
+    * Weights are quantized to integer micro-units (floor(pow·1e6 + 0.5))
+    * before normalization: integer sums commute, so the normalizer — and
+    * therefore every keep decision — is identical under any partition order
+    * and in the SQL oracle, unlike a floating sum of `pow` values.
+    *
+    * Scale shape: one map-side-combined aggregation for the per-source
+    * totals (rows = #sources), a broadcast of that tiny rate table, then a
+    * pure filter over the corpus — no corpus-sized shuffle anywhere. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     textCol: String, alpha: Double,
+                     budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val tok = df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+    val totals = tok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wq",
+        floor(pow(col("src_tokens").cast("double"), lit(alpha)) * 1e6 + 0.5)
+          .cast("long"))
+    val wSum = totals.agg(sum(col("wq")).as("w_sum"))
+    val rates = totals.crossJoin(broadcast(wSum))
+      .withColumn("keep_rate",
+        least(lit(1d), lit(budgetTokens.toDouble) * col("wq").cast("double")
+          / col("w_sum").cast("double") / col("src_tokens").cast("double")))
+      .select(col(sourceCol), col("keep_rate"))
+    tok.join(broadcast(rates), Seq(sourceCol))
+      .where(hashUniform(col(idCol)) < col("keep_rate"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
+
+  /** Deterministic global corpus shuffle (the "shuffle the training data"
+    * step): every document gets a pseudo-random but reproducible position —
+    * shard = md5-prefix of its id modulo `nShards`, position = rank of the
+    * full md5 key within the shard. The same corpus yields the same shard
+    * layout on any cluster, and adding documents never reorders existing
+    * shards relative to each other (ranks shift only within a shard).
+    *
+    * Scale shape: one hash shuffle keyed by shard + a per-shard sort —
+    * never a global single-partition ordering; shards are hash-balanced so
+    * skew cannot concentrate the sort. */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int,
+                           seed: String = "shuffle"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    df.withColumn("__key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Per-source token cap (data-mixing dedup of over-represented domains):
     * within each source, documents are ranked by (hash, id) — a stable,
     * content-blind order — and kept while the running token total stays

@@ -151,6 +151,65 @@ object Similarity {
       .select("q_id", "cand_id", "score")
   }
 
+  /** Distributed Lloyd's k-means over an embedding column, bit-reproducible
+    * on any cluster layout — the trainer that produces the coarse quantizer
+    * [[ivfTopK]] probes.
+    *
+    * Determinism (the property a resumable 100 TB build needs):
+    *   - init centroids are the embeddings of the `k` smallest ids — no RNG;
+    *   - assignment is per-row arithmetic in fixed index order
+    *     (argmin_j ‖c_j‖² − 2·v·c_j via the native dot product), so it cannot
+    *     depend on partitioning; ties break on the lowest centroid index;
+    *   - the centroid update accumulates components as exact longs
+    *     (floor(v·1e6 + 0.5)) — integer addition commutes, so the sums are
+    *     identical under any partition order, unlike a double sum.
+    *
+    * Scale shape: centroids ride as broadcast literals (k × dim doubles), so
+    * assignment is map-only; the update is one aggregation keyed by
+    * (cluster, dimension) with map-side partial sums — the exchange carries
+    * ≤ k × dim × partitions rows per iteration, never the corpus. The k × dim
+    * driver collect per iteration is metadata-scale (MLlib's KMeans does the
+    * same). Clusters left empty keep their previous centroid. */
+  def kMeans(df: DataFrame, idCol: String, embCol: String, k: Int,
+             iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
+    var cents: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kMeans needs at least one input row")
+
+    // argmin_j (‖c_j‖² − 2·v·c_j): strict < keeps the earlier (lower-index)
+    // centroid on ties, matching the oracle's ascending scan
+    def assign(c: Array[Array[Double]]): Column = {
+      val scored = c.zipWithIndex.map { case (cv, j) =>
+        var nsq = 0d; var i = 0
+        while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
+        struct((lit(nsq) - lit(2d) * dot(col(embCol), array(cv.map(lit): _*)))
+          .as("d"), lit(j).as("j"))
+      }
+      scored.reduce((a, b) =>
+        when(b.getField("d") < a.getField("d"), b).otherwise(a)).getField("j")
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = df
+        .select(assign(cents).as("cluster"),
+          posexplode(col(embCol).cast("array<double>")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("i")) =
+          r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble / 1e6
+      }
+      cents = next
+    }
+    df.select(col(idCol), assign(cents).as("cluster"))
+  }
+
   /** Int8 scalar quantization of an embedding column: per-dimension corpus
     * [min, max] → each component mapped to round((v-lo)/((hi-lo)/255)) in
     * 0..255 — 4× smaller at rest than float32, the standard first compression

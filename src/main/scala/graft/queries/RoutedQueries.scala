@@ -135,6 +135,20 @@ object RoutedQueries {
           "source", "text", capTokens = 2000)
         .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
+    // Temperature-based source mixing: each source's share of the token
+    // budget ∝ tokens^alpha; docs survive a hash-uniform draw under their
+    // source's keep rate. Integer-quantized weights keep the normalizer (and
+    // every keep decision) identical under any partition order.
+    "q110_temperature_mix" -> ((s, dir) =>
+      CorpusOps.temperatureMix(Tables.load(s, dir, "documents"), "doc_id",
+        "source", "text", alpha = 0.5, budgetTokens = 6000)),
+
+    // Deterministic global corpus shuffle: md5-derived shard + in-shard
+    // position — reproducible training order with no global sort.
+    "q111_corpus_shuffle" -> ((s, dir) =>
+      CorpusOps.deterministicShuffle(Tables.load(s, dir, "documents"),
+        "doc_id", nShards = 8)),
+
     // Linear-counting distinct estimate — the oracle-checkable sketch
     // (md5 buckets reproduce in DuckDB), q71's verifiable sibling.
     "q95_linear_count" -> ((s, dir) =>
@@ -317,6 +331,42 @@ object RoutedQueries {
         |         CAST(round(-4096.0 * ln((4096.0 - filled) / 4096)) AS BIGINT)
         |       END AS approx_parts
         |FROM f""".stripMargin,
+
+    "q110_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |),
+        |tot AS (
+        |  SELECT source, SUM(n_tokens) AS src_tokens,
+        |         CAST(floor(pow(CAST(SUM(n_tokens) AS DOUBLE), 0.5) * 1e6 + 0.5)
+        |              AS BIGINT) AS wq
+        |  FROM t GROUP BY source
+        |),
+        |r AS (
+        |  SELECT source,
+        |         least(1.0, 6000.0 * CAST(wq AS DOUBLE)
+        |           / CAST((SELECT SUM(wq) FROM tot) AS DOUBLE)
+        |           / CAST(src_tokens AS DOUBLE)) AS keep_rate
+        |  FROM tot
+        |)
+        |SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
+        |FROM t JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < keep_rate""".stripMargin,
+
+    "q111_corpus_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS k,
+        |         ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |            AS INT) AS pos
+        |FROM t""".stripMargin,
 
     "q92_pack_sequences" ->
       """WITH t AS (

@@ -45,6 +45,15 @@ object VectorQueries {
         .select("a_id", "b_id", "cosine")
     }),
 
+    // Distributed Lloyd's k-means (the trainer for q72's coarse quantizer):
+    // deterministic init (k smallest ids), map-only assignment against
+    // broadcast centroid literals, integer-accumulated centroid update so
+    // the result is bit-identical under any partitioning. Python oracle
+    // replicates the identical IEEE operation sequence.
+    "q109_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 4)),
+
     // Int8 scalar quantization of the embedding store (4x compression),
     // serialized as a JSON int array for the driver compare.
     "q82_quantize_int8" -> ((s, dir) =>

@@ -122,4 +122,74 @@ class CorpusOpsSpec extends SparkSpec {
         s"source $s dropped a doc that would still have fit")
     }
   }
+
+  test("temperatureMix: alpha=1 reduces to one uniform corpus-wide rate") {
+    // with alpha = 1 the weights are the token totals themselves, so every
+    // source's keep rate collapses to budget / totalTokens — verify against
+    // an independent recomputation of that closed form
+    val budget = 6000L
+    val withTok = docs.withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    val total = withTok.agg(sum("n_tokens")).as[Long].head()
+    val rate = budget.toDouble / total
+    val expected = withTok.where(
+        graft.operators.CorpusOps.hashUniform(col("doc_id")) < rate)
+      .select("doc_id").as[Long].collect().toSet
+    val got = CorpusOps.temperatureMix(docs, "doc_id", "source", "text",
+        alpha = 1.0, budgetTokens = budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+
+  test("temperatureMix: matches the closed-form rates; alpha<1 flattens them") {
+    val alpha = 0.3
+    val budget = 6000L
+    val withTok = docs.withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    val totals = withTok.groupBy("source").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    // independent closed-form recomputation, mirroring the integer-quantized
+    // normalizer: rate_s = min(1, budget * wq_s / sum(wq) / tokens_s)
+    val wq = totals.map { case (s, t) =>
+      s -> math.floor(math.pow(t.toDouble, alpha) * 1e6 + 0.5).toLong }
+    val wSum = wq.values.sum.toDouble
+    val rates = totals.map { case (s, t) =>
+      s -> math.min(1d, budget.toDouble * wq(s).toDouble / wSum / t.toDouble) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hashU(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296d
+    }
+    val expected = withTok.select("doc_id", "source").as[(Long, String)]
+      .collect().filter { case (id, s) => hashU(id) < rates(s) }
+      .map(_._1).toSet
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.temperatureMix(df, "doc_id", "source", "text", alpha, budget)
+        .select("doc_id").as[Long].collect().toSet
+    assert(keptIds(docs) === expected)
+    // flattening is a property of the RATES (the realized sample on a tiny
+    // fixture is too noisy): the largest source keeps a strictly smaller
+    // fraction than the smallest one when alpha < 1
+    assert(rates(totals.maxBy(_._2)._1) < rates(totals.minBy(_._2)._1))
+    // and the decision set is identical under any input partitioning
+    assert(keptIds(docs.repartition(7)) === expected)
+  }
+
+  test("deterministicShuffle: contiguous in-shard positions, stable anywhere") {
+    val out = CorpusOps.deterministicShuffle(docs, "doc_id", nShards = 8).cache()
+    assert(out.count() === docs.count())
+    assert(out.where(col("shard") < 0 || col("shard") >= 8).isEmpty)
+    // positions are exactly 1..n within each shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("d"))
+      .where(col("mx") =!= col("n") || col("d") =!= col("n"))
+    assert(bad.isEmpty)
+    // bit-identical under repartitioning
+    val again = CorpusOps.deterministicShuffle(docs.repartition(5), "doc_id",
+      nShards = 8).orderBy("doc_id").collect().toSeq
+    assert(again === out.orderBy("doc_id").collect().toSeq)
+    out.unpersist()
+  }
 }

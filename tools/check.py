@@ -345,7 +345,60 @@ def py_q105_approx_quantiles(con, spark_df, oracle):
     return a, b
 
 
+def py_q109_kmeans(con, spark_df, oracle):
+    """Pure-Python replication of Similarity.kMeans's exact IEEE operation
+    sequence (no Spark code involved): init = embeddings of the k smallest
+    ids; assignment = argmin_j (||c_j||^2 - 2 v.c_j) with both sums
+    accumulated in index order and strict-< tie-break to the lowest index;
+    centroid update = exact integer sums of floor(v*1e6 + 0.5) divided back
+    out. k = 8, 4 iterations, matching the declared query."""
+    import math
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    k, iters = 8, 4
+    cents = [list(v) for v in vecs[:k]]
+
+    def assign_all(cents):
+        nsqs = []
+        for c in cents:
+            nsq = 0.0
+            for x in c:
+                nsq += x * x
+            nsqs.append(nsq)
+        out = []
+        for v in vecs:
+            best_d, best_j = None, None
+            for j, c in enumerate(cents):
+                acc = 0.0
+                for i in range(len(v)):
+                    acc += v[i] * c[i]
+                d = nsqs[j] - 2.0 * acc
+                if best_d is None or d < best_d:
+                    best_d, best_j = d, j
+            out.append(best_j)
+        return out
+
+    for _ in range(iters):
+        a = assign_all(cents)
+        dim = len(vecs[0])
+        sums = [[0] * dim for _ in range(k)]
+        cnts = [0] * k
+        for v, j in zip(vecs, a):
+            cnts[j] += 1
+            for i, x in enumerate(v):
+                sums[j][i] += math.floor(x * 1e6 + 0.5)
+        for j in range(k):
+            if cnts[j]:
+                cents[j] = [float(sums[j][i]) / float(cnts[j]) / 1e6
+                            for i in range(dim)]
+    exp = pd.DataFrame({"vec_id": ids, "cluster": assign_all(cents)})
+    return spark_df, exp
+
+
 PY_ORACLES = {
+    "q109_kmeans": py_q109_kmeans,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
