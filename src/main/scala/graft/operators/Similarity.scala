@@ -180,7 +180,14 @@ object Similarity {
     require(cents.nonEmpty, "kMeans needs at least one input row")
 
     // argmin_j (‖c_j‖² − 2·v·c_j): strict < keeps the earlier (lower-index)
-    // centroid on ties, matching the oracle's ascending scan
+    // centroid on ties, matching the oracle's ascending scan. The fold runs
+    // as an `aggregate` HOF over a scores ARRAY, not a `reduce(when(...))`
+    // over Columns: in the latter the accumulator subtree appears twice per
+    // step (condition + else-branch), so the expression tree grows 2^k and
+    // Catalyst spends tens of seconds per iteration re-analyzing it. The HOF
+    // lambda references the accumulator as a variable, keeping the tree
+    // linear in k; the heavy per-row math (the dot products) stays in the
+    // native codegen'd expression either way.
     def assign(c: Array[Array[Double]]): Column = {
       val scored = c.zipWithIndex.map { case (cv, j) =>
         var nsq = 0d; var i = 0
@@ -188,8 +195,10 @@ object Similarity {
         struct((lit(nsq) - lit(2d) * dot(col(embCol), array(cv.map(lit): _*)))
           .as("d"), lit(j).as("j"))
       }
-      scored.reduce((a, b) =>
-        when(b.getField("d") < a.getField("d"), b).otherwise(a)).getField("j")
+      if (scored.length == 1) scored.head.getField("j")
+      else aggregate(array(scored.tail: _*), scored.head,
+        (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
+        .getField("j")
     }
 
     for (_ <- 1 to iters) {

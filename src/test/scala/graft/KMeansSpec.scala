@@ -54,6 +54,19 @@ class KMeansSpec extends SparkSpec {
     assert(one.select("cluster").distinct().count() === 1)
   }
 
+  test("large k plans in bounded time (assign fold stays linear in k)") {
+    // A reduce(when(...)) fold duplicates the accumulator subtree per step,
+    // so at k = 32 the assign expression would have ~2^32 nodes and planning
+    // would hang; the aggregate-HOF fold keeps it linear. A generous wall
+    // bound catches any reintroduction without being load-sensitive.
+    val pts = (0 until 64).map(i => (i.toLong, Seq.tabulate(4)(d => (i * 4 + d).toFloat)))
+      .toDF("id", "emb")
+    val t0 = System.nanoTime()
+    val out = Similarity.kMeans(pts, "id", "emb", k = 32, iters = 2)
+    assert(out.count() === 64)
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
+
   test("invalid parameters fail fast") {
     val tiny = Seq((1L, Seq(1f, 0f))).toDF("id", "emb")
     intercept[IllegalArgumentException](
