@@ -195,6 +195,42 @@ object CorpusOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Length-bucketed batch packing (the padding-efficiency step of a
+    * training dataloader): documents are routed to the smallest length
+    * bucket that fits them (`bounds` ascending; anything longer lands in a
+    * single overflow bucket), ordered deterministically inside each bucket
+    * by (md5(id), id) — content-blind and reproducible — and grouped into
+    * fixed-size batches. Emits per-batch stats including `padding_frac`,
+    * the fraction of the (max_len × batch_rows) token matrix wasted on
+    * padding — the quantity bucketing exists to minimize.
+    *
+    * Scale shape: one shuffle keyed by bucket for the ranking window + the
+    * map-side-combined batch aggregation on (bucket, batch). Buckets are
+    * few; batch ranks within a bucket stream through one sort. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          batchSize: Int, bounds: Seq[Int]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      s"bounds must be non-empty, ascending, distinct: $bounds")
+    require(bounds.head > 0, s"bounds must be positive: $bounds")
+    val overflow = 1L << 30
+    val nTok = TextAnalysis.tokenCount(col(textCol))
+    val bucket = bounds.foldRight(lit(overflow): Column)((bnd, acc) =>
+      when(nTok <= bnd, lit(bnd.toLong)).otherwise(acc))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), nTok.as("n_tokens"), bucket.as("bucket"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("batch", floor((row_number().over(w) - 1) / lit(batchSize.toDouble)))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding_frac",
+        round(lit(1d) - col("sum_tokens").cast("double")
+          / (col("max_tokens") * col("n_docs")).cast("double"), 4))
+  }
+
   /** Per-source token cap (data-mixing dedup of over-represented domains):
     * within each source, documents are ranked by (hash, id) — a stable,
     * content-blind order — and kept while the running token total stays

@@ -195,6 +195,65 @@ object Dedup {
   /** SimHash-64 of a token multiset: each token's 64-bit hash votes ±1 per bit
     * position; the fingerprint sets bit j where the vote sum is positive.
     * Built as 64 conditional sums over exploded tokens — one shuffle on the id. */
+  /** Bloom-filter benchmark decontamination — the 100 TB path for the exact
+    * shingle-overlap check (q77 semantics): build an `mBits`-bit Bloom filter
+    * of the benchmark's distinct n-token shingles RELATIONALLY (positions →
+    * 64-bit words → `bit_or` per word → one map literal), broadcast that
+    * kilobyte-scale bitmap, and probe every corpus shingle map-side. Only the
+    * Bloom HITS (true positives + the filter's false positives) reach the
+    * exact verification join, so the expensive equi-join touches a candidate
+    * stream instead of the full corpus shingle stream. Bloom filters have no
+    * false negatives, so the output is EXACTLY the exact-join answer — same
+    * oracle as the unfiltered operator.
+    *
+    * Scale shape: the benchmark side reduces to ≤ mBits/64 rows before the
+    * single-row bitmap aggregate; the corpus side never shuffles until after
+    * the probe filter; the verification join is keyed by shingle over the
+    * (tiny) candidate set. At a real 100 TB corpus the benchmark shingle set
+    * may itself exceed broadcast size — the bitmap (mBits/8 bytes, e.g. 8 KB
+    * at 2^16 bits) broadcasts at any benchmark size, which is the point. */
+  def bloomDecontaminate(df: DataFrame, idCol: String, textCol: String,
+                         benchFilter: Column, n: Int, minOverlaps: Int,
+                         mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a positive power of two, got $mBits")
+    require(kHashes > 0, s"kHashes must be positive, got $kHashes")
+    require(minOverlaps > 0, s"minOverlaps must be positive, got $minOverlaps")
+    // i-th bit position of a shingle: xxhash64 seeded by the probe index
+    // (hashing the index as a leading column derives k independent hashes
+    // from one primitive)
+    def pos(i: Int, c: Column): Column =
+      pmod(xxhash64(lit(i), c), lit(mBits.toLong))
+    // the Scala-API shiftleft/shiftright only take literal shift counts;
+    // the SQL functions accept column operands
+    def word(p: Column): Column =
+      call_function("shiftright", p, lit(6)).cast("int")
+    def mask(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64)).cast("int"))
+    val benchSh = df.where(benchFilter)
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .distinct()
+    val bitmap = benchSh
+      .select(explode(array((0 until kHashes).map(i => pos(i, col("shingle"))): _*)).as("p"))
+      .select(word(col("p")).as("w"), mask(col("p")).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bm"))
+    val corpusSh = df.where(!benchFilter)
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val hit = (0 until kHashes).map { i =>
+      val p = pos(i, col("shingle"))
+      (coalesce(element_at(col("bm"), word(p)), lit(0L))
+        .bitwiseAND(mask(p))) =!= 0
+    }.reduce(_ && _)
+    corpusSh.crossJoin(broadcast(bitmap))
+      .where(hit)
+      .select(col(idCol), col("shingle"))
+      .join(benchSh, Seq("shingle")) // exact verify: drops Bloom false positives
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .where(col("n_overlaps") >= minOverlaps)
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

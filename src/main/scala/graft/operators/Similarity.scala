@@ -171,39 +171,45 @@ object Similarity {
     * driver collect per iteration is metadata-scale (MLlib's KMeans does the
     * same). Clusters left empty keep their previous centroid. */
   def kMeans(df: DataFrame, idCol: String, embCol: String, k: Int,
-             iters: Int): DataFrame = {
+             iters: Int): DataFrame =
+    df.select(col(idCol),
+      assignExpr(kMeansCentroids(df, idCol, embCol, k, iters), embCol).as("cluster"))
+
+  /** argmin_j (‖c_j‖² − 2·v·c_j) over centroid literals: strict < keeps the
+    * earlier (lower-index) centroid on ties, matching the oracle's ascending
+    * scan. The fold runs as an `aggregate` HOF over a scores ARRAY, not a
+    * `reduce(when(...))` over Columns: in the latter the accumulator subtree
+    * appears twice per step (condition + else-branch), so the expression tree
+    * grows 2^k and Catalyst spends tens of seconds per iteration re-analyzing
+    * it. The HOF lambda references the accumulator as a variable, keeping the
+    * tree linear in k; the heavy per-row math (the dot products) stays in the
+    * native codegen'd expression either way. */
+  private def assignExpr(c: Array[Array[Double]], embCol: String): Column = {
+    val scored = c.zipWithIndex.map { case (cv, j) =>
+      var nsq = 0d; var i = 0
+      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
+      struct((lit(nsq) - lit(2d) * dot(col(embCol), array(cv.map(lit): _*)))
+        .as("d"), lit(j).as("j"))
+    }
+    if (scored.length == 1) scored.head.getField("j")
+    else aggregate(array(scored.tail: _*), scored.head,
+      (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
+      .getField("j")
+  }
+
+  /** Lloyd iterations only — returns the final centroids (k × dim doubles)
+    * so callers can reuse the assignment expression without a join. */
+  private def kMeansCentroids(df: DataFrame, idCol: String, embCol: String,
+                              k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
     var cents: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(embCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(cents.nonEmpty, "kMeans needs at least one input row")
-
-    // argmin_j (‖c_j‖² − 2·v·c_j): strict < keeps the earlier (lower-index)
-    // centroid on ties, matching the oracle's ascending scan. The fold runs
-    // as an `aggregate` HOF over a scores ARRAY, not a `reduce(when(...))`
-    // over Columns: in the latter the accumulator subtree appears twice per
-    // step (condition + else-branch), so the expression tree grows 2^k and
-    // Catalyst spends tens of seconds per iteration re-analyzing it. The HOF
-    // lambda references the accumulator as a variable, keeping the tree
-    // linear in k; the heavy per-row math (the dot products) stays in the
-    // native codegen'd expression either way.
-    def assign(c: Array[Array[Double]]): Column = {
-      val scored = c.zipWithIndex.map { case (cv, j) =>
-        var nsq = 0d; var i = 0
-        while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
-        struct((lit(nsq) - lit(2d) * dot(col(embCol), array(cv.map(lit): _*)))
-          .as("d"), lit(j).as("j"))
-      }
-      if (scored.length == 1) scored.head.getField("j")
-      else aggregate(array(scored.tail: _*), scored.head,
-        (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
-        .getField("j")
-    }
-
     for (_ <- 1 to iters) {
       val sums = df
-        .select(assign(cents).as("cluster"),
+        .select(assignExpr(cents, embCol).as("cluster"),
           posexplode(col(embCol).cast("array<double>")).as(Seq("i", "v")))
         .groupBy(col("cluster"), col("i"))
         .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("s"),
@@ -216,7 +222,35 @@ object Similarity {
       }
       cents = next
     }
-    df.select(col(idCol), assign(cents).as("cluster"))
+    cents
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
+    * embedding space, then drop near-duplicates WITHIN each cluster): k-means
+    * confines the pair search to one cluster at a time, so the pair space is
+    * Σ|cluster|² instead of n² — the property that makes embedding dedup
+    * tractable at corpus scale. A document is dropped iff some lower-id
+    * member of its cluster has cosine ≥ `threshold` with it (keep-first by
+    * id, the same convention as the exact dedup family). Cosines are rounded
+    * to `scale` decimals before the threshold test so the decision is
+    * engine-deterministic.
+    *
+    * Scale shape: assignment is the map-only k-means expression (broadcast
+    * centroid literals); the self-join shuffles on the cluster key only;
+    * within-cluster pairs stream through the join without materializing
+    * globally. Returns (drop_id, cluster), one row per dropped document. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
+               iters: Int, threshold: Double, scale: Int = 3): DataFrame = {
+    val cents = kMeansCentroids(df, idCol, embCol, k, iters)
+    val assigned = df.select(col(idCol), col(embCol),
+      assignExpr(cents, embCol).as("cluster"))
+    val a = assigned.toDF("a_id", "a_emb", "cluster")
+    val b = assigned.toDF("b_id", "b_emb", "cluster")
+    a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(round(dot(col("a_emb"), col("b_emb")), scale) >= threshold)
+      .select(col("b_id").as("drop_id"), col("cluster"))
+      .distinct()
   }
 
   /** Int8 scalar quantization of an embedding column: per-dimension corpus

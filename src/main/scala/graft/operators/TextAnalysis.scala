@@ -142,6 +142,52 @@ object TextAnalysis {
         .as("mean_bigram_logprob"))
   }
 
+  /** BM25 relevance scores for a fixed query-term set (Robertson/Okapi,
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))): the standard ranked text
+    * retrieval over an inverted-index view of the corpus, expressed
+    * relationally — per-(doc, term) tf, per-term df, corpus N and avgdl.
+    * Returns (id, score) for every document containing ≥ 1 query term.
+    *
+    * Determinism: per-term contributions are quantized to integer
+    * micro-units (floor(x·1e6 + 0.5)) before the per-document sum — integer
+    * addition commutes, so the score is identical under any partition order
+    * and in the SQL oracle, unlike a floating sum whose last bits depend on
+    * aggregation order.
+    *
+    * Scale shape: tokens are filtered to the query terms INSIDE the array
+    * (before explode), so the exploded stream carries only hits — the
+    * shuffle is keyed by (doc, term) on that small stream. df/N/avgdl are
+    * term-count- and scalar-sized; both enter via broadcast. Nothing
+    * corpus-sized shuffles. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = array(queryTerms.distinct.map(lit): _*)
+    val withDl = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    // corpus stats in ONE map-only pass: doc count + exact token total
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("__dl")).as("total_dl"))
+    val tf = withDl
+      .select(col(idCol), col("__dl"),
+        explode(filter(col("__toks"), t => array_contains(terms, t))).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("__idf",
+        log(lit(1d) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__c",
+        floor(col("__idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1d) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__c")).cast("double") / 1e6).as("score"))
+  }
+
   /** Language ID by stopword vote (see TextQueries.lexicon for the lexicon
     * shape): returns per-doc best language; pure relational ops. */
   def languageId(docs: DataFrame, idCol: String, textCol: String,

@@ -149,6 +149,13 @@ object RoutedQueries {
       CorpusOps.deterministicShuffle(Tables.load(s, dir, "documents"),
         "doc_id", nShards = 8)),
 
+    // Length-bucketed batch packing: docs routed to the smallest fitting
+    // length bucket, hash-ordered, grouped into fixed-size batches; emits
+    // the per-batch padding fraction the bucketing exists to minimize.
+    "q115_length_batches" -> ((s, dir) =>
+      CorpusOps.lengthBucketBatches(Tables.load(s, dir, "documents"),
+        "doc_id", "text", batchSize = 8, bounds = Seq(16, 32, 64, 128))),
+
     // Linear-counting distinct estimate — the oracle-checkable sketch
     // (md5 buckets reproduce in DuckDB), q71's verifiable sibling.
     "q95_linear_count" -> ((s, dir) =>
@@ -367,6 +374,32 @@ object RoutedQueries {
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
         |            AS INT) AS pos
         |FROM t""".stripMargin,
+
+    "q115_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, n, h,
+        |         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |              ELSE 1073741824 END AS bucket
+        |  FROM d
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+        |  FROM b
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch,
+        |       COUNT(*) AS n_docs,
+        |       MAX(n) AS max_tokens,
+        |       SUM(n) AS sum_tokens,
+        |       round(1 - CAST(SUM(n) AS DOUBLE) / CAST(MAX(n) * COUNT(*) AS DOUBLE), 4)
+        |         AS padding_frac
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q92_pack_sequences" ->
       """WITH t AS (

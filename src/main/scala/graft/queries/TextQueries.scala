@@ -303,8 +303,31 @@ object TextQueries {
         regexp_replace(regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
           "[0-9]{6,}", "<NUM>").as("scrubbed"))
-    })
+    }),
+
+    // BM25 ranked retrieval over the corpus for a fixed query-term set:
+    // top 20 by (score desc, id) — TakeOrderedAndProject, never a global
+    // single-partition sort. Scores are integer-quantized sums, so the
+    // ranking is bit-identical in the oracle.
+    "q112_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.load(s, dir, "documents"), "doc_id", "text",
+          bm25Terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
+    // Bloom-filter decontamination: same exact-overlap answer as q77 (the
+    // filter has no false negatives and the verify join removes false
+    // positives), but the corpus shingle stream is pre-filtered map-side
+    // against an 8 KB broadcast bitmap instead of joining in full — the
+    // shape that survives a benchmark set too large to broadcast.
+    "q114_bloom_decontaminate" -> ((s, dir) =>
+      Dedup.bloomDecontaminate(Tables.load(s, dir, "documents"),
+        "doc_id", "text", benchFilter = col("doc_id") < 10,
+        n = 6, minOverlaps = 2))
   )
+
+  /** Fixed query-term set for q112 (terms from the fixture vocabulary). */
+  private val bm25Terms = Seq("vector", "merge", "window", "stream")
 
   /** Stopword-vote language prediction shared by q41 and the q102 cleaning
     * composite: argmax of lexicon hits (ties → lang asc, no hits →
@@ -655,6 +678,55 @@ object TextQueries {
          |       regexp_replace(regexp_replace(text,
          |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
-         |FROM dedup""".stripMargin
+         |FROM dedup""".stripMargin,
+
+    // Constants are spelled as the same IEEE expressions the Spark side
+    // computes ((1.2 + 1), not 2.2) and per-term contributions are
+    // integer-quantized before the sum, so the scores are bit-identical.
+    "q112_bm25" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ($bm25TermsSql) GROUP BY 1, 2
+         |),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |           * (tf * (1.2 + 1))
+         |           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |           * 1e6 + 0.5) AS BIGINT) AS c
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+         |)
+         |SELECT doc_id, CAST(SUM(c) AS DOUBLE) / 1e6 AS score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The Bloom filter is exact-equivalent to the plain overlap join (no
+    // false negatives; false positives removed by the verify join), so the
+    // oracle is the unfiltered shingle-overlap SQL.
+    "q114_bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+5], ' ') FOR i IN generate_series(1, len(t) - 5)]
+        |    END)) AS shingle
+        |  FROM toks
+        |),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |SELECT sh.doc_id, COUNT(*) AS n_overlaps
+        |FROM sh JOIN bench USING (shingle)
+        |WHERE sh.doc_id >= 10
+        |GROUP BY sh.doc_id
+        |HAVING COUNT(*) >= 2""".stripMargin
   )
+
+  /** q112's term list rendered for the oracle's IN clause. */
+  private def bm25TermsSql: String =
+    bm25Terms.map(t => s"'$t'").mkString(", ")
 }

@@ -54,6 +54,14 @@ object VectorQueries {
       Similarity.kMeans(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 4)),
 
+    // SemDeDup (Abbas et al. 2023): k-means-confined semantic dedup — exact
+    // cosine pairs only WITHIN each cluster, drop the higher id. Same
+    // centroids/assignment as q109, so the Python oracle replicates the
+    // identical operation sequence end to end.
+    "q113_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 4, threshold = 0.35)),
+
     // Int8 scalar quantization of the embedding store (4x compression),
     // serialized as a JSON int array for the driver compare.
     "q82_quantize_int8" -> ((s, dir) =>

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
+
+/** Specs for the round-4 training-pipeline additions: BM25 retrieval,
+  * SemDeDup, Bloom-filter decontamination, length-bucketed batching. */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ----------------------------------------------------------
+
+  test("bm25: hand-computed scores on a three-doc corpus") {
+    val docs = Seq(
+      (1L, "cat dog cat"), // dl 3, tf(cat)=2
+      (2L, "dog mouse"), //    dl 2, tf(cat)=0
+      (3L, "cat bird lion tiger")) // dl 4, tf(cat)=1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    // N=3, df(cat)=2, idf = ln(1 + 1.5/2.5); avgdl = 3
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Long, dl: Long): Double = {
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out(0)._2 === s(2, 3))
+    assert(out(1)._2 === s(1, 4))
+    // the longer doc with lower tf scores strictly lower
+    assert(out(1)._2 < out(0)._2)
+  }
+
+  test("bm25: score is invariant under repartitioning (integer-quantized sum)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val terms = Seq("vector", "merge", "window", "stream")
+    val a = TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bm25(docs.repartition(7), "doc_id", "text", terms)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- SemDeDup ------------------------------------------------------
+
+  test("semDedup: drops the higher id of a within-cluster near-duplicate only") {
+    // two well-separated clusters; (11,12) nearly identical, (21,22) apart
+    val e = Seq(
+      (11L, Seq(1f, 0f, 0f)),
+      (12L, Seq(0.999f, 0.045f, 0f)), // cos(11,12) ~ 0.999
+      (21L, Seq(0f, 1f, 0f)),
+      (22L, Seq(0f, 0.7f, 0.714f))) // cos(21,22) ~ 0.7
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(e, "vec_id", "embedding",
+      k = 2, iters = 3, threshold = 0.9)
+    assert(out.select("drop_id").as[Long].collect().toSeq === Seq(12L))
+  }
+
+  test("semDedup: never drops across clusters even above threshold") {
+    // identical vectors forced into different clusters cannot pair; with
+    // k=1 they share a cluster and the higher id drops
+    val e = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val one = Similarity.semDedup(e, "vec_id", "embedding", 1, 1, 0.99)
+    assert(one.select("drop_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  // ---- Bloom decontamination ----------------------------------------
+
+  test("bloomDecontaminate: exact-equivalent to the unfiltered overlap join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bloom = Dedup.bloomDecontaminate(docs, "doc_id", "text",
+      benchFilter = col("doc_id") < 10, n = 6, minOverlaps = 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // reference: plain exact shingle-overlap (q77 shape)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), 6))).as("shingle"))
+    val bench = sh.where(col("doc_id") < 10).select("shingle").distinct()
+    val exact = sh.where(col("doc_id") >= 10)
+      .join(bench, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlaps"))
+      .where(col("n_overlaps") >= 2)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the fixture must actually exercise the operator
+  }
+
+  test("bloomDecontaminate: parameters fail fast") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dedup.bloomDecontaminate(
+      docs, "doc_id", "text", col("doc_id") < 1, n = 3, minOverlaps = 1, mBits = 1000))
+    intercept[IllegalArgumentException](Dedup.bloomDecontaminate(
+      docs, "doc_id", "text", col("doc_id") < 1, n = 3, minOverlaps = 0))
+  }
+
+  // ---- Length-bucketed batches --------------------------------------
+
+  test("lengthBucketBatches: buckets route correctly and batches are full") {
+    val docs = (1 to 50).map(i => (i.toLong, Seq.fill(i % 40 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.lengthBucketBatches(docs, "doc_id", "text",
+      batchSize = 4, bounds = Seq(8, 16, 64)).cache()
+    // every doc lands in exactly one batch
+    assert(out.agg(sum("n_docs")).as[Long].head === 50L)
+    // max_tokens never exceeds the bucket bound
+    assert(out.where(col("max_tokens") > col("bucket")).isEmpty)
+    // only the LAST batch of a bucket may be short
+    val bad = out
+      .withColumn("mx", max("batch").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .where(col("n_docs") =!= 4 && col("batch") =!= col("mx"))
+    assert(bad.isEmpty)
+    // padding_frac in [0, 1)
+    assert(out.where(col("padding_frac") < 0 || col("padding_frac") >= 1).isEmpty)
+  }
+
+  test("lengthBucketBatches: overflow docs land in the overflow bucket") {
+    val docs = Seq((1L, Seq.fill(100)("w").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.lengthBucketBatches(docs, "doc_id", "text", 4, Seq(8))
+    val buckets = out.select("bucket").as[Long].collect().toSet
+    assert(buckets === Set(8L, 1L << 30))
+  }
+}

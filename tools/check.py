@@ -345,19 +345,18 @@ def py_q105_approx_quantiles(con, spark_df, oracle):
     return a, b
 
 
-def py_q109_kmeans(con, spark_df, oracle):
+def _kmeans_fit(con, k, iters):
     """Pure-Python replication of Similarity.kMeans's exact IEEE operation
     sequence (no Spark code involved): init = embeddings of the k smallest
     ids; assignment = argmin_j (||c_j||^2 - 2 v.c_j) with both sums
     accumulated in index order and strict-< tie-break to the lowest index;
     centroid update = exact integer sums of floor(v*1e6 + 0.5) divided back
-    out. k = 8, 4 iterations, matching the declared query."""
+    out. Returns (ids, vecs, final cluster assignment)."""
     import math
     rows = con.execute(
         "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
     ids = [r[0] for r in rows]
     vecs = [[float(x) for x in r[1]] for r in rows]
-    k, iters = 8, 4
     cents = [list(v) for v in vecs[:k]]
 
     def assign_all(cents):
@@ -393,12 +392,45 @@ def py_q109_kmeans(con, spark_df, oracle):
             if cnts[j]:
                 cents[j] = [float(sums[j][i]) / float(cnts[j]) / 1e6
                             for i in range(dim)]
-    exp = pd.DataFrame({"vec_id": ids, "cluster": assign_all(cents)})
+    return ids, vecs, assign_all(cents)
+
+
+def py_q109_kmeans(con, spark_df, oracle):
+    ids, _, assign = _kmeans_fit(con, k=8, iters=4)
+    exp = pd.DataFrame({"vec_id": ids, "cluster": assign})
+    return spark_df, exp
+
+
+def py_q113_semdedup(con, spark_df, oracle):
+    """SemDeDup: same k-means fit as q109, then exact within-cluster cosine
+    pairs (sequential index-order dots, Spark-style round to 3 dp); a vector
+    is dropped iff a lower id in its cluster is within threshold 0.35."""
+    ids, vecs, assign = _kmeans_fit(con, k=8, iters=4)
+    by_cluster = {}
+    for i, cl in enumerate(assign):
+        by_cluster.setdefault(cl, []).append(i)
+    rows = set()
+    for cl, members in by_cluster.items():
+        members.sort(key=lambda i: ids[i])
+        for x in range(len(members)):
+            vx = vecs[members[x]]
+            for y in range(x + 1, len(members)):
+                vy = vecs[members[y]]
+                acc = 0.0
+                for d in range(len(vx)):
+                    acc += vx[d] * vy[d]
+                if _spark_round(acc, 3) >= 0.35:
+                    rows.add((ids[members[y]], cl))
+    exp = pd.DataFrame(sorted(rows), columns=["drop_id", "cluster"])
+    if exp.empty:
+        exp = pd.DataFrame({"drop_id": pd.Series(dtype="int64"),
+                            "cluster": pd.Series(dtype="int64")})
     return spark_df, exp
 
 
 PY_ORACLES = {
     "q109_kmeans": py_q109_kmeans,
+    "q113_semdedup": py_q113_semdedup,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
