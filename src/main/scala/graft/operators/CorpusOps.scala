@@ -80,13 +80,23 @@ object CorpusOps {
     * shuffle and sort every row.
     *
     * u is offset by +0.5/2^32 to stay strictly inside (0, 1): ln(0) would
-    * produce -Inf priorities that silently never sample. */
+    * produce -Inf priorities that silently never sample.
+    *
+    * Weight contract: weights must be positive. A weight ≤ 0 fails loudly
+    * per row (a negative weight would flip the priority sign and ALWAYS
+    * sample — a silent data bug); rows with a null weight or id are skipped,
+    * the SQL-aggregate convention (and the typed aggregate's non-nullable
+    * (Double, Long) encoder would otherwise throw on them). */
   def weightedSample(df: DataFrame, idCol: String, groupCol: String,
                      weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val u = (md5Prefix32(col(idCol)).cast("double") + lit(0.5)) / lit(4294967296d)
-    val pri = log(u) / col(weightCol).cast("double")
-    df.withColumn("__pri", pri)
+    val w = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"weightedSample: non-positive weight in '$weightCol' for id "),
+        col(idCol).cast("string")))).otherwise(col(weightCol).cast("double"))
+    val pri = log(u) / w
+    df.where(col(weightCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__pri", pri)
       .groupBy(col(groupCol))
       .agg(graft.functions.TopKAgg.topK(k)(col("__pri"), col(idCol)).as("__top"))
       .select(col(groupCol), explode(col("__top.items")).as("__item"))
@@ -142,10 +152,15 @@ object CorpusOps {
     * A document survives iff its hash-uniform falls under its source's keep
     * rate `min(1, budget·w_s / tokens_s)` — deterministic and growth-stable.
     *
-    * Weights are quantized to integer micro-units (floor(pow·1e6 + 0.5))
-    * before normalization: integer sums commute, so the normalizer — and
-    * therefore every keep decision — is identical under any partition order
-    * and in the SQL oracle, unlike a floating sum of `pow` values.
+    * Weights are quantized to integer micro-units (round-half-up of
+    * `pow·1e6`, as a decimal(38,0)) before normalization: fixed-point sums
+    * commute, so the normalizer — and therefore every keep decision — is
+    * identical under any partition order and in the SQL oracle, unlike a
+    * floating sum of `pow` values. Decimal, not long: at the operator's
+    * stated corpus scale a source of ~1e13 tokens with alpha = 1 puts
+    * `tokens·1e6` past Long.MaxValue, where a long quantization would wrap
+    * negative and silently zero out the source's keep rate; decimal(38,0)
+    * headroom is ~1e38.
     *
     * Scale shape: one map-side-combined aggregation for the per-source
     * totals (rows = #sources), a broadcast of that tiny rate table, then a
@@ -158,9 +173,12 @@ object CorpusOps {
     val tok = df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
     val totals = tok.groupBy(col(sourceCol))
       .agg(sum(col("n_tokens")).as("src_tokens"))
+      // cast(double → decimal(38,0)) rounds HALF_UP — identical to the
+      // oracle's floor(x + 0.5) for positive x — without materializing the
+      // +0.5 sum as a double or squeezing the integer through a long
       .withColumn("wq",
-        floor(pow(col("src_tokens").cast("double"), lit(alpha)) * 1e6 + 0.5)
-          .cast("long"))
+        (pow(col("src_tokens").cast("double"), lit(alpha)) * 1e6)
+          .cast("decimal(38,0)"))
     val wSum = totals.agg(sum(col("wq")).as("w_sum"))
     val rates = totals.crossJoin(broadcast(wSum))
       .withColumn("keep_rate",

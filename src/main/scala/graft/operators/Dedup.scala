@@ -192,9 +192,6 @@ object Dedup {
     labels
   }
 
-  /** SimHash-64 of a token multiset: each token's 64-bit hash votes ±1 per bit
-    * position; the fingerprint sets bit j where the vote sum is positive.
-    * Built as 64 conditional sums over exploded tokens — one shuffle on the id. */
   /** Bloom-filter benchmark decontamination — the 100 TB path for the exact
     * shingle-overlap check (q77 semantics): build an `mBits`-bit Bloom filter
     * of the benchmark's distinct n-token shingles RELATIONALLY (positions →
@@ -254,6 +251,9 @@ object Dedup {
       .where(col("n_overlaps") >= minOverlaps)
   }
 
+  /** SimHash-64 of a token multiset: each token's 64-bit hash votes ±1 per bit
+    * position; the fingerprint sets bit j where the vote sum is positive.
+    * Built as 64 conditional sums over exploded tokens — one shuffle on the id. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -29,6 +29,20 @@ class SinksSpec extends SparkSpec {
     assert(json(1) === """{"id":2,"label":"y"}""")
   }
 
+  test("ORC source/sink round-trip preserves schema and rows") {
+    // second columnar at-rest format beside parquet (Spark-native ORC);
+    // a store migration between the two must be lossless
+    val dir = Files.createTempDirectory("orc").toString + "/docs"
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.where($"doc_id" === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
+  }
+
   test("S8/R10: partitioned chunk emit writes one directory per group key") {
     val dir = Files.createTempDirectory("chunks").toString + "/out"
     Tables.load(spark, sf, "orders")

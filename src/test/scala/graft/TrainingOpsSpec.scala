@@ -93,6 +93,21 @@ class TrainingOpsSpec extends SparkSpec {
       docs, "doc_id", "text", col("doc_id") < 1, n = 3, minOverlaps = 0))
   }
 
+  // ---- weightedSample weight contract --------------------------------
+
+  test("weightedSample: negative weight fails loudly, null weight is skipped") {
+    val bad = Seq((1L, "g", 5L), (2L, "g", -1L)).toDF("id", "grp", "w")
+    val e = intercept[Exception] {
+      CorpusOps.weightedSample(bad, "id", "grp", "w", k = 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight")
+      || Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+    val withNull = Seq((1L, "g", Some(5L)), (2L, "g", None))
+      .toDF("id", "grp", "w")
+    val out = CorpusOps.weightedSample(withNull, "id", "grp", "w", k = 2)
+    assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   // ---- Length-bucketed batches --------------------------------------
 
   test("lengthBucketBatches: buckets route correctly and batches are full") {
