@@ -110,6 +110,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("bm25: ordered slice at the top, stats broadcast, no sort-merge join") {
+    val p = plan("q112_bm25")
+    // top-N must plan as per-partition heaps (TakeOrderedAndProject); the
+    // df/N/avgdl sides are term-count- and scalar-sized so they must enter
+    // by broadcast, never by shuffling the tf stream against them
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("semdedup: pair join is keyed by cluster, never a cross join") {
+    val p = plan("q113_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the a_id < b_id predicate must ride the cluster equi-join, not a
+    // nested-loop over the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("bloom decontamination: probe is map-side against one broadcast bitmap") {
+    val p = plan("q114_bloom_decontaminate")
+    // exactly one IdentityBroadcastMode broadcast: the single-row bitmap.
+    // The probe itself is a Filter, not a join, so the corpus shingle
+    // stream must not hash-exchange before it is Bloom-filtered.
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("length batches: one bucket-keyed shuffle feeds window and aggregate") {
+    val p = plan("q115_length_batches")
+    assert("\\+- Sort ".r.findAllIn(p).size === 1, p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("chunk routing filters rows at the scan and never cross-joins") {
     val p = plan("q88_run_direct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
