@@ -203,26 +203,33 @@ object Similarity {
                               k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
-    var cents: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
-      .select(col(embCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "kMeans needs at least one input row")
-    for (_ <- 1 to iters) {
-      val sums = df
-        .select(assignExpr(cents, embCol).as("cluster"),
-          posexplode(col(embCol).cast("array<double>")).as(Seq("i", "v")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.foreach { r =>
-        next(r.getAs[Int]("cluster"))(r.getAs[Int]("i")) =
-          r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble / 1e6
+    // iterative trainer: cache the (id, vec) projection so each Lloyd
+    // round reads memory, not the source scan — the standard shape for an
+    // iterative fit (MLlib's KMeans persists its norms RDD the same way)
+    val vecs = df.select(col(idCol).as("__id"),
+      col(embCol).cast("array<double>").as("__v")).cache()
+    try {
+      var cents: Array[Array[Double]] = vecs.orderBy(col("__id")).limit(k)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(cents.nonEmpty, "kMeans needs at least one input row")
+      for (_ <- 1 to iters) {
+        val sums = vecs
+          .select(assignExpr(cents, "__v").as("cluster"),
+            posexplode(col("__v")).as(Seq("i", "v")))
+          .groupBy(col("cluster"), col("i"))
+          .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getAs[Int]("cluster"))(r.getAs[Int]("i")) =
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble / 1e6
+        }
+        cents = next
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
