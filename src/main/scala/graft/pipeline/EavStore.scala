@@ -66,6 +66,77 @@ object EavStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction — the maintenance pass a long-lived partitioned
+    * store needs: repeated upserts each add up to [[FilesPerPartition]]
+    * files per touched partition, and at 100 TB a scan's task count (and
+    * the namenode/listing load) degrades with file count, not byte count.
+    * Rewrites ONLY partitions holding more than `maxFiles` parquet files,
+    * re-clustered to ≤ [[FilesPerPartition]] sized files, leaving healthy
+    * partitions untouched (their files are never read or rewritten).
+    * Content-preserving by construction: one pruned read + one dynamic
+    * partition overwrite of the same rows.
+    *
+    * The rewritten slice is localCheckpointed because it is read from the
+    * very path being overwritten. Compaction holds that slice in
+    * executor storage, so at scale callers compact a bounded batch of
+    * partitions at a time (the fragmented list is returned for that).
+    * Returns the partition values rewritten. */
+  def compact(spark: SparkSession, path: String,
+              maxFiles: Int = FilesPerPartition): Seq[String] = {
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+    val fs = hadoopFs(spark, path)
+    val fragmented = partitionDirs(spark, path).collect {
+      case d if fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")) > maxFiles =>
+        partitionValue(d.getName)
+    }
+    if (fragmented.nonEmpty) {
+      val slice = read(spark, path)
+        .where(col("partition_id").isin(fragmented.map(_.asInstanceOf[Any]): _*))
+        .localCheckpoint()
+      slice
+        .repartition(col("partition_id"),
+          pmod(xxhash64(col("hash")), lit(FilesPerPartition)))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(path)
+    }
+    fragmented
+  }
+
+  /** Retention vacuum: physically drops every store partition whose value
+    * fails `keep` — how a release-versioned store stays bounded (the
+    * reference deletes old release partitions the same way, via dropped
+    * partition tables). A pure metadata/filesystem operation: no data is
+    * read or shuffled. Returns the partition values dropped. */
+  def vacuum(spark: SparkSession, path: String,
+             keep: String => Boolean): Seq[String] = {
+    val fs = hadoopFs(spark, path)
+    partitionDirs(spark, path)
+      .filterNot(d => keep(partitionValue(d.getName)))
+      .map { d => fs.delete(d, true); partitionValue(d.getName) }
+  }
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def partitionDirs(spark: SparkSession,
+                            path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("partition_id="))
+      .map(_.getPath)
+  }
+
+  /** Decode a `partition_id=<escaped>` directory name back to its value
+    * (Spark escapes partition values with URI encoding, e.g. `|` → `%7C`). */
+  private def partitionValue(dirName: String): String =
+    java.net.URLDecoder.decode(dirName.stripPrefix("partition_id="), "UTF-8")
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -104,4 +104,51 @@ class EavStoreSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(a === b && a.size === 2)
   }
+
+  test("compact rewrites only fragmented partitions and preserves content") {
+    val dir = Files.createTempDirectory("eav_compact").toString + "/store"
+    val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",
+      "partition_id", "date", "payload")
+    // p1 fragmented (40 files for 200 rows), p2 healthy (1 file)
+    val frag = (1 to 200).map(i =>
+      row(s"h$i", "2026_8_1|p1", "2021-01-01", s"v$i"))
+      .toDF(schema: _*)
+    frag.repartition(40).write.partitionBy("partition_id").parquet(dir)
+    Seq(row("x1", "2026_8_1|p2", "2021-01-02", "w1")).toDF(schema: _*)
+      .coalesce(1).write.mode("append").partitionBy("partition_id").parquet(dir)
+
+    def files(part: String): Array[java.io.File] =
+      new java.io.File(s"$dir/partition_id=$part")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+
+    assert(files("2026_8_1|p1").length === 40)
+    val p2Before = files("2026_8_1|p2").map(_.getName).toSet
+    val before = EavStore.read(spark, dir).select("hash", "payload")
+      .as[(String, String)].collect().toSet
+
+    val rewritten = EavStore.compact(spark, dir)
+    assert(rewritten === Seq("2026_8_1|p1"))
+    assert(files("2026_8_1|p1").length <= EavStore.FilesPerPartition)
+    // the healthy partition's files were not touched
+    assert(files("2026_8_1|p2").map(_.getName).toSet === p2Before)
+    val after = EavStore.read(spark, dir).select("hash", "payload")
+      .as[(String, String)].collect().toSet
+    assert(after === before)
+    // second compact is a no-op
+    assert(EavStore.compact(spark, dir).isEmpty)
+  }
+
+  test("vacuum drops partitions failing the retention predicate, nothing else") {
+    val dir = Files.createTempDirectory("eav_vacuum").toString + "/store"
+    val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",
+      "partition_id", "date", "payload")
+    Seq(row("h1", "2026_8_1|supplier", "2021-01-01", "old"),
+        row("h2", "2026_8_2|supplier", "2021-01-02", "new"))
+      .toDF(schema: _*)
+      .write.partitionBy("partition_id").parquet(dir)
+    val dropped = EavStore.vacuum(spark, dir, keep = _.startsWith("2026_8_2"))
+    assert(dropped === Seq("2026_8_1|supplier"))
+    val rest = EavStore.read(spark, dir).select("hash").as[String].collect().toSeq
+    assert(rest === Seq("h2"))
+  }
 }
