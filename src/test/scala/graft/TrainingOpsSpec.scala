@@ -129,6 +129,59 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.where(col("padding_frac") < 0 || col("padding_frac") >= 1).isEmpty)
   }
 
+  test("bm25 equals a brute-force Scala recompute on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Seq("cat", "dog", "bird", "fish", "x", "y")
+    val docGen = Gen.listOfN(12,
+      Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    val terms = Seq("cat", "dog")
+    (1 to 8).foreach { i =>
+      val texts = docGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .map(_.mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.bm25(df, "doc_id", "text", terms)
+        .orderBy("doc_id").as[(Long, Double)].collect().toList
+      // brute force, same IEEE shapes
+      val toks = texts.map(_.split(" ", -1).toSeq)
+      val n = texts.length.toLong
+      val avgdl = toks.map(_.length.toLong).sum.toDouble / n
+      val dfreq = terms.map(t => t -> toks.count(_.contains(t)).toLong).toMap
+      val expect = toks.zipWithIndex.flatMap { case (tk, j) =>
+        val cs = terms.flatMap { t =>
+          val tf = tk.count(_ == t).toLong
+          if (tf == 0 || dfreq(t) == 0) None
+          else {
+            val idf = math.log(1d + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+            val raw = idf * (tf * (1.2 + 1)) /
+              (tf + 1.2 * (1 - 0.75 + 0.75 * tk.length / avgdl))
+            Some(math.floor(raw * 1e6 + 0.5).toLong)
+          }
+        }
+        if (cs.isEmpty) None else Some((j.toLong, cs.sum.toDouble / 1e6))
+      }.toList
+      assert(got === expect, s"seed $i")
+    }
+  }
+
+  test("lengthBucketBatches: every doc counted once on random length mixes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val lensGen = Gen.listOfN(30, Gen.choose(1, 200))
+    (1 to 5).foreach { i =>
+      val lens = lensGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val df = lens.zipWithIndex.map { case (l, j) =>
+        (j.toLong, Seq.fill(l)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = CorpusOps.lengthBucketBatches(df, "doc_id", "text",
+        batchSize = 4, bounds = Seq(16, 64)).collect()
+      assert(out.map(_.getAs[Long]("n_docs")).sum === 30L, s"seed $i")
+      // sum_tokens across batches equals the corpus token total
+      assert(out.map(_.getAs[Long]("sum_tokens")).sum === lens.map(_.toLong).sum)
+    }
+  }
+
   test("lengthBucketBatches: overflow docs land in the overflow bucket") {
     val docs = Seq((1L, Seq.fill(100)("w").mkString(" ")), (2L, "a b"))
       .toDF("doc_id", "text")
