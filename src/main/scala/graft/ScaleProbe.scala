@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+
+/** Empirical scaling probe: run the heavy corpus operators on the documents
+  * table at 1× and at `factor`× (id-remapped unioned copies, written to
+  * parquet so both sizes read through the same scan path) and report the
+  * time ratio. A healthy operator's ratio tracks the data ratio (≈ linear);
+  * a pair-explosion or driver funnel shows up as a super-linear ratio long
+  * before it would OOM a cluster. Prints one JSON line and writes
+  * SCALE_PROBE.json.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.ScaleProbe [factor]
+  */
+object ScaleProbe {
+
+  /** The operators worth probing: the ones whose cost could in principle
+    * grow with pair counts rather than row counts. */
+  private def ops(): Seq[(String, DataFrame => DataFrame)] = Seq(
+    "exact_dedup" -> (d => Dedup.exactByContent(d, "doc_id", "text")),
+    "minhash_pairs" -> (d => Dedup.minhashNearDups(d, "doc_id", "text",
+      threshold = 0.5)),
+    "block_dedup" -> (d => CorpusOps.dedupBlocks(d, "doc_id", "text", blockTokens = 3)),
+    "bm25" -> (d => TextAnalysis.bm25(d, "doc_id", "text",
+      Seq("vector", "merge", "window", "stream"))),
+    "length_batches" -> (d => CorpusOps.lengthBucketBatches(d, "doc_id", "text",
+      batchSize = 8, bounds = Seq(16, 32, 64, 128))),
+    "bloom_decontaminate" -> (d => Dedup.bloomDecontaminate(d, "doc_id", "text",
+      benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(8)
+    val spark = LocalSession.create()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+
+    // factor× corpus: id-remapped copies (distinct ids keep dedup semantics
+    // honest — texts DO repeat across copies, which is exactly the hot case
+    // for the dedup family). Materialized to parquet so both runs scan files.
+    val tmp = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    val big = (0 until factor).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10_000_000L))
+    }.reduce(_ unionByName _)
+    big.write.mode("overwrite").parquet(s"$tmp/docs_big")
+    val bigDocs = spark.read.parquet(s"$tmp/docs_big")
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Output rows are reported alongside time: for pair-emitting operators a
+    // k×-duplicated corpus legitimately has ~k² more true pairs, so the
+    // honest scaling signal is time ratio vs OUTPUT ratio, not row ratio.
+    val results = ops().map { case (name, op) =>
+      time(op(docs)) // untimed warmup pass at 1x (codegen, listings)
+      val t1 = time(op(docs))
+      val tf = time(op(bigDocs))
+      val o1 = op(docs).count()
+      val of = op(bigDocs).count()
+      (name, t1, tf, o1, of)
+    }
+    val qs = results.map { case (name, t1, tf, o1, of) =>
+      f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
+        s""""out1":$o1,"out$factor":$of}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_probe","rows":$n,"factor":$factor,"ops":$qs}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
