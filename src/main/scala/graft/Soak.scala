@@ -60,6 +60,24 @@ object Soak {
       s"partition pruning failed: read $filesRead of $totalFiles files ($nParts partitions)")
     println(s"[soak] partition '$target' rows=$prunedCount; scan read " +
       s"$filesRead of $totalFiles files (${partsRead.getOrElse(-1L)} partition)")
+
+    // Maintenance passes over the live store: compaction must preserve the
+    // row count while bounding files per partition; vacuuming release 1's
+    // partitions must leave exactly release 2's rows.
+    val rewritten = timed("compact store")(
+      EavStore.compact(spark, store, maxFiles = 4))
+    val afterCompact = EavStore.read(spark, store).count()
+    require(afterCompact == n2,
+      s"compaction changed the row count: $n2 -> $afterCompact")
+    println(s"[soak] compacted ${rewritten.length} fragmented partitions")
+
+    val dropped = timed("vacuum release 1")(
+      EavStore.vacuum(spark, store, keep = !_.startsWith(MainPipeline.releaseDate(1))))
+    val afterVacuum = EavStore.read(spark, store).count()
+    require(afterVacuum == n2 - n1,
+      s"vacuum kept the wrong rows: expected ${n2 - n1}, got $afterVacuum")
+    println(s"[soak] vacuumed ${dropped.length} partitions; " +
+      s"store rows now $afterVacuum")
     spark.stop()
   }
 }
