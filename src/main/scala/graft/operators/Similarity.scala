@@ -242,6 +242,14 @@ object Similarity {
     * to `scale` decimals before the threshold test so the decision is
     * engine-deterministic.
     *
+    * Recall: genuine near-duplicates (cosine ≈ 1) sit almost exactly on
+    * each other, so they co-cluster and are always found (guarded by
+    * TrainingOpsSpec's planted-duplicate case). Pairs merely NEAR the
+    * threshold do split across cluster boundaries — measured 93/262 pairs
+    * at the aggressive threshold 0.35 on the near-random sf0.001 fixture —
+    * the deliberate SemDeDup tradeoff; lower `k` (bigger clusters) or run
+    * two clusterings with different init to trade cost for boundary recall.
+    *
     * Scale shape: assignment is the map-only k-means expression (broadcast
     * centroid literals); the self-join shuffles on the cluster key only;
     * within-cluster pairs stream through the join without materializing

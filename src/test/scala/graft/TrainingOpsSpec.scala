@@ -57,6 +57,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.select("drop_id").as[Long].collect().toSeq === Seq(12L))
   }
 
+  test("semDedup: every planted near-duplicate is caught (they co-cluster)") {
+    // 200 seeded random unit vectors + 20 planted near-copies (cos ~0.9999).
+    // True duplicates sit almost exactly on their original, so k-means puts
+    // both in the same cluster and within-cluster search finds all of them —
+    // the recall property SemDeDup actually promises. (Borderline pairs near
+    // the threshold DO split across clusters: measured 93 of 262 pairs at
+    // cos >= 0.35 on the sf0.001 fixture — the documented tradeoff.)
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 200).map(i => (i.toLong, unit()))
+    val dups = base.take(20).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (if (x > 0) -1e-4f else 1e-4f)))
+    }
+    val df = (base ++ dups).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val dropped = Similarity.semDedup(df, "vec_id", "embedding",
+        k = 8, iters = 4, threshold = 0.99)
+      .select("drop_id").as[Long].collect().toSet
+    // all 20 planted copies drop (ids 1000..1019); no original drops at 0.99
+    assert((1000L until 1020L).forall(dropped.contains), dropped.toSeq.sorted)
+  }
+
   test("semDedup: never drops across clusters even above threshold") {
     // identical vectors forced into different clusters cannot pair; with
     // k=1 they share a cluster and the higher id drops
