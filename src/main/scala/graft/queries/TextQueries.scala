@@ -323,7 +323,28 @@ object TextQueries {
     "q114_bloom_decontaminate" -> ((s, dir) =>
       Dedup.bloomDecontaminate(Tables.load(s, dir, "documents"),
         "doc_id", "text", benchFilter = col("doc_id") < 10,
-        n = 6, minOverlaps = 2))
+        n = 6, minOverlaps = 2)),
+
+    // Cross-source contamination matrix (corpus QA: which sources share
+    // content): distinct 8-token shingles common to each source pair.
+    // Scale shape: ONE shuffle keyed by shingle; each shingle reduces to its
+    // source SET (bounded by #sources, map-side combined via collect_set),
+    // and pairs expand from that tiny array — document pairs never join, so
+    // a shingle shared by millions of docs costs one row, not a fan-out.
+    "q116_source_overlap" -> ((s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(Dedup.shingles(col("text"), 8))).as("shingle"))
+      val srcs = sh.groupBy(col("shingle"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .where(size(col("srcs")) >= 2)
+      srcs
+        .select(explode(flatten(transform(col("srcs"), (x, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+            y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    })
   )
 
   /** Fixed query-term set for q112 (terms from the fixture vocabulary). */
@@ -723,7 +744,22 @@ object TextQueries {
         |FROM sh JOIN bench USING (shingle)
         |WHERE sh.doc_id >= 10
         |GROUP BY sh.doc_id
-        |HAVING COUNT(*) >= 2""".stripMargin
+        |HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q116_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |    END)) AS shingle
+        |  FROM toks
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh a JOIN sh b USING (shingle)
+        |WHERE a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** q112's term list rendered for the oracle's IN clause. */
