@@ -144,6 +144,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("source overlap: one shingle-keyed shuffle, no doc-pair join") {
+    val p = plan("q116_source_overlap")
+    // the (source, shingle) dedup and the source-set aggregate share the
+    // same shingle-keyed partitioning; pair expansion is a projection
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("chunk routing filters rows at the scan and never cross-joins") {
     val p = plan("q88_run_direct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
