@@ -196,6 +196,33 @@ object RoutedQueries {
       graft.operators.TextAnalysis.unigramLogProb(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet-style perplexity-bucketed sampling: documents bucket into LM
+    // log-prob quartiles (exact interpolated percentiles over the score
+    // HISTOGRAM — bounded by distinct rounded scores, never raw rows), the
+    // middle buckets keep everything, the templated head and garbled tail
+    // are hash-downsampled. Composes three verified operators (q97 score,
+    // q52 percentile arithmetic, q93 hash sampling) into the actual
+    // pretraining cleaning stage; all decisions deterministic.
+    "q117_perplexity_sample" -> ((s, dir) => {
+      val lp = graft.operators.TextAnalysis.unigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val qs = graft.operators.Serving.percentileCont(
+        lp.withColumn("__g", lit("all")), Seq("__g"), "mean_logprob",
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("__g")
+      val rate = Map(0 -> 0.2, 1 -> 1.0, 2 -> 1.0, 3 -> 0.1)
+      lp.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          when(col("mean_logprob") <= col("q1"), 0L)
+            .when(col("mean_logprob") <= col("q2"), 1L)
+            .when(col("mean_logprob") <= col("q3"), 2L)
+            .otherwise(3L))
+        .where(CorpusOps.hashUniform(col("doc_id")) <
+          rate.foldLeft(lit(0d): Column) { case (acc, (b, r)) =>
+            when(col("bucket") === b.toLong, lit(r)).otherwise(acc)
+          })
+        .select(col("doc_id"), col("bucket"), col("mean_logprob"))
+    }),
+
     // The demographics route end to end THROUGH the router: an
     // age-demographics chunk feed dispatched by (category, subcategory) into
     // the full demographics pipeline — closes the third run_direct route
@@ -323,6 +350,56 @@ object RoutedQueries {
         |       round(AVG(ln(CAST(cnt AS DOUBLE) / t)), 4) AS mean_logprob
         |FROM toks JOIN freqs USING (tok), total
         |GROUP BY doc_id""".stripMargin,
+
+    // Quartile thresholds use the explicit rank-interpolation spelling (the
+    // q52 idiom) so the arithmetic is bit-identical to the Spark side.
+    "q117_perplexity_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |freqs AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT SUM(cnt) AS t FROM freqs),
+        |lp AS (
+        |  SELECT doc_id,
+        |         round(AVG(ln(CAST(cnt AS DOUBLE) / t)), 4) AS mean_logprob
+        |  FROM toks JOIN freqs USING (tok), total
+        |  GROUP BY doc_id
+        |),
+        |ranked AS (
+        |  SELECT mean_logprob,
+        |         row_number() OVER (ORDER BY mean_logprob) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM lp
+        |),
+        |q AS (
+        |  SELECT
+        |    max(CASE WHEN rn = floor(0.25*(n-1)+1) THEN mean_logprob END)
+        |      + (max(CASE WHEN rn = ceil(0.25*(n-1)+1) THEN mean_logprob END)
+        |         - max(CASE WHEN rn = floor(0.25*(n-1)+1) THEN mean_logprob END))
+        |        * max(0.25*(n-1)+1 - floor(0.25*(n-1)+1)) AS q1,
+        |    max(CASE WHEN rn = floor(0.5*(n-1)+1) THEN mean_logprob END)
+        |      + (max(CASE WHEN rn = ceil(0.5*(n-1)+1) THEN mean_logprob END)
+        |         - max(CASE WHEN rn = floor(0.5*(n-1)+1) THEN mean_logprob END))
+        |        * max(0.5*(n-1)+1 - floor(0.5*(n-1)+1)) AS q2,
+        |    max(CASE WHEN rn = floor(0.75*(n-1)+1) THEN mean_logprob END)
+        |      + (max(CASE WHEN rn = ceil(0.75*(n-1)+1) THEN mean_logprob END)
+        |         - max(CASE WHEN rn = floor(0.75*(n-1)+1) THEN mean_logprob END))
+        |        * max(0.75*(n-1)+1 - floor(0.75*(n-1)+1)) AS q3
+        |  FROM ranked
+        |),
+        |b AS (
+        |  SELECT doc_id, mean_logprob,
+        |         CAST(CASE WHEN mean_logprob <= q1 THEN 0
+        |                   WHEN mean_logprob <= q2 THEN 1
+        |                   WHEN mean_logprob <= q3 THEN 2
+        |                   ELSE 3 END AS BIGINT) AS bucket
+        |  FROM lp, q
+        |)
+        |SELECT doc_id, bucket, mean_logprob FROM b
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < CASE bucket WHEN 0 THEN 0.2 WHEN 1 THEN 1.0
+        |                    WHEN 2 THEN 1.0 ELSE 0.1 END""".stripMargin,
 
     "q95_linear_count" ->
       """WITH b AS (
