@@ -206,8 +206,13 @@ object RoutedQueries {
     "q117_perplexity_sample" -> ((s, dir) => {
       val lp = graft.operators.TextAnalysis.unigramLogProb(
         Tables.load(s, dir, "documents"), "doc_id", "text")
+      // the corpus-wide group key is derived from an attribute (constant
+      // but non-foldable), so the histogram window keeps a real partition
+      // key — its input is the distinct-score histogram, never raw rows
+      val allKey = concat(lit("all"),
+        substring(col("doc_id").cast("string"), 1, 0))
       val qs = graft.operators.Serving.percentileCont(
-        lp.withColumn("__g", lit("all")), Seq("__g"), "mean_logprob",
+        lp.withColumn("__g", allKey), Seq("__g"), "mean_logprob",
         Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("__g")
       val rate = Map(0 -> 0.2, 1 -> 1.0, 2 -> 1.0, 3 -> 0.1)
       lp.crossJoin(broadcast(qs))
