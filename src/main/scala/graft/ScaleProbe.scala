@@ -34,16 +34,22 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.flatMap(_.toIntOption).getOrElse(8)
+    require(factor >= 2, s"factor must be >= 2, got $factor")
     val spark = LocalSession.create()
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val n = docs.count()
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = src.count()
 
     // factor× corpus: id-remapped copies (distinct ids keep dedup semantics
     // honest — texts DO repeat across copies, which is exactly the hot case
-    // for the dedup family). Materialized to parquet so both runs scan files.
+    // for the dedup family). BOTH sizes are rewritten to temp parquet by the
+    // same job shape so the two runs scan comparable file layouts — timing
+    // the 1× side against the source file's original (possibly single-file)
+    // layout would hand the big side extra scan parallelism for free.
     val tmp = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    src.write.mode("overwrite").parquet(s"$tmp/docs_1x")
+    val docs = spark.read.parquet(s"$tmp/docs_1x")
     val big = (0 until factor).map { k =>
-      docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10_000_000L))
+      src.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10_000_000L))
     }.reduce(_ unionByName _)
     big.write.mode("overwrite").parquet(s"$tmp/docs_big")
     val bigDocs = spark.read.parquet(s"$tmp/docs_big")
@@ -75,5 +81,10 @@ object ScaleProbe {
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    // the temp corpus is factor× the documents table — leaving it behind
+    // accumulates orphaned GBs across runs
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

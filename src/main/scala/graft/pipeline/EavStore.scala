@@ -93,9 +93,13 @@ object EavStore {
       val slice = read(spark, path)
         .where(col("partition_id").isin(fragmented.map(_.asInstanceOf[Any]): _*))
         .localCheckpoint()
+      // bucket count honors the caller's bound: rewriting into
+      // FilesPerPartition buckets when maxFiles < FilesPerPartition would
+      // leave the partition still "fragmented" and re-rewrite it forever
+      val buckets = math.min(maxFiles, FilesPerPartition)
       slice
         .repartition(col("partition_id"),
-          pmod(xxhash64(col("hash")), lit(FilesPerPartition)))
+          pmod(xxhash64(col("hash")), lit(buckets)))
         .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -115,7 +119,12 @@ object EavStore {
     val fs = hadoopFs(spark, path)
     partitionDirs(spark, path)
       .filterNot(d => keep(partitionValue(d.getName)))
-      .map { d => fs.delete(d, true); partitionValue(d.getName) }
+      .map { d =>
+        // fs.delete reports failure by RETURNING false, not throwing — a
+        // silently-failed delete must not be recorded as dropped
+        require(fs.delete(d, true), s"vacuum failed to delete $d")
+        partitionValue(d.getName)
+      }
   }
 
   private def hadoopFs(spark: SparkSession, path: String) =
@@ -132,14 +141,27 @@ object EavStore {
       .map(_.getPath)
   }
 
-  /** Decode a `partition_id=<escaped>` directory name back to its value
-    * (Spark escapes partition values with URI encoding, e.g. `|` → `%7C`). */
-  private def partitionValue(dirName: String): String =
-    java.net.URLDecoder.decode(dirName.stripPrefix("partition_id="), "UTF-8")
+  /** Decode a `partition_id=<escaped>` directory name back to its value.
+    * Spark/Hive path escaping is %xx percent-encoding ONLY — unlike
+    * URLDecoder it never turns `+` into a space (a literal `+` in a
+    * partition value is written unescaped, and URLDecoder would corrupt it,
+    * making vacuum delete or keep the wrong partitions). */
+  private def partitionValue(dirName: String): String = {
+    val s = dirName.stripPrefix("partition_id=")
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    if (hadoopFs(spark, path).exists(p)) Some(spark.read.parquet(path)) else None
   }
 }

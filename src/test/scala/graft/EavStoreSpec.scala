@@ -138,6 +138,38 @@ class EavStoreSpec extends SparkSpec {
     assert(EavStore.compact(spark, dir).isEmpty)
   }
 
+  test("compact honors a maxFiles bound below FilesPerPartition and converges") {
+    val dir = Files.createTempDirectory("eav_compact4").toString + "/store"
+    val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",
+      "partition_id", "date", "payload")
+    (1 to 100).map(i => row(s"h$i", "p1", "2021-01-01", s"v$i"))
+      .toDF(schema: _*)
+      .repartition(20).write.partitionBy("partition_id").parquet(dir)
+    assert(EavStore.compact(spark, dir, maxFiles = 4) === Seq("p1"))
+    val files = new java.io.File(s"$dir/partition_id=p1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"compact(maxFiles=4) left $files files")
+    // converged: the rewritten partition is no longer fragmented
+    assert(EavStore.compact(spark, dir, maxFiles = 4).isEmpty)
+  }
+
+  test("partition values with '+' survive the vacuum/compact decode round-trip") {
+    // Hive path escaping writes '+' unescaped; URLDecoder would turn it into
+    // a space and the retention predicate would see the wrong value
+    val dir = Files.createTempDirectory("eav_plus").toString + "/store"
+    val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",
+      "partition_id", "date", "payload")
+    Seq(row("h1", "2026_8_1|a+b", "2021-01-01", "v1"),
+        row("h2", "2026_8_2|a+b", "2021-01-02", "v2"))
+      .toDF(schema: _*)
+      .write.partitionBy("partition_id").parquet(dir)
+    val seen = scala.collection.mutable.Set[String]()
+    EavStore.vacuum(spark, dir, keep = { v => seen += v; v.contains("2026_8_2") })
+    assert(seen === Set("2026_8_1|a+b", "2026_8_2|a+b"), seen)
+    assert(EavStore.read(spark, dir).select("hash").as[String].collect().toSeq
+      === Seq("h2"))
+  }
+
   test("vacuum drops partitions failing the retention predicate, nothing else") {
     val dir = Files.createTempDirectory("eav_vacuum").toString + "/store"
     val schema = Seq("hash", "release_id", "areaType", "areaCode", "metric",

@@ -81,6 +81,7 @@ class TrainingOpsSpec extends SparkSpec {
       .select("drop_id").as[Long].collect().toSet
     // all 20 planted copies drop (ids 1000..1019); no original drops at 0.99
     assert((1000L until 1020L).forall(dropped.contains), dropped.toSeq.sorted)
+    assert(dropped.forall(_ >= 1000L), dropped.toSeq.sorted)
   }
 
   test("semDedup: never drops across clusters even above threshold") {
