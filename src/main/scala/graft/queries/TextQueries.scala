@@ -325,6 +325,29 @@ object TextQueries {
         "doc_id", "text", benchFilter = col("doc_id") < 10,
         n = 6, minOverlaps = 2)),
 
+    // Per-source dataset card (the summary table a corpus release ships
+    // with): docs, token volume, mean quality score, language share, exact
+    // duplicate rate — ONE map-side-combined aggregate over the corpus
+    // (distinct-text counting rides an md5 count-distinct in the same pass).
+    "q118_source_card" -> ((s, dir) => {
+      val stopArr = array(stopwords.map(lit): _*)
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val quality = round(least(nTok.cast("double"), lit(100d)) / 100d
+        * (lit(1d) - size(filter(toks, t => array_contains(stopArr, t)))
+            .cast("double") / nTok), 3)
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok).as("total_tokens"),
+          round(avg(quality), 4).as("mean_quality"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("en_share"),
+          round(lit(1d) - countDistinct(md5(col("text"))).cast("double")
+            / count(lit(1)), 4).as("dup_rate"))
+    }),
+
     // Cross-source contamination matrix (corpus QA: which sources share
     // content): distinct 8-token shingles common to each source pair.
     // Scale shape: ONE shuffle keyed by shingle; each shingle reduces to its
@@ -745,6 +768,30 @@ object TextQueries {
         |WHERE sh.doc_id >= 10
         |GROUP BY sh.doc_id
         |HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q118_source_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, text, string_split(text, ' ') AS t,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |q AS (
+        |  SELECT source, lang, text, n_tok,
+        |         round(least(CAST(n_tok AS DOUBLE), 100) / 100
+        |           * (1 - CAST(len(list_filter(t,
+        |                tok -> tok IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
+        |              / n_tok), 3) AS quality
+        |  FROM d
+        |)
+        |SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       SUM(n_tok) AS total_tokens,
+        |       round(AVG(quality), 4) AS mean_quality,
+        |       round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 4) AS en_share,
+        |       round(1 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)
+        |         AS dup_rate
+        |FROM q GROUP BY source""".stripMargin,
 
     "q116_source_overlap" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
