@@ -192,6 +192,53 @@ object Dedup {
     labels
   }
 
+  /** Repeated-span scrubbing — the exact-substring deduplication of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    * 2022), at n-token granularity: every n-gram instance whose exact text
+    * occurs more than once ANYWHERE in the corpus (including again in the
+    * same document) marks its n token positions, and marked positions are
+    * removed. Documents shorter than n tokens are untouched. Returns
+    * (id, n_tokens, n_kept, scrubbed) with `scrubbed` null when nothing
+    * survives.
+    *
+    * Scale shape: gram counting is one map-side-combined aggregation keyed
+    * by the gram; the repeated-gram join is keyed the same way (repeated
+    * grams are a small fraction of the gram table); covered positions and
+    * the rebuild shuffle on the doc id. Nothing is ever joined pairwise —
+    * a boilerplate gram shared by millions of documents costs one counter
+    * row plus its own instances, never a cross product. */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val toks = split(col(textCol), " ")
+    val nGrams = size(toks) - (n - 1)
+    // 1-based gram positions; empty when the doc is shorter than n tokens
+    // (an unguarded sequence(1, 0) would DESCEND and fabricate grams)
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), greatest(nGrams, lit(1))),
+        i => struct(i.as("gpos"), array_join(slice(toks, i, lit(n)), " ").as("gram"))))
+      .otherwise(array().cast("array<struct<gpos:int,gram:string>>"))
+    val g = df.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), col("g.gpos").as("gpos"), col("g.gram").as("gram"))
+    val repeated = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("gram")
+    val covered = g.join(repeated, Seq("gram"))
+      .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val tok = df.select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = tok.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("scrubbed"))
+  }
+
   /** Bloom-filter benchmark decontamination — the 100 TB path for the exact
     * shingle-overlap check (q77 semantics): build an `mBits`-bit Bloom filter
     * of the benchmark's distinct n-token shingles RELATIONALLY (positions →

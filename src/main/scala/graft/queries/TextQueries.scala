@@ -325,6 +325,13 @@ object TextQueries {
         "doc_id", "text", benchFilter = col("doc_id") < 10,
         n = 6, minOverlaps = 2)),
 
+    // Exact repeated-substring scrubbing (Lee et al. 2022 at 8-gram
+    // granularity): every 8-token span occurring more than once in the
+    // corpus is removed from every document carrying it.
+    "q119_span_scrub" -> ((s, dir) =>
+      Dedup.scrubRepeatedSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 8)),
+
     // Per-source dataset card (the summary table a corpus release ships
     // with): docs, token volume, mean quality score, language share, exact
     // duplicate rate — ONE map-side-combined aggregate over the corpus
@@ -768,6 +775,39 @@ object TextQueries {
         |WHERE sh.doc_id >= 10
         |GROUP BY sh.doc_id
         |HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q119_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)] AS gs
+        |  FROM d WHERE len(t) >= 8
+        |),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gram, generate_subscripts(gs, 1) AS gpos
+        |  FROM g0
+        |),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(gpos, gpos + 7)) AS pos
+        |  FROM g JOIN rep USING (gram)
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM d
+        |),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok
+        |  FROM tok ANTI JOIN cov USING (doc_id, pos)
+        |),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       agg.scrubbed
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q118_source_card" ->
       """WITH d AS (

@@ -120,6 +120,33 @@ class TrainingOpsSpec extends SparkSpec {
       docs, "doc_id", "text", col("doc_id") < 1, n = 3, minOverlaps = 0))
   }
 
+  // ---- Repeated-span scrubbing ----------------------------------------
+
+  test("scrubRepeatedSpans removes exactly the positions under repeated grams") {
+    val repeated = "a b c" // the 3-gram planted in both docs
+    val docs = Seq(
+      (1L, s"x1 x2 $repeated y1 y2"),     // gram at pos 3..5
+      (2L, s"$repeated z1 z2 z3 z4"),     // gram at pos 1..3
+      (3L, "u1 u2"),                      // shorter than n: untouched
+      (4L, "only unique tokens here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 7L, 4L, "x1 x2 y1 y2"),
+      (2L, 7L, 4L, "z1 z2 z3 z4"),
+      (3L, 2L, 2L, "u1 u2"),
+      (4L, 5L, 5L, "only unique tokens here now")))
+  }
+
+  test("scrubRepeatedSpans nulls a fully-covered document") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._3, r._4)) === Seq((1L, 0L, null), (2L, 0L, null)))
+  }
+
   // ---- weightedSample weight contract --------------------------------
 
   test("weightedSample: negative weight fails loudly, null weight is skipped") {
