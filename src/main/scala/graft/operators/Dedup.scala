@@ -201,12 +201,15 @@ object Dedup {
     * (id, n_tokens, n_kept, scrubbed) with `scrubbed` null when nothing
     * survives.
     *
-    * Scale shape: gram counting is one map-side-combined aggregation keyed
-    * by the gram; the repeated-gram join is keyed the same way (repeated
-    * grams are a small fraction of the gram table); covered positions and
-    * the rebuild shuffle on the doc id. Nothing is ever joined pairwise —
-    * a boilerplate gram shared by millions of documents costs one counter
-    * row plus its own instances, never a cross product. */
+    * Scale shape: the repeated-instance decision is ONE count-over-window
+    * keyed by the gram — the gram stream shuffles once and is never
+    * re-exploded or joined back (an aggregate + join formulation would pay
+    * the corpus tokenize-and-explode twice); covered positions and the
+    * rebuild shuffle on the doc id. Nothing is ever joined pairwise — a
+    * boilerplate gram shared by millions of documents is one window
+    * partition (buffered with spill, never a cross product); corpora with
+    * pathological boilerplate should blocklist the top grams (q100's
+    * heavy-hitters sketch finds them) before this pass. */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
@@ -220,9 +223,10 @@ object Dedup {
       .otherwise(array().cast("array<struct<gpos:int,gram:string>>"))
     val g = df.select(col(idCol), explode(grams).as("g"))
       .select(col(idCol), col("g.gpos").as("gpos"), col("g.gram").as("gram"))
-    val repeated = g.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("gram")
-    val covered = g.join(repeated, Seq("gram"))
+    val covered = g
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .where(col("__c") > 1)
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
     val tok = df.select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))

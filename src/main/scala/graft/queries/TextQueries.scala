@@ -60,9 +60,7 @@ object TextQueries {
         .withColumn("avg_token_len",
           round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"), 3))
         .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 3))
-        .withColumn("quality_score",
-          round(least(col("n_tokens").cast("double"), lit(100d)) / 100d
-            * (lit(1d) - col("n_stop").cast("double") / col("n_tokens")), 3))
+        .withColumn("quality_score", TextAnalysis.qualityScore(col("text"), stopwords))
         .select("doc_id", "n_tokens", "n_stop", "avg_token_len", "stop_ratio", "quality_score")
     }),
 
@@ -291,9 +289,7 @@ object TextQueries {
         .withColumn("n_stop",
           size(filter(split(col("text"), " "),
             t => array_contains(array(stopwords.map(lit): _*), t))).cast("long"))
-        .withColumn("quality_score",
-          round(least(col("n_tokens").cast("double"), lit(100d)) / 100d
-            * (lit(1d) - col("n_stop").cast("double") / col("n_tokens")), 3))
+        .withColumn("quality_score", TextAnalysis.qualityScore(col("text"), stopwords))
         .where(col("quality_score") >= 0.2)
       val deduped = quality
         .withColumn("__rn", row_number().over(
@@ -337,12 +333,10 @@ object TextQueries {
     // duplicate rate — ONE map-side-combined aggregate over the corpus
     // (distinct-text counting rides an md5 count-distinct in the same pass).
     "q118_source_card" -> ((s, dir) => {
-      val stopArr = array(stopwords.map(lit): _*)
-      val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("long")
-      val quality = round(least(nTok.cast("double"), lit(100d)) / 100d
-        * (lit(1d) - size(filter(toks, t => array_contains(stopArr, t)))
-            .cast("double") / nTok), 3)
+      val nTok = size(split(col("text"), " ")).cast("long")
+      // the one shared quality definition (also behind q42/q102) — a card
+      // must describe the score the pipeline actually filters on
+      val quality = TextAnalysis.qualityScore(col("text"), stopwords)
       Tables.load(s, dir, "documents")
         .groupBy(col("source"))
         .agg(
