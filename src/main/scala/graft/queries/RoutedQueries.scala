@@ -478,7 +478,7 @@ object RoutedQueries {
         |       CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch,
         |       COUNT(*) AS n_docs,
         |       MAX(n) AS max_tokens,
-        |       SUM(n) AS sum_tokens,
+        |       CAST(SUM(n) AS BIGINT) AS sum_tokens,
         |       round(1 - CAST(SUM(n) AS DOUBLE) / CAST(MAX(n) * COUNT(*) AS DOUBLE), 4)
         |         AS padding_frac
         |FROM r GROUP BY 1, 2""".stripMargin,

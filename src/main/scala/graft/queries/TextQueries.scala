@@ -335,14 +335,18 @@ object TextQueries {
     "q118_source_card" -> ((s, dir) => {
       val nTok = size(split(col("text"), " ")).cast("long")
       // the one shared quality definition (also behind q42/q102) — a card
-      // must describe the score the pipeline actually filters on
-      val quality = TextAnalysis.qualityScore(col("text"), stopwords)
+      // must describe the score the pipeline actually filters on. Quantized
+      // to integer milli-units before summing so the mean is independent of
+      // partition/aggregation order (the repo's determinism idiom).
+      val qMilli = round(TextAnalysis.qualityScore(col("text"), stopwords)
+        * 1000d).cast("long")
       Tables.load(s, dir, "documents")
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(nTok).as("total_tokens"),
-          round(avg(quality), 4).as("mean_quality"),
+          round(sum(qMilli).cast("double")
+            / (count(lit(1)).cast("double") * 1000d), 4).as("mean_quality"),
           round(sum(when(col("lang") === "en", 1L).otherwise(0L))
             .cast("double") / count(lit(1)), 4).as("en_share"),
           round(lit(1d) - countDistinct(md5(col("text"))).cast("double")
@@ -811,16 +815,17 @@ object TextQueries {
         |),
         |q AS (
         |  SELECT source, lang, text, n_tok,
-        |         round(least(CAST(n_tok AS DOUBLE), 100) / 100
+        |         CAST(round(round(least(CAST(n_tok AS DOUBLE), 100) / 100
         |           * (1 - CAST(len(list_filter(t,
         |                tok -> tok IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
-        |              / n_tok), 3) AS quality
+        |              / n_tok), 3) * 1000) AS BIGINT) AS q_milli
         |  FROM d
         |)
         |SELECT source,
         |       COUNT(*) AS n_docs,
-        |       SUM(n_tok) AS total_tokens,
-        |       round(AVG(quality), 4) AS mean_quality,
+        |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |       round(CAST(SUM(q_milli) AS DOUBLE)
+        |             / (CAST(COUNT(*) AS DOUBLE) * 1000), 4) AS mean_quality,
         |       round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
         |             / COUNT(*), 4) AS en_share,
         |       round(1 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)

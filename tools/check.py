@@ -33,6 +33,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name, spark_df, duck_df):
+    # Dtype strictness FIRST, before normalize()'s to_numeric coercion: the
+    # driver's canonical hash includes dtypes, so a Spark int64 against a
+    # DuckDB HUGEINT (which pandas receives as float64/object) fails there
+    # even when every value is identical. Mirror that here so the local loop
+    # can't pass what the driver fails (the round-4 q115/q118 asymmetry).
+    KIND = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+    for c in sorted(set(spark_df.columns) & set(duck_df.columns)):
+        kx = KIND.get(spark_df[c].dtype.kind, "other")
+        ky = KIND.get(duck_df[c].dtype.kind, "other")
+        if kx != ky:
+            return (f"DTYPE col={c} spark={spark_df[c].dtype} "
+                    f"duck={duck_df[c].dtype} (driver hash would fail)")
     a, b = normalize(spark_df), normalize(duck_df)
     if list(a.columns) != list(b.columns):
         return f"COLS  spark={list(a.columns)} duck={list(b.columns)}"
