@@ -29,7 +29,8 @@ object ScaleProbe {
     "length_batches" -> (d => CorpusOps.lengthBucketBatches(d, "doc_id", "text",
       batchSize = 8, bounds = Seq(16, 32, 64, 128))),
     "bloom_decontaminate" -> (d => Dedup.bloomDecontaminate(d, "doc_id", "text",
-      benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)))
+      benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)),
+    "span_scrub" -> (d => Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 8)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,45 +47,51 @@ object ScaleProbe {
     // the 1× side against the source file's original (possibly single-file)
     // layout would hand the big side extra scan parallelism for free.
     val tmp = java.nio.file.Files.createTempDirectory("scaleprobe").toString
-    src.write.mode("overwrite").parquet(s"$tmp/docs_1x")
-    val docs = spark.read.parquet(s"$tmp/docs_1x")
-    val big = (0 until factor).map { k =>
-      src.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10_000_000L))
-    }.reduce(_ unionByName _)
-    big.write.mode("overwrite").parquet(s"$tmp/docs_big")
-    val bigDocs = spark.read.parquet(s"$tmp/docs_big")
+    try {
+      src.write.mode("overwrite").parquet(s"$tmp/docs_1x")
+      val docs = spark.read.parquet(s"$tmp/docs_1x")
+      // copies get ids past the source's max so they can never collide with
+      // an original (a fixed stride would silently alias on a larger fixture)
+      val off = src.agg(max("doc_id")).head.getLong(0) + 1
+      val big = (0 until factor).map { k =>
+        src.withColumn("doc_id", col("doc_id") + lit(k.toLong * off))
+      }.reduce(_ unionByName _)
+      big.write.mode("overwrite").parquet(s"$tmp/docs_big")
+      val bigDocs = spark.read.parquet(s"$tmp/docs_big")
 
-    def time(df: => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+      def time(df: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
 
-    // Output rows are reported alongside time: for pair-emitting operators a
-    // k×-duplicated corpus legitimately has ~k² more true pairs, so the
-    // honest scaling signal is time ratio vs OUTPUT ratio, not row ratio.
-    val results = ops().map { case (name, op) =>
-      time(op(docs)) // untimed warmup pass at 1x (codegen, listings)
-      val t1 = time(op(docs))
-      val tf = time(op(bigDocs))
-      val o1 = op(docs).count()
-      val of = op(bigDocs).count()
-      (name, t1, tf, o1, of)
+      // Output rows are reported alongside time: for pair-emitting operators a
+      // k×-duplicated corpus legitimately has ~k² more true pairs, so the
+      // honest scaling signal is time ratio vs OUTPUT ratio, not row ratio.
+      val results = ops().map { case (name, op) =>
+        time(op(docs)) // untimed warmup pass at 1x (codegen, listings)
+        val t1 = time(op(docs))
+        val tf = time(op(bigDocs))
+        val o1 = op(docs).count()
+        val of = op(bigDocs).count()
+        (name, t1, tf, o1, of)
+      }
+      val qs = results.map { case (name, t1, tf, o1, of) =>
+        f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
+          s""""out1":$o1,"out$factor":$of}"""
+      }.mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"scale_probe","rows":$n,"factor":$factor,"ops":$qs}"""
+      println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } finally {
+      spark.stop()
+      // the temp corpus is factor× the documents table — leaving it behind
+      // (e.g. after a mid-probe failure) accumulates orphaned GBs across runs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val qs = results.map { case (name, t1, tf, o1, of) =>
-      f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
-        s""""out1":$o1,"out$factor":$of}"""
-    }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"scale_probe","rows":$n,"factor":$factor,"ops":$qs}"""
-    println(line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
-      (line + "\n").getBytes("UTF-8"))
-    spark.stop()
-    // the temp corpus is factor× the documents table — leaving it behind
-    // accumulates orphaned GBs across runs
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
-      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

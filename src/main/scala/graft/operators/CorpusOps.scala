@@ -174,8 +174,10 @@ object CorpusOps {
     val totals = tok.groupBy(col(sourceCol))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       // cast(double → decimal(38,0)) rounds HALF_UP — identical to the
-      // oracle's floor(x + 0.5) for positive x — without materializing the
-      // +0.5 sum as a double or squeezing the integer through a long
+      // oracle's round(x) (half-away-from-zero) for positive x, with no
+      // +0.5 double addition on either side (floor(x + 0.5) differs from
+      // HALF_UP when the addition itself rounds across an integer boundary,
+      // e.g. x = 0.49999999999999994) and no squeeze through a long
       .withColumn("wq",
         (pow(col("src_tokens").cast("double"), lit(alpha)) * 1e6)
           .cast("decimal(38,0)"))

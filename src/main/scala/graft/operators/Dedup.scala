@@ -201,15 +201,17 @@ object Dedup {
     * (id, n_tokens, n_kept, scrubbed) with `scrubbed` null when nothing
     * survives.
     *
-    * Scale shape: the repeated-instance decision is ONE count-over-window
-    * keyed by the gram — the gram stream shuffles once and is never
-    * re-exploded or joined back (an aggregate + join formulation would pay
-    * the corpus tokenize-and-explode twice); covered positions and the
-    * rebuild shuffle on the doc id. Nothing is ever joined pairwise — a
-    * boilerplate gram shared by millions of documents is one window
-    * partition (buffered with spill, never a cross product); corpora with
-    * pathological boilerplate should blocklist the top grams (q100's
-    * heavy-hitters sketch finds them) before this pass. */
+    * Scale shape: the repeated-instance decision is a gram-keyed
+    * `groupBy.count` + join-back, NOT a count-over-window. The distinction
+    * is what survives skew: partial aggregation collapses a hot gram to one
+    * row per map partition before the wire, and the join-back is an equi-join
+    * AQE's skew handling can split — whereas a window `partition by gram`
+    * buffers every instance of a boilerplate gram (10⁸ occurrences at
+    * 100 TB) in ONE unsplittable partition, which AQE cannot break up.
+    * The gram stream is exploded twice (once per branch) — map-side scan
+    * work, which is the right coin to pay to keep every shuffle skew-safe.
+    * Covered positions and the rebuild shuffle on the doc id; nothing is
+    * ever joined pairwise. PlanSpec pins the no-window property. */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
@@ -223,10 +225,11 @@ object Dedup {
       .otherwise(array().cast("array<struct<gpos:int,gram:string>>"))
     val g = df.select(col(idCol), explode(grams).as("g"))
       .select(col(idCol), col("g.gpos").as("gpos"), col("g.gram").as("gram"))
-    val covered = g
-      .withColumn("__c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-      .where(col("__c") > 1)
+    // map-side partials make the count skew-proof; the > 1 filter keeps the
+    // join-back build side to repeated grams only
+    val dupGrams = g.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select(col("gram"))
+    val covered = g.join(dupGrams, Seq("gram"))
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
     val tok = df.select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))

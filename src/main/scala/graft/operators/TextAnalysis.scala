@@ -134,8 +134,14 @@ object TextAnalysis {
         slice(t, lit(1), size(t) - 1).as("w1"),
         slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val lm = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    // leading-token totals by aggregate + join-back, not a window over w1:
+    // a hot leading token's distinct-successor set (millions of rows for
+    // "the" at corpus scale) would buffer in one unsplittable window
+    // partition, while the aggregate partial-combines map-side and the
+    // equi-join splits under AQE skew handling
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val lm = c12.join(
+      c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), Seq("w1"))
     pairs.join(lm, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(round(avg(log(col("c12").cast("double") / col("c1"))), scale)

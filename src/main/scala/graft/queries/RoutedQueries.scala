@@ -428,7 +428,7 @@ object RoutedQueries {
         |),
         |tot AS (
         |  SELECT source, SUM(n_tokens) AS src_tokens,
-        |         CAST(floor(pow(CAST(SUM(n_tokens) AS DOUBLE), 0.5) * 1e6 + 0.5)
+        |         CAST(round(pow(CAST(SUM(n_tokens) AS DOUBLE), 0.5) * 1e6)
         |              AS HUGEINT) AS wq
         |  FROM t GROUP BY source
         |),

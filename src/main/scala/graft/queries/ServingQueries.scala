@@ -32,13 +32,15 @@ object ServingQueries {
         .withColumn("sec", unix_timestamp(col("ts")))
         .withColumn("minute", ((col("sec") % 86400) / 60).cast("long"))
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("minute"))
-      val wAll = Window.partitionBy(col("event_type"))
       // deterministic latest: floored seconds + event_id tiebreak (µs-level
       // timestamp ties would otherwise pick an arbitrary row)
       val wTs = Window.partitionBy(col("event_type"))
         .orderBy(col("sec").desc, col("event_id").desc)
-      ev.withColumn("__rn", row_number().over(wOrd))
-        .withColumn("__n", count(lit(1)).over(wAll))
+      // group sizes by aggregate + broadcast join-back (a count-over-window
+      // with no frame would buffer each category's whole partition)
+      val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+      ev.join(broadcast(counts), Seq("event_type"))
+        .withColumn("__rn", row_number().over(wOrd))
         .withColumn("__latest_minute", first(col("minute")).over(wTs))
         .groupBy("event_type")
         .agg(

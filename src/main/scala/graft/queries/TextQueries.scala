@@ -85,10 +85,16 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("lang"),
           explode(split(col("text"), " ")).as("token"))
         .distinct()
-      val toks = raw
-        .withColumn("__df", count(lit(1)).over(
-          Window.partitionBy(col("source"), col("lang"), col("token"))))
-        .where(col("__df") <= dfCap).drop("__df")
+      // df via groupBy + inner join-back, NOT count-over-window: partial
+      // aggregation collapses a hot token ("the") map-side, and the join's
+      // build side contains only sub-cap tokens, so hot tokens never reach
+      // the pair fan-out at all — a window keyed by token would buffer
+      // every occurrence of the hottest token in one unsplittable partition
+      val rare = raw.groupBy(col("source"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= dfCap)
+        .select(col("source"), col("lang"), col("token"))
+      val toks = raw.join(rare, Seq("source", "lang", "token"))
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
       val a = toks.select(col("source"), col("lang"), col("doc_id").as("a_id"), col("token"))
       val b = toks.select(col("source"), col("lang"), col("doc_id").as("b_id"), col("token"))

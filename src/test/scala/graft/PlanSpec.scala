@@ -75,18 +75,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
-  test("no declared query plans an unpartitioned window") {
+  test("no declared query plans an unpartitioned or skew-buffering window") {
     import org.apache.spark.sql.execution.window.WindowExec
-    // An empty partitionSpec funnels the operator's whole input through one
-    // partition (Spark's own "No Partition Defined" warning) — fine on a
-    // bounded slice, catastrophic on a table. Guard every declared query.
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => name
+    import org.apache.spark.sql.types.StringType
+    // Two window shapes that don't survive scale: (1) an empty partitionSpec
+    // funnels the operator's whole input through one partition (Spark's own
+    // "No Partition Defined" warning) — fine on a bounded slice, catastrophic
+    // on a table. (2) an UNORDERED frame keyed by an unbounded-cardinality
+    // text column (e.g. count(*) over (partition by gram)) buffers every
+    // instance of a hot key in one unsplittable partition AQE cannot break —
+    // the aggregate+join-back formulation is skew-safe and must be used
+    // instead (see Dedup.scrubRepeatedSpans). Ordered frames over strings
+    // (streaming rank, e.g. block dedup's keep-first) are allowed.
+    val unpartitioned = scala.collection.mutable.Set[String]()
+    val skewBuffering = scala.collection.mutable.Set[String]()
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty => unpartitioned += name
+        case w: WindowExec if w.orderSpec.isEmpty &&
+            w.partitionSpec.exists(_.dataType == StringType) =>
+          skewBuffering += name
+        case _ =>
       }
     }
-    assert(offenders.isEmpty,
-      s"unpartitioned WindowExec in: ${offenders.distinct.mkString(", ")}")
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned WindowExec in: ${unpartitioned.toSeq.sorted.mkString(", ")}")
+    assert(skewBuffering.isEmpty,
+      s"unordered string-keyed WindowExec in: ${skewBuffering.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("span scrub decides repeats by aggregate+join-back, never a window") {
+    val p = plan("q119_span_scrub")
+    // the repeated-gram decision must partial-aggregate map-side (hot grams
+    // collapse before the wire) and join back — a window keyed by gram would
+    // buffer a boilerplate gram's every occurrence in one partition
+    assert(!p.contains("Window"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).nonEmpty)
   }
 
   test("heavy hitters: sketch reduces map-side, candidates broadcast") {
