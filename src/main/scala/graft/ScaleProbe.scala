@@ -30,7 +30,8 @@ object ScaleProbe {
       batchSize = 8, bounds = Seq(16, 32, 64, 128))),
     "bloom_decontaminate" -> (d => Dedup.bloomDecontaminate(d, "doc_id", "text",
       benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)),
-    "span_scrub" -> (d => Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 8)))
+    "span_scrub" -> (d => Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 8)),
+    "source_manifest" -> (d => CorpusOps.sourceManifest(d, "doc_id", "source")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -269,4 +269,27 @@ object CorpusOps {
       .where(col("cum_tokens") <= capTokens)
       .drop("__h")
   }
+
+  /** Per-source release manifest (the provenance artifact a corpus release
+    * ships with): every source's sorted document-id roster as one row —
+    * (source, n_docs, manifest).
+    *
+    * This is the canonical HOT-KEY aggregation: source cardinality is tiny
+    * (every key is hot — at 100 TB a source holds billions of ids), and a
+    * plain `groupBy(source).agg(collect_list(id))` funnels each source's
+    * whole roster through ONE final-aggregation task. [[Skew.saltedCollect]]
+    * spreads it over a two-level combine: partial lists build on
+    * (source, salt) across `factor` tasks per source, and the final merge
+    * per source flattens `factor` pre-built lists instead of consuming raw
+    * rows. The salt is content-derived (never rand()), so retries and the
+    * oracle agree. */
+  def sourceManifest(df: DataFrame, idCol: String, sourceCol: String,
+                     factor: Int = 16): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    Skew.saltedCollect(df.select(col(sourceCol), col(idCol)),
+        Seq(sourceCol), idCol, factor, "ids")
+      .select(col(sourceCol), size(col("ids")).cast("long").as("n_docs"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",")
+          .as("manifest"))
+  }
 }

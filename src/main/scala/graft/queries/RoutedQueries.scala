@@ -156,6 +156,15 @@ object RoutedQueries {
       CorpusOps.lengthBucketBatches(Tables.load(s, dir, "documents"),
         "doc_id", "text", batchSize = 8, bounds = Seq(16, 32, 64, 128))),
 
+    // Per-source release manifest via the salted two-level combine — the
+    // declared-query home of Skew.saltedCollect: every source key is hot by
+    // construction, so partial id-lists build on (source, salt) across 16
+    // tasks per source before the final per-source flatten (PlanSpec pins
+    // the salted plan shape).
+    "q122_source_manifest" -> ((s, dir) =>
+      CorpusOps.sourceManifest(Tables.load(s, dir, "documents"),
+        "doc_id", "source")),
+
     // Linear-counting distinct estimate — the oracle-checkable sketch
     // (md5 buckets reproduce in DuckDB), q71's verifiable sibling.
     "q95_linear_count" -> ((s, dir) =>
@@ -456,6 +465,12 @@ object RoutedQueries {
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
         |            AS INT) AS pos
         |FROM t""".stripMargin,
+
+    "q122_source_manifest" ->
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS manifest
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q115_length_batches" ->
       """WITH d AS (

@@ -378,6 +378,35 @@ object TextQueries {
             y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
         .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Incremental cross-release near-dup dedup: the newest release slice
+    // (ids ≡ 8,9 mod 10) deduped against the signature STORE of all prior
+    // releases — prior releases are never re-shingled or re-signed; their
+    // text is touched only to exact-verify the candidate set. The on-disk
+    // path (partitioned append, read-back, re-append idempotence, and that
+    // the store-read answer equals this inline one) is SignatureStoreSpec;
+    // the declared query keeps the store contents inline so it stays pure.
+    "q120_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      graft.pipeline.SignatureStore.incrementalNearDups(
+        docs.where(isNew), "doc_id", "text",
+        graft.pipeline.SignatureStore.signatures(
+          docs.where(!isNew), "doc_id", "text"),
+        docs, threshold = 0.5)
+    }),
+
+    // Exact incremental ingest (batch twin of the streaming foreachBatch
+    // path): new-release docs surviving content-hash decontamination against
+    // the store (no prior text touched) + keep-first within the new slice.
+    "q121_incremental_exact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      graft.pipeline.SignatureStore.incrementalExactKeep(
+        docs.where(isNew), "doc_id", "text",
+        graft.pipeline.SignatureStore.signatures(
+          docs.where(!isNew), "doc_id", "text"))
     })
   )
 
@@ -851,7 +880,50 @@ object TextQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM sh a JOIN sh b USING (shingle)
         |WHERE a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // exact-Jaccard ground truth (the q45 oracle shape) restricted to
+    // new-vs-(prior ∪ earlier-new) pairs — valid as the engine's oracle
+    // because LSH recall is 100% at these parameters (RecallSpec)
+    "q120_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  doc_id % 10 >= 8 AS is_new
+        |           FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, is_new,
+        |         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, is_new,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS dup_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.is_new AND (NOT b.is_new OR b.doc_id < a.doc_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT new_id, dup_id,
+        |       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = new_id
+        |JOIN sizes sb ON sb.doc_id = dup_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin,
+
+    "q121_incremental_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_md5,
+        |                  doc_id % 10 >= 8 AS is_new
+        |           FROM documents),
+        |fresh AS (
+        |  SELECT doc_id, content_md5 FROM h n
+        |  WHERE is_new AND NOT EXISTS (
+        |    SELECT 1 FROM h o WHERE NOT o.is_new AND o.content_md5 = n.content_md5)
+        |)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, content_md5
+        |FROM fresh GROUP BY content_md5""".stripMargin
   )
 
   /** q112's term list rendered for the oracle's IN clause. */

@@ -142,6 +142,47 @@ object StreamEntry {
         col("v_ts") <= col("p_ts") && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a landing directory of document drops. */
+  def readDocs(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(landingDir)
+
+  /** Streaming corpus ingest into the persisted signature store — the
+    * LLM-ops twin of the EAV `foreachBatch` upsert path: each micro-batch of
+    * arriving documents is exact-deduped against every previously ingested
+    * release via the store's `content_md5` column (no prior text re-read),
+    * survivors' signatures are appended as release `b<batchId>`, and the
+    * surviving documents are handed to `sink`. Batch twin:
+    * q121_incremental_exact (old slice = batch 1's store, new slice =
+    * batch 2).
+    *
+    * Restart-safe: reprocessing a micro-batch overwrites its OWN release
+    * partition ([[graft.pipeline.SignatureStore.append]] is a dynamic
+    * partition overwrite), so at-least-once micro-batch delivery converges
+    * to the same store a single batch run would produce. */
+  def ingestDocs(docs: DataFrame, storePath: String,
+                 sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          if (new org.apache.hadoop.fs.Path(storePath)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(new org.apache.hadoop.fs.Path(storePath)))
+            graft.pipeline.SignatureStore.read(spark, storePath)
+          else batch.select(md5(col("text")).as("content_md5")).limit(0)
+        val kept = graft.pipeline.SignatureStore.incrementalExactKeep(
+          batch, "doc_id", "text", store)
+        val keptDocs = batch.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        graft.pipeline.SignatureStore.append(spark, storePath, s"b$id",
+          keptDocs, "doc_id", "text")
+        sink(keptDocs, id)
+      }
+
   /** Run a streaming query to completion over whatever is already in the
     * landing dir (memory sink) — the local smoke-test harness. */
   def runOnce(spark: SparkSession, df: DataFrame, name: String): StreamingQuery = {

@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpec {
       s"unordered string-keyed WindowExec in: ${skewBuffering.toSeq.sorted.mkString(", ")}")
   }
 
+  test("source manifest: hot-key collect combines in two salted levels") {
+    val p = plan("q122_source_manifest")
+    // every source key is hot; the roster must build as partial lists on
+    // (source, __salt) before the per-source flatten — a single-level
+    // collect_list would funnel each source through one task
+    assert(p.contains("__salt"), p.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("span scrub decides repeats by aggregate+join-back, never a window") {
     val p = plan("q119_span_scrub")
     // the repeated-gram decision must partial-aggregate map-side (hot grams

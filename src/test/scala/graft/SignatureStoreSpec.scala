@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.SignatureStore
+import graft.sources.Tables
+
+/** The persisted half of incremental dedup: q120 verifies the SEMANTICS with
+  * an inline store; this spec proves the ON-DISK path carries them — append
+  * partitioned by release, read back, dedup against the stored (not
+  * recomputed) signatures, and re-append idempotence. */
+class SignatureStoreSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private val isNew = col("doc_id") % 10 >= 8
+
+  test("dedup against the READ-BACK store equals the inline q120 answer") {
+    val dir = Files.createTempDirectory("sigstore").toString + "/store"
+    SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
+    val fromDisk = SignatureStore.incrementalNearDups(
+      docs.where(isNew), "doc_id", "text",
+      SignatureStore.read(spark, dir), docs, threshold = 0.5)
+    val inline = SparkEntry.queries("q120_incremental_dedup")(spark, sf)
+    assert(fromDisk.count() > 0, "fixture should contain cross-release near-dups")
+    assert(fromDisk.exceptAll(inline).isEmpty && inline.exceptAll(fromDisk).isEmpty)
+  }
+
+  test("append is idempotent and re-running a release replaces its partition") {
+    val dir = Files.createTempDirectory("sigstore_idem").toString + "/store"
+    val r1 = docs.where(!isNew)
+    SignatureStore.append(spark, dir, "r1", r1, "doc_id", "text")
+    val once = SignatureStore.read(spark, dir).count()
+    SignatureStore.append(spark, dir, "r1", r1, "doc_id", "text")
+    assert(SignatureStore.read(spark, dir).count() === once,
+      "re-appending the same release must not grow the store")
+    // a corrected re-release REPLACES the partition, never unions with it
+    SignatureStore.append(spark, dir, "r1", r1.limit(10), "doc_id", "text")
+    assert(SignatureStore.read(spark, dir).count() === 10)
+  }
+
+  test("releases accumulate as partitions; new release signs only itself") {
+    val dir = Files.createTempDirectory("sigstore_rel").toString + "/store"
+    SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
+    SignatureStore.append(spark, dir, "r2", docs.where(isNew), "doc_id", "text")
+    val store = SignatureStore.read(spark, dir)
+    assert(store.select("release").distinct().count() === 2)
+    assert(store.count() === docs.count())
+    // store rows carry exactly the signature schema (id, content hash, sig)
+    assert(store.columns.sorted === Array("content_md5", "doc_id", "release", "sig"))
+  }
+
+  test("exact incremental keep: store hashes decontaminate without text") {
+    val dir = Files.createTempDirectory("sigstore_exact").toString + "/store"
+    SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
+    val kept = SignatureStore.incrementalExactKeep(
+      docs.where(isNew), "doc_id", "text", SignatureStore.read(spark, dir))
+    val inline = SparkEntry.queries("q121_incremental_exact")(spark, sf)
+    assert(kept.exceptAll(inline).isEmpty && inline.exceptAll(kept).isEmpty)
+  }
+}

@@ -125,6 +125,45 @@ class StreamingSpec extends SparkSpec {
     assert(stored.count() === batchExpected)
   }
 
+  test("streaming corpus ingest dedups each batch against the signature store") {
+    // two releases arrive as two micro-batches: the old slice, then the new
+    // slice. Batch 2 must be deduped against batch 1's PERSISTED signatures
+    // (content hashes — no re-read of batch 1's text), so its kept set is
+    // exactly the q121_incremental_exact batch twin.
+    val dir = Files.createTempDirectory("landing_docs").toString
+    val store = Files.createTempDirectory("sig_store").toString + "/store"
+    val docs = Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    docs.where(!isNew).coalesce(1).write.parquet(s"$dir/old")
+    docs.where(isNew).coalesce(1).write.parquet(s"$dir/new")
+    // file order = modification-time order; force old before new
+    val (oldF, newF) = {
+      val fs = new java.io.File(dir)
+      def part(sub: String) = new java.io.File(fs, sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (part("old"), part("new"))
+    }
+    oldF.setLastModified(1_000_000_000_000L)
+    newF.setLastModified(1_000_000_002_000L)
+    val stream = spark.readStream.schema(StreamEntry.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val byBatch = scala.collection.mutable.Map[Long, Set[Long]]()
+    val writer = StreamEntry.ingestDocs(stream, store,
+      sink = (kept, id) =>
+        byBatch(id) = kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(byBatch.keySet === Set(0L, 1L), s"expected 2 micro-batches, got $byBatch")
+    val twin = SparkEntry.queries("q121_incremental_exact")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byBatch(1L) === twin,
+      "batch-2 kept set must equal the q121 batch twin")
+    // the store accumulated one release per micro-batch, rows = kept docs
+    val stored = graft.pipeline.SignatureStore.read(spark, store)
+    assert(stored.select("release").distinct().count() === 2)
+    assert(stored.count() === (byBatch(0L).size + byBatch(1L).size).toLong)
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
