@@ -111,13 +111,17 @@ object CorpusOps {
     * re-joined in original order. Emits per-document block counts and the
     * deduplicated text (null when nothing survives).
     *
-    * Scale shape: one window shuffle keyed by block text (the global
-    * keep-first decision) + one group-by shuffle keyed by doc id (the
-    * reassembly). Block texts are bounded (`blockTokens` tokens), so the
-    * first exchange carries rows proportional to the corpus token count —
-    * never a cross product — and hot blocks (boilerplate repeated millions of
-    * times) stay a single window partition processed by one streaming rank,
-    * not a join fan-out. */
+    * Scale shape: the global keep-first decision is a block-keyed
+    * `min(struct(id, pos))` aggregate joined back on the block — min
+    * partial-combines map-side, so a boilerplate block repeated millions of
+    * times collapses to one candidate per map partition before the wire,
+    * and the join-back equi-join splits under AQE skew handling. (The
+    * previous formulation — `row_number` over a window keyed by block
+    * text — funneled every instance of a hot block through one unsplittable
+    * sorted partition.) Reassembly is one group-by shuffle keyed by doc id.
+    * Block texts are bounded (`blockTokens` tokens), so the exchanges carry
+    * rows proportional to the corpus token count — never a cross product
+    * or a join fan-out. */
   def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
                   blockTokens: Int): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
@@ -126,9 +130,12 @@ object CorpusOps {
     val blocks = transform(sequence(lit(0), greatest(nBlocks - 1, lit(0))),
       i => array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " "))
     val exploded = df.select(col(idCol), posexplode(blocks).as(Seq("pos", "block")))
-    val firstOcc = Window.partitionBy(col("block")).orderBy(col(idCol), col("pos"))
+    val firstOcc = exploded.groupBy(col("block"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
     exploded
-      .withColumn("keep", row_number().over(firstOcc) === 1)
+      .join(firstOcc, Seq("block"))
+      .withColumn("keep",
+        col("__first")(idCol) === col(idCol) && col("__first")("pos") === col("pos"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_blocks"),

@@ -122,6 +122,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty)
   }
 
+  test("block dedup keeps-first by aggregate+join-back, never a window") {
+    // same skew reasoning as span scrub: min(struct(id,pos)) per block text
+    // partial-combines map-side; a row_number window keyed by block would
+    // sort every instance of a hot boilerplate block in one task
+    val p = plan("q99_block_dedup")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("heavy hitters: sketch reduces map-side, candidates broadcast") {
     val p = plan("q100_heavy_hitters")
     // pass 1 must partial-aggregate (<=64 counters per partition cross the
