@@ -31,7 +31,14 @@ object ScaleProbe {
     "bloom_decontaminate" -> (d => Dedup.bloomDecontaminate(d, "doc_id", "text",
       benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)),
     "span_scrub" -> (d => Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 8)),
-    "source_manifest" -> (d => CorpusOps.sourceManifest(d, "doc_id", "source")))
+    "source_manifest" -> (d => CorpusOps.sourceManifest(d, "doc_id", "source")),
+    "incremental_dedup" -> (d => {
+      val isNew = col("doc_id") % 10 >= 8
+      graft.pipeline.SignatureStore.incrementalNearDups(d.where(isNew),
+        "doc_id", "text",
+        graft.pipeline.SignatureStore.signatures(d.where(!isNew), "doc_id", "text"),
+        d, threshold = 0.5)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -87,14 +87,19 @@ class PlanSpec extends SparkSpec {
     // the aggregate+join-back formulation is skew-safe and must be used
     // instead (see Dedup.scrubRepeatedSpans). Ordered frames over strings
     // (streaming rank, e.g. block dedup's keep-first) are allowed.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val unpartitioned = scala.collection.mutable.Set[String]()
     val skewBuffering = scala.collection.mutable.Set[String]()
+    val cartesian = scala.collection.mutable.Set[String]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.foreach {
         case w: WindowExec if w.partitionSpec.isEmpty => unpartitioned += name
         case w: WindowExec if w.orderSpec.isEmpty &&
             w.partitionSpec.exists(_.dataType == StringType) =>
           skewBuffering += name
+        // a genuine cross product (broadcast scalar anchors plan as
+        // BroadcastNestedLoopJoin and are fine; this is the pair-explosion)
+        case _: CartesianProductExec => cartesian += name
         case _ =>
       }
     }
@@ -102,6 +107,8 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned WindowExec in: ${unpartitioned.toSeq.sorted.mkString(", ")}")
     assert(skewBuffering.isEmpty,
       s"unordered string-keyed WindowExec in: ${skewBuffering.toSeq.sorted.mkString(", ")}")
+    assert(cartesian.isEmpty,
+      s"CartesianProduct in: ${cartesian.toSeq.sorted.mkString(", ")}")
   }
 
   test("source manifest: hot-key collect combines in two salted levels") {
