@@ -192,6 +192,32 @@ object Dedup {
     labels
   }
 
+  /** Incremental connected components: the clusters of (old edge set ∪ new
+    * edges) computed WITHOUT revisiting any old edge. Each old cluster is
+    * contracted to a STAR — one (member → label) edge per member — which
+    * preserves its connectivity exactly and costs |V_old| edges instead of
+    * |E_old|; new edges then stitch stars and fresh nodes together in the
+    * usual pointer-jump rounds.
+    *
+    * Labels are identical to a from-scratch [[connectedComponents]] over the
+    * full edge set: old labels are component MINIMA, so the star keeps the
+    * minimum reachable, and min-label propagation over a graph with the
+    * same connectivity yields the same fixpoint. This is what makes a
+    * resumable 100 TB dedup exact: each release contributes its pair
+    * increment ([[graft.pipeline.SignatureStore.incrementalNearDups]]) and
+    * the cluster map rolls forward in O(|V_old| + |E_new|) work per release.
+    *
+    * @param oldClusters (id, cluster) from the previous release's fixpoint
+    * @param newPairs    pair increment; every pair touches ≥ 1 new doc */
+  def incrementalComponents(oldClusters: DataFrame, newPairs: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIter: Int = 20): DataFrame = {
+    val star = oldClusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as("__a"), col("cluster").as("__b"))
+    val fresh = newPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    connectedComponents(star.unionByName(fresh), "__a", "__b", maxIter)
+  }
+
   /** Repeated-span scrubbing — the exact-substring deduplication of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et al.
     * 2022), at n-token granularity: every n-gram instance whose exact text

@@ -86,6 +86,35 @@ object MiscQueries {
           (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keeper"))
     }),
 
+    // INCREMENTAL near-dup clusters: release N's cluster map rolls forward
+    // with release N+1's pair increment (star-contract old clusters, stitch
+    // with the SignatureStore pair increment) — provably identical to
+    // re-clustering the full corpus from scratch, which is exactly what the
+    // oracle computes (q87's recursive CTE over ALL pairs). The resumable
+    // form of q87: per release the engine does O(|V_old| + |E_new|) work,
+    // never re-reading old pairs or re-signing old text.
+    "q123_incremental_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      val oldDocs = docs.where(!isNew)
+      // release N state (persisted in prod; SignatureStoreSpec covers disk)
+      val oldClusters = Dedup.connectedComponents(
+        Dedup.minhashNearDups(oldDocs, "doc_id", "text", threshold = 0.5),
+        "a_id", "b_id")
+      // release N+1 increment: every pair touching a new doc, via the store
+      val newPairs = graft.pipeline.SignatureStore.incrementalNearDups(
+        docs.where(isNew), "doc_id", "text",
+        graft.pipeline.SignatureStore.signatures(oldDocs, "doc_id", "text"),
+        docs, threshold = 0.5)
+      val comp = Dedup.incrementalComponents(oldClusters,
+        newPairs.select(col("new_id"), col("dup_id")), "new_id", "dup_id")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keeper"))
+    }),
+
     // SimHash fingerprints + near-dup pairs — rows-only.
     "q46_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -419,6 +448,45 @@ object MiscQueries {
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin,
 
     "q87_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id,
+        |       COALESCE(c.cluster, d.doc_id) = d.doc_id AS keeper
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // the INCREMENTAL clustering must equal a from-scratch clustering of the
+    // full corpus — so its oracle IS q87's batch recursive-CTE oracle
+    "q123_incremental_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |idx AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
