@@ -86,6 +86,38 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.forall(_ === 1L))
   }
 
+  test("incremental components equal batch components on seeded random graphs") {
+    import spark.implicits._
+    // the contract SignatureStore relies on: cluster release-1 edges, then
+    // roll forward with every edge touching a release-2 node — labels must
+    // equal a from-scratch clustering of the full edge set. Seeded random
+    // graphs cover bridge cases a fixture misses (a new node merging two old
+    // clusters, new-new chains, isolated old clusters).
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nOld = 30L; val nAll = 45L
+      val all = (1 to 80).map { _ =>
+        val a = 1L + rnd.nextInt(nAll.toInt); val b = 1L + rnd.nextInt(nAll.toInt)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val oldEdges = all.filter(p => p._1 <= nOld && p._2 <= nOld)
+      val newEdges = all.filter(p => p._1 > nOld || p._2 > nOld)
+      val batch = Dedup.connectedComponents(all.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val oldClusters = Dedup.connectedComponents(
+        oldEdges.toDF("a", "b"), "a", "b").localCheckpoint()
+      val oldMap = oldClusters.as[(Long, Long)].collect().toMap
+      val inc = Dedup.incrementalComponents(oldClusters,
+          newEdges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // nodes absent from the increment's graph are singletons there; they
+      // keep their old label (or themselves) — on shared nodes labels match
+      val incFull = batch.keys.map(k =>
+        k -> inc.getOrElse(k, oldMap.getOrElse(k, k))).toMap
+      assert(incFull === batch, s"trial $trial diverged")
+    }
+  }
+
   test("bruteForceTopK rejects non-integral candidate ids up front") {
     val q = Seq((0L, Array.fill(4)(1.0f))).toDF("q_id", "q_emb")
     val c = Seq(("a", Array.fill(4)(1.0f))).toDF("cand_id", "cand_emb")

@@ -51,6 +51,34 @@ class SignatureStoreSpec extends SparkSpec {
     assert(store.columns.sorted === Array("content_md5", "doc_id", "release", "sig"))
   }
 
+  test("cluster map rolls forward from persisted state to the q123 answer") {
+    // the full resumable loop on disk: release-1 signatures AND clusters
+    // persisted, release 2 arrives, pairs come from the stored signatures
+    // and clusters from star-contracting the stored map — must equal the
+    // inline q123 (whose oracle is the from-scratch batch clustering)
+    val dir = Files.createTempDirectory("sigstore_cc").toString
+    val store = s"$dir/sigs"
+    val r1 = docs.where(!isNew)
+    SignatureStore.append(spark, store, "r1", r1, "doc_id", "text")
+    val oldClusters = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashNearDups(r1, "doc_id", "text", threshold = 0.5),
+      "a_id", "b_id")
+    oldClusters.write.parquet(s"$dir/clusters_r1")
+    val newPairs = SignatureStore.incrementalNearDups(
+      docs.where(isNew), "doc_id", "text",
+      SignatureStore.read(spark, store), docs, threshold = 0.5)
+    val comp = graft.operators.Dedup.incrementalComponents(
+      spark.read.parquet(s"$dir/clusters_r1"),
+      newPairs.select(col("new_id"), col("dup_id")), "new_id", "dup_id")
+    val rolled = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keeper"))
+    val inline = SparkEntry.queries("q123_incremental_clusters")(spark, sf)
+    assert(rolled.exceptAll(inline).isEmpty && inline.exceptAll(rolled).isEmpty)
+  }
+
   test("exact incremental keep: store hashes decontaminate without text") {
     val dir = Files.createTempDirectory("sigstore_exact").toString + "/store"
     SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
