@@ -120,16 +120,39 @@ object Similarity {
     * Scale shape: centroids are a tiny broadcast; candidate filtering is an
     * equi-join on the cell id (hash shuffle keyed by cell), so work scales
     * with the probed cells' population, not the full corpus. */
-  def ivfTopK(df: DataFrame, idCol: String, embCol: String, cellCol: String,
-              queryFilter: Column, k: Int, nProbe: Int = 2): DataFrame = {
-    // Coarse centroids: per-cell element-wise mean, rounded to 4 dp.
+  /** Coarse-quantizer centroids: per-cell element-wise mean, rounded to
+    * 4 dp for engine determinism. (cell, cvec) — k × dim doubles, the ONLY
+    * state [[ivfAssign]] needs, which is what makes the index resumable. */
+  def cellCentroids(df: DataFrame, embCol: String, cellCol: String): DataFrame = {
     val ex = df.select(col(cellCol).as("cell"),
       posexplode(col(embCol)).as(Seq("i", "v")))
-    val cent = ex.groupBy(col("cell"), col("i"))
+    ex.groupBy(col("cell"), col("i"))
       .agg(round(avg(col("v").cast("double")), 4).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         x => x.getField("c")).as("cvec"))
+  }
+
+  /** Incremental IVF index maintenance: assign a NEW release's embeddings to
+    * their nearest persisted coarse-centroid cell — the vector twin of the
+    * [[graft.pipeline.SignatureStore]] idea. The old release contributes
+    * only its (cell, centroid) table (kilobytes, broadcast); its vectors are
+    * never re-read, so a 100 TB index grows release by release at the cost
+    * of scanning the new slice once. Map-only: broadcast centroids + one
+    * rank over the per-vector cell scores. */
+  def ivfAssign(newVecs: DataFrame, idCol: String, embCol: String,
+                centroids: DataFrame): DataFrame =
+    newVecs.select(col(idCol).as("vec_id"), col(embCol).as("__emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cscore", round(dot(col("__emb"), col("cvec")), 3))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell").asc)))
+      .where(col("__rn") === 1)
+      .select(col("vec_id"), col("cell"), col("cscore"))
+
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, cellCol: String,
+              queryFilter: Column, k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = cellCentroids(df, embCol, cellCol)
     // Assign each query to its nProbe nearest cells.
     val queries = df.where(queryFilter)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))

@@ -66,10 +66,44 @@ object VectorQueries {
     // serialized as a JSON int array for the driver compare.
     "q82_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
-        .withColumn("q8", to_json(col("q8"))))
+        .withColumn("q8", to_json(col("q8")))),
+
+    // Incremental IVF index maintenance (the vector twin of the signature
+    // store): the new release's embeddings (ids ≡ 8,9 mod 10) are assigned
+    // to their nearest cell using ONLY the prior release's persisted
+    // (cell, centroid) table — old vectors are never re-read. Map-only:
+    // broadcast centroids + one per-vector rank.
+    "q124_incremental_ann" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isNew = col("vec_id") % 10 >= 8
+      Similarity.ivfAssign(emb.where(isNew), "vec_id", "embedding",
+        Similarity.cellCentroids(emb.where(!isNew), "embedding", "label"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
+    "q124_incremental_ann" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT label AS cell, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+        |  FROM ex WHERE vec_id % 10 < 8 GROUP BY 1, 2
+        |),
+        |qx AS (SELECT vec_id, v, i FROM ex WHERE vec_id % 10 >= 8),
+        |ascore AS (
+        |  SELECT qx.vec_id, cent.cell,
+        |         round(SUM(CAST(qx.v AS DOUBLE) * cent.c), 3) AS cscore
+        |  FROM qx JOIN cent ON qx.i = cent.i GROUP BY 1, 2
+        |)
+        |SELECT vec_id, cell, cscore FROM (
+        |  SELECT vec_id, cell, cscore,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS rn
+        |  FROM ascore
+        |) WHERE rn = 1""".stripMargin,
+
     "q82_quantize_int8" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
