@@ -196,7 +196,7 @@ object Similarity {
   def kMeans(df: DataFrame, idCol: String, embCol: String, k: Int,
              iters: Int): DataFrame =
     df.select(col(idCol),
-      assignExpr(kMeansCentroids(df, idCol, embCol, k, iters), embCol).as("cluster"))
+      assignExpr(kMeansCentroids(df, idCol, embCol, k, iters), col(embCol)).as("cluster"))
 
   /** argmin_j (‖c_j‖² − 2·v·c_j) over centroid literals: strict < keeps the
     * earlier (lower-index) centroid on ties, matching the oracle's ascending
@@ -207,11 +207,11 @@ object Similarity {
     * it. The HOF lambda references the accumulator as a variable, keeping the
     * tree linear in k; the heavy per-row math (the dot products) stays in the
     * native codegen'd expression either way. */
-  private def assignExpr(c: Array[Array[Double]], embCol: String): Column = {
+  private def assignExpr(c: Array[Array[Double]], emb: Column): Column = {
     val scored = c.zipWithIndex.map { case (cv, j) =>
       var nsq = 0d; var i = 0
       while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
-      struct((lit(nsq) - lit(2d) * dot(col(embCol), array(cv.map(lit): _*)))
+      struct((lit(nsq) - lit(2d) * dot(emb, array(cv.map(lit): _*)))
         .as("d"), lit(j).as("j"))
     }
     if (scored.length == 1) scored.head.getField("j")
@@ -238,7 +238,7 @@ object Similarity {
       require(cents.nonEmpty, "kMeans needs at least one input row")
       for (_ <- 1 to iters) {
         val sums = vecs
-          .select(assignExpr(cents, "__v").as("cluster"),
+          .select(assignExpr(cents, col("__v")).as("cluster"),
             posexplode(col("__v")).as(Seq("i", "v")))
           .groupBy(col("cluster"), col("i"))
           .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("s"),
@@ -281,7 +281,7 @@ object Similarity {
                iters: Int, threshold: Double, scale: Int = 3): DataFrame = {
     val cents = kMeansCentroids(df, idCol, embCol, k, iters)
     val assigned = df.select(col(idCol), col(embCol),
-      assignExpr(cents, embCol).as("cluster"))
+      assignExpr(cents, col(embCol)).as("cluster"))
     val a = assigned.toDF("a_id", "a_emb", "cluster")
     val b = assigned.toDF("b_id", "b_emb", "cluster")
     a.join(b, Seq("cluster"))
@@ -289,6 +289,136 @@ object Similarity {
       .where(round(dot(col("a_emb"), col("b_emb")), scale) >= threshold)
       .select(col("b_id").as("drop_id"), col("cluster"))
       .distinct()
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the embedding space is
+    * split into `m` contiguous subspaces of `dim / m` components and an
+    * independent `ksub`-centroid quantizer is trained per subspace, so a
+    * vector compresses to `m` small codes (m bytes for ksub ≤ 256 — a
+    * 256× reduction on a 64-float embedding) while distances remain
+    * approximable from per-subspace lookup tables ([[pqTopK]]).
+    *
+    * Determinism follows [[kMeans]] exactly: init = sub-slices of the `ksub`
+    * smallest-id embeddings, assignment in fixed index order with strict-<
+    * tie-break, centroid update via commuting integer sums of
+    * floor(v·1e6 + 0.5). The Python oracle replicates the identical IEEE
+    * operation sequence per subspace.
+    *
+    * Scale shape: ALL `m` sub-quantizers train in the same jobs — each Lloyd
+    * round is ONE pass over the cached (id, vec) projection (per row, an
+    * m-element generate of (sub, cluster, subvector)) feeding one aggregation
+    * keyed by (sub, cluster, dimension) with map-side partial sums. The
+    * m × ksub × dsub driver collect per round is metadata-scale. */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String, dim: Int,
+                  m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val dsub = dim / m
+    val vecs = df.select(col(idCol).as("__id"),
+      col(embCol).cast("array<double>").as("__v")).cache()
+    try {
+      val first = vecs.orderBy(col("__id")).limit(ksub)
+        .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+      require(first.nonEmpty, "pqCodebooks needs at least one input row")
+      var cb: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(s => first.map(_.slice(s * dsub, (s + 1) * dsub)))
+      for (_ <- 1 to iters) {
+        val subStructs = array((0 until m).map { s =>
+          val sl = slice(col("__v"), s * dsub + 1, dsub)
+          struct(lit(s).as("sub"), assignExpr(cb(s), sl).as("cluster"),
+            sl.as("sv"))
+        }: _*)
+        val sums = vecs.select(explode(subStructs).as("z"))
+          .select(col("z.sub").as("sub"), col("z.cluster").as("cluster"),
+            posexplode(col("z.sv")).as(Seq("i", "v")))
+          .groupBy(col("sub"), col("cluster"), col("i"))
+          .agg(sum(floor(col("v") * 1e6 + 0.5).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getAs[Int]("sub"))(r.getAs[Int]("cluster"))(r.getAs[Int]("i")) =
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble / 1e6
+        }
+        cb = next
+      }
+      cb
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Encode each embedding as `m` sub-quantizer codes — map-only (the
+    * codebooks ride as broadcast literals inside the assignment expression).
+    * Output: (idCol, codes array<int>), the compressed representation a
+    * 100 TB vector store keeps at rest. */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String, dim: Int,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    df.select(col(idCol),
+      array((0 until m).map(s => assignExpr(codebooks(s),
+        slice(col(embCol).cast("array<double>"), s * dsub + 1, dsub))): _*)
+        .as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k with exact rerank: an ADC pass scores
+    * every candidate from its codes alone — the query precomputes one
+    * inner-product lookup table per subspace
+    * (`parts[s][j] = floor(q_s · c_{s,j} · 1e6 + 0.5)`, an exact integer so
+    * partial sums commute) and a candidate's ADC score is the sum of `m`
+    * array lookups, never a full dot product — then only the ADC-top-
+    * `shortlist` candidates have their full vectors fetched for an exact
+    * rounded-dot rerank to the final `k` (the standard IVF-PQ serving
+    * shape). Shortlist recall is approximate by construction; PQSpec pins
+    * measured recall vs [[bruteForceTopK]] on the fixture.
+    *
+    * Scale shape: the corpus-sized ADC pass touches only (cand_id, codes) —
+    * m small ints a row instead of `dim` floats, the entire point of PQ —
+    * joined against a broadcast of the tiny query-side lookup tables;
+    * both top-shortlist and top-k run as the bounded
+    * [[graft.functions.TopKAggregator]] with map-side partials, so each
+    * exchange carries O(shortlist × partitions) rows per query. The exact
+    * rerank reads full vectors for |queries| × shortlist ids only, via a
+    * broadcast semi-style join into the corpus scan. Integer ADC scores and
+    * rounded rerank scores → deterministic under any partitioning. */
+  def pqTopK(df: DataFrame, idCol: String, embCol: String,
+             queryFilter: Column, dim: Int, m: Int, ksub: Int, iters: Int,
+             k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cb = pqCodebooks(df, idCol, embCol, dim, m, ksub, iters)
+    val dsub = dim / m
+    val enc = pqEncode(df, idCol, embCol, dim, cb)
+      .select(col(idCol).cast("long").as("cand_id"), col("codes"))
+    val parts = array((0 until m).map { s =>
+      val qs = slice(col("__q"), s * dsub + 1, dsub)
+      array(cb(s).map(c =>
+        floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
+    }: _*)
+    val qd = df.where(queryFilter)
+      .select(col(idCol).cast("long").as("q_id"),
+        col(embCol).cast("array<double>").as("__q"))
+    val qtab = qd.select(col("q_id"), parts.as("__parts"))
+    val short = enc.join(broadcast(qtab), col("cand_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("__parts"), (c, p) => element_at(p, c + 1)),
+        lit(0L), (acc, x) => acc + x).cast("double"))
+      .where(col("adc").isNotNull && col("cand_id").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(shortlist)(col("adc"), col("cand_id"))
+        .as("tk"))
+      .select(col("q_id"), explode(col("tk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+    val cands = df.select(col(idCol).cast("long").as("cand_id"),
+      col(embCol).cast("array<double>").as("__c"))
+    cands.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(qd), Seq("q_id"))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 3))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
+      .select(col("q_id"), explode(col("tk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
   }
 
   /** Int8 scalar quantization of an embedding column: per-dimension corpus

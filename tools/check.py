@@ -357,18 +357,15 @@ def py_q105_approx_quantiles(con, spark_df, oracle):
     return a, b
 
 
-def _kmeans_fit(con, k, iters):
-    """Pure-Python replication of Similarity.kMeans's exact IEEE operation
-    sequence (no Spark code involved): init = embeddings of the k smallest
-    ids; assignment = argmin_j (||c_j||^2 - 2 v.c_j) with both sums
-    accumulated in index order and strict-< tie-break to the lowest index;
-    centroid update = exact integer sums of floor(v*1e6 + 0.5) divided back
-    out. Returns (ids, vecs, final cluster assignment)."""
+def _lloyd(vecs, k, iters):
+    """Pure-Python replication of Similarity's deterministic Lloyd loop
+    (no Spark code involved): init = the first k vectors (callers pass
+    vecs sorted by id); assignment = argmin_j (||c_j||^2 - 2 v.c_j) with
+    both sums accumulated in index order and strict-< tie-break to the
+    lowest index; centroid update = exact integer sums of
+    floor(v*1e6 + 0.5) divided back out. Returns (final centroids,
+    final assignment)."""
     import math
-    rows = con.execute(
-        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
-    ids = [r[0] for r in rows]
-    vecs = [[float(x) for x in r[1]] for r in rows]
     cents = [list(v) for v in vecs[:k]]
 
     def assign_all(cents):
@@ -404,7 +401,21 @@ def _kmeans_fit(con, k, iters):
             if cnts[j]:
                 cents[j] = [float(sums[j][i]) / float(cnts[j]) / 1e6
                             for i in range(dim)]
-    return ids, vecs, assign_all(cents)
+    return cents, assign_all(cents)
+
+
+def _embeddings(con):
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    return [r[0] for r in rows], [[float(x) for x in r[1]] for r in rows]
+
+
+def _kmeans_fit(con, k, iters):
+    """Similarity.kMeans replication over the full embedding table.
+    Returns (ids, vecs, final cluster assignment)."""
+    ids, vecs = _embeddings(con)
+    _, assign = _lloyd(vecs, k, iters)
+    return ids, vecs, assign
 
 
 def py_q109_kmeans(con, spark_df, oracle):
@@ -440,9 +451,69 @@ def py_q113_semdedup(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q125_pq_ann(con, spark_df, oracle):
+    """Product-quantization ADC shortlist + exact rerank: per-subspace
+    Lloyd codebooks (the exact IEEE sequence of Similarity.pqCodebooks —
+    one _lloyd run per contiguous dim/m slice), codes = final-centroid
+    assignment, query lookup tables parts[s][j] =
+    floor(q_s . c_{s,j} * 1e6 + 0.5) with index-order dots, ADC score =
+    integer sum of m lookups, top-100 shortlist by (adc desc, cand_id asc),
+    then exact index-order dot rounded to 3 dp reranks to the final top-5."""
+    import math
+    ids, vecs = _embeddings(con)
+    m, ksub, iters, k, shortlist = 16, 8, 3, 5, 100
+    dim = len(vecs[0])
+    dsub = dim // m
+    cbs = []
+    codes = [[0] * m for _ in ids]
+    for s in range(m):
+        sub = [v[s * dsub:(s + 1) * dsub] for v in vecs]
+        cents, assign = _lloyd(sub, ksub, iters)
+        cbs.append(cents)
+        for r_i, j in enumerate(assign):
+            codes[r_i][s] = j
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    out = []
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        parts = []
+        for s in range(m):
+            qs = vecs[qi][s * dsub:(s + 1) * dsub]
+            row = []
+            for c in cbs[s]:
+                acc = 0.0
+                for i in range(dsub):
+                    acc += qs[i] * c[i]
+                row.append(math.floor(acc * 1e6 + 0.5))
+            parts.append(row)
+        scored = []
+        for ci, cid in enumerate(ids):
+            if cid == qid:
+                continue
+            sc = 0
+            for s in range(m):
+                sc += parts[s][codes[ci][s]]
+            scored.append((sc, cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rer = []
+        for _, cid in scored[:shortlist]:
+            cv = vecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += vecs[qi][i] * cv[i]
+            rer.append((_spark_round(acc, 3), cid))
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        for sc, cid in rer[:k]:
+            out.append((qid, cid, sc))
+    exp = pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
+    return spark_df, exp
+
+
 PY_ORACLES = {
     "q109_kmeans": py_q109_kmeans,
     "q113_semdedup": py_q113_semdedup,
+    "q125_pq_ann": py_q125_pq_ann,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
