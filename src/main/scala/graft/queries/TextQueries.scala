@@ -327,6 +327,45 @@ object TextQueries {
         "doc_id", "text", benchFilter = col("doc_id") < 10,
         n = 6, minOverlaps = 2)),
 
+    // Full corpus release build — the end-to-end composition a pretraining
+    // data team runs as ONE job: C4-style clean (language-consistency →
+    // quality floor → exact-dedup keep-first, q102's stages) → benchmark
+    // decontamination (Bloom-prefiltered exact 6-gram overlap against the
+    // held-out docs, q114's operator) → temperature-based source mixing to
+    // a token budget (q110's operator). Every stage is an individually
+    // driver-verified operator; this query verifies their composition —
+    // the final (doc_id, source, n_tokens) training manifest is
+    // hash-checked end to end. Scale shape inherits from the stages: no
+    // corpus-sized shuffle beyond the dedup window's single hash exchange,
+    // kilobyte broadcasts for the lexicon / Bloom bitmap / mix rates.
+    "q126_corpus_build" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val langOk = docs
+        .join(predictedLang(s, docs), Seq("doc_id"))
+        .where(col("predicted_lang") === col("lang"))
+      val quality = langOk
+        .withColumn("quality_score",
+          TextAnalysis.qualityScore(col("text"), stopwords))
+        .where(col("quality_score") >= 0.2)
+      val deduped = quality
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("__rn") === 1)
+      // benchmark = the RAW held-out docs (ids < 10); corpus = the cleaned
+      // survivors among the rest — contamination is judged against what the
+      // benchmark actually contains, not against its cleaned residue
+      val pool = docs.where(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .unionByName(deduped.where(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text")))
+      val contaminated = Dedup.bloomDecontaminate(pool, "doc_id", "text",
+        benchFilter = col("doc_id") < 10, n = 6, minOverlaps = 2)
+      val clean = deduped.where(col("doc_id") >= 10)
+        .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      CorpusOps.temperatureMix(clean, "doc_id", "source", "text",
+        alpha = 0.5, budgetTokens = 4000)
+    }),
+
     // Exact repeated-substring scrubbing (Lee et al. 2022 at 8-gram
     // granularity): every 8-token span occurring more than once in the
     // corpus is removed from every document carrying it.
@@ -808,6 +847,92 @@ object TextQueries {
         |WHERE sh.doc_id >= 10
         |GROUP BY sh.doc_id
         |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // The composition oracle chains the verified q102 / q114 / q110 CTE
+    // spellings unchanged: same lexicon VALUES, same quality rounding, same
+    // 6-gram shingle construction, same integer-quantized tokens^0.5
+    // weights and md5-uniform keep draw.
+    "q126_corpus_build" ->
+      s"""WITH lex(cand_lang, token) AS (VALUES $lexValues),
+         |ltoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+         |  FROM ltoks JOIN lex USING (token) GROUP BY doc_id, cand_lang
+         |),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM scores
+         |  ) WHERE rn = 1
+         |),
+         |langok AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+         |  LEFT JOIN best ON d.doc_id = best.doc_id
+         |  WHERE d.lang = COALESCE(best.cand_lang, 'unknown')
+         |),
+         |quality AS (
+         |  SELECT doc_id, lang, source, text,
+         |         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100) / 100
+         |           * (1 - CAST(len(list_filter(string_split(text, ' '),
+         |                t -> t IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
+         |              / len(string_split(text, ' '))), 3) AS quality_score
+         |  FROM langok
+         |),
+         |qual AS (SELECT * FROM quality WHERE quality_score >= 0.2),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM qual
+         |  ) WHERE rn = 1
+         |),
+         |pool AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id, text FROM dedup WHERE doc_id >= 10
+         |),
+         |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pool),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(t[i:i+5], ' ') FOR i IN generate_series(1, len(t) - 5)]
+         |    END)) AS shingle
+         |  FROM ptoks
+         |),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT sh.doc_id FROM sh JOIN bench USING (shingle)
+         |  WHERE sh.doc_id >= 10
+         |  GROUP BY sh.doc_id HAVING COUNT(*) >= 2
+         |),
+         |clean AS (
+         |  SELECT doc_id, source, text FROM dedup
+         |  WHERE doc_id >= 10
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |),
+         |t AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+         |  FROM clean
+         |),
+         |tot AS (
+         |  SELECT source, SUM(n_tokens) AS src_tokens,
+         |         CAST(round(pow(CAST(SUM(n_tokens) AS DOUBLE), 0.5) * 1e6)
+         |              AS HUGEINT) AS wq
+         |  FROM t GROUP BY source
+         |),
+         |r AS (
+         |  SELECT source,
+         |         least(1.0, 4000.0 * CAST(wq AS DOUBLE)
+         |           / CAST((SELECT SUM(wq) FROM tot) AS DOUBLE)
+         |           / CAST(src_tokens AS DOUBLE)) AS keep_rate
+         |  FROM tot
+         |)
+         |SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
+         |FROM t JOIN r USING (source)
+         |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        / 4294967296.0
+         |      < keep_rate""".stripMargin,
 
     "q119_span_scrub" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
