@@ -360,8 +360,12 @@ object TextQueries {
           .select(col("doc_id"), col("text")))
       val contaminated = Dedup.bloomDecontaminate(pool, "doc_id", "text",
         benchFilter = col("doc_id") < 10, n = 6, minOverlaps = 2)
+      // the contaminated-id set is bounded by the benchmark's reach, never
+      // corpus-sized — broadcast it so the anti-join is map-side instead of
+      // shuffling every cleaned doc (stats can't see through the HAVING)
       val clean = deduped.where(col("doc_id") >= 10)
-        .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(broadcast(contaminated.select("doc_id")), Seq("doc_id"),
+          "left_anti")
       CorpusOps.temperatureMix(clean, "doc_id", "source", "text",
         alpha = 0.5, budgetTokens = 4000)
     }),
