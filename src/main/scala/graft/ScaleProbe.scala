@@ -19,7 +19,9 @@ object ScaleProbe {
 
   /** The operators worth probing: the ones whose cost could in principle
     * grow with pair counts rather than row counts. */
-  private def ops(): Seq[(String, DataFrame => DataFrame)] = Seq(
+  private def ops(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = Seq(
+    "corpus_build" -> (d =>
+      graft.queries.TextQueries.corpusBuild(spark, d)),
     "exact_dedup" -> (d => Dedup.exactByContent(d, "doc_id", "text")),
     "minhash_pairs" -> (d => Dedup.minhashNearDups(d, "doc_id", "text",
       threshold = 0.5)),
@@ -39,6 +41,15 @@ object ScaleProbe {
         graft.pipeline.SignatureStore.signatures(d.where(!isNew), "doc_id", "text"),
         d, threshold = 0.5)
     }))
+
+  /** Embedding-side probes. The query set is pinned to the ORIGINAL id range
+    * on both runs (`vec_id <= origMax`) so the measurement isolates how cost
+    * grows with the candidate corpus — letting the query set grow with the
+    * copies would measure a quadratic |q|×n surface no serving path has. */
+  private def embOps(origMax: Long): Seq[(String, DataFrame => DataFrame)] = Seq(
+    "pq_ann" -> (e => graft.operators.Similarity.pqTopK(e, "vec_id",
+      "embedding", col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
+      dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,15 +84,30 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
 
+      // Same copy-and-rewrite treatment for the embeddings table (the PQ
+      // probe's corpus), ids offset past the original max.
+      val esrc = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      esrc.write.mode("overwrite").parquet(s"$tmp/emb_1x")
+      val embs = spark.read.parquet(s"$tmp/emb_1x")
+      val eoff = esrc.agg(max("vec_id")).head.getLong(0) + 1
+      (0 until factor).map { k =>
+        esrc.withColumn("vec_id", col("vec_id") + lit(k.toLong * eoff))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/emb_big")
+      val bigEmbs = spark.read.parquet(s"$tmp/emb_big")
+
       // Output rows are reported alongside time: for pair-emitting operators a
       // k×-duplicated corpus legitimately has ~k² more true pairs, so the
       // honest scaling signal is time ratio vs OUTPUT ratio, not row ratio.
-      val results = ops().map { case (name, op) =>
-        time(op(docs)) // untimed warmup pass at 1x (codegen, listings)
-        val t1 = time(op(docs))
-        val tf = time(op(bigDocs))
-        val o1 = op(docs).count()
-        val of = op(bigDocs).count()
+      val probes: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] =
+        ops(spark).map { case (n, op) => (n, docs, bigDocs, op) } ++
+          embOps(eoff - 1).map { case (n, op) => (n, embs, bigEmbs, op) }
+      val results = probes.map { case (name, small, big, op) =>
+        time(op(small)) // untimed warmup pass at 1x (codegen, listings)
+        val t1 = time(op(small))
+        val tf = time(op(big))
+        val o1 = op(small).count()
+        val of = op(big).count()
         (name, t1, tf, o1, of)
       }
       val qs = results.map { case (name, t1, tf, o1, of) =>

@@ -338,37 +338,8 @@ object TextQueries {
     // hash-checked end to end. Scale shape inherits from the stages: no
     // corpus-sized shuffle beyond the dedup window's single hash exchange,
     // kilobyte broadcasts for the lexicon / Bloom bitmap / mix rates.
-    "q126_corpus_build" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val langOk = docs
-        .join(predictedLang(s, docs), Seq("doc_id"))
-        .where(col("predicted_lang") === col("lang"))
-      val quality = langOk
-        .withColumn("quality_score",
-          TextAnalysis.qualityScore(col("text"), stopwords))
-        .where(col("quality_score") >= 0.2)
-      val deduped = quality
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("__rn") === 1)
-      // benchmark = the RAW held-out docs (ids < 10); corpus = the cleaned
-      // survivors among the rest — contamination is judged against what the
-      // benchmark actually contains, not against its cleaned residue
-      val pool = docs.where(col("doc_id") < 10)
-        .select(col("doc_id"), col("text"))
-        .unionByName(deduped.where(col("doc_id") >= 10)
-          .select(col("doc_id"), col("text")))
-      val contaminated = Dedup.bloomDecontaminate(pool, "doc_id", "text",
-        benchFilter = col("doc_id") < 10, n = 6, minOverlaps = 2)
-      // the contaminated-id set is bounded by the benchmark's reach, never
-      // corpus-sized — broadcast it so the anti-join is map-side instead of
-      // shuffling every cleaned doc (stats can't see through the HAVING)
-      val clean = deduped.where(col("doc_id") >= 10)
-        .join(broadcast(contaminated.select("doc_id")), Seq("doc_id"),
-          "left_anti")
-      CorpusOps.temperatureMix(clean, "doc_id", "source", "text",
-        alpha = 0.5, budgetTokens = 4000)
-    }),
+    "q126_corpus_build" -> ((s, dir) =>
+      corpusBuild(s, Tables.load(s, dir, "documents"))),
 
     // Exact repeated-substring scrubbing (Lee et al. 2022 at 8-gram
     // granularity): every 8-token span occurring more than once in the
@@ -459,6 +430,40 @@ object TextQueries {
   /** Stopword-vote language prediction shared by q41 and the q102 cleaning
     * composite: argmax of lexicon hits (ties → lang asc, no hits →
     * 'unknown'). */
+  /** The q126 chain as a reusable function (ScaleProbe drives it against
+    * factor-× corpora): C4-style clean → benchmark decontamination →
+    * temperature mix. See the q126 declaration for stage-by-stage notes. */
+  def corpusBuild(s: SparkSession, docs: DataFrame): DataFrame = {
+    val langOk = docs
+      .join(predictedLang(s, docs), Seq("doc_id"))
+      .where(col("predicted_lang") === col("lang"))
+    val quality = langOk
+      .withColumn("quality_score",
+        TextAnalysis.qualityScore(col("text"), stopwords))
+      .where(col("quality_score") >= 0.2)
+    val deduped = quality
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1)
+    // benchmark = the RAW held-out docs (ids < 10); corpus = the cleaned
+    // survivors among the rest — contamination is judged against what the
+    // benchmark actually contains, not against its cleaned residue
+    val pool = docs.where(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+      .unionByName(deduped.where(col("doc_id") >= 10)
+        .select(col("doc_id"), col("text")))
+    val contaminated = Dedup.bloomDecontaminate(pool, "doc_id", "text",
+      benchFilter = col("doc_id") < 10, n = 6, minOverlaps = 2)
+    // the contaminated-id set is bounded by the benchmark's reach, never
+    // corpus-sized — broadcast it so the anti-join is map-side instead of
+    // shuffling every cleaned doc (stats can't see through the HAVING)
+    val clean = deduped.where(col("doc_id") >= 10)
+      .join(broadcast(contaminated.select("doc_id")), Seq("doc_id"),
+        "left_anti")
+    CorpusOps.temperatureMix(clean, "doc_id", "source", "text",
+      alpha = 0.5, budgetTokens = 4000)
+  }
+
   private def predictedLang(s: SparkSession, docs: DataFrame): DataFrame = {
     val lex = s.createDataFrame(lexicon).toDF("cand_lang", "token")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))

@@ -93,7 +93,24 @@ object VectorQueries {
     "q125_pq_ann" -> ((s, dir) =>
       Similarity.pqTopK(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", col("vec_id") % 50 === 0,
-        dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100))
+        dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
+
+    // Incremental PQ index maintenance (completes the incremental family:
+    // q120/q121 signatures, q123 clusters, q124 IVF cells, q127 PQ codes):
+    // codebooks train on the prior release only; the new release's vectors
+    // are encoded against those frozen codebooks map-only — old vectors are
+    // never re-read, and the codebooks ride as literal broadcast state
+    // exactly like q124's centroid table. Python-oracled (same Lloyd
+    // sequence as q125); codes serialized via to_json for the compare.
+    "q127_incremental_pq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isNew = col("vec_id") % 10 >= 8
+      val cb = Similarity.pqCodebooks(emb.where(!isNew), "vec_id",
+        "embedding", dim = 64, m = 16, ksub = 8, iters = 3)
+      Similarity.pqEncode(emb.where(isNew), "vec_id", "embedding",
+          dim = 64, cb)
+        .select(col("vec_id"), to_json(col("codes")).as("codes"))
+    })
   )
 
   def oracles: Map[String, String] = Map(

@@ -357,6 +357,30 @@ def py_q105_approx_quantiles(con, spark_df, oracle):
     return a, b
 
 
+def _assign(vecs, cents):
+    """Nearest-centroid assignment replicating Similarity.assignExpr's IEEE
+    sequence: nsq in index order, dot in index order, d = nsq - 2*dot,
+    strict-< tie-break to the lowest centroid index."""
+    nsqs = []
+    for c in cents:
+        nsq = 0.0
+        for x in c:
+            nsq += x * x
+        nsqs.append(nsq)
+    out = []
+    for v in vecs:
+        best_d, best_j = None, None
+        for j, c in enumerate(cents):
+            acc = 0.0
+            for i in range(len(v)):
+                acc += v[i] * c[i]
+            d = nsqs[j] - 2.0 * acc
+            if best_d is None or d < best_d:
+                best_d, best_j = d, j
+        out.append(best_j)
+    return out
+
+
 def _lloyd(vecs, k, iters):
     """Pure-Python replication of Similarity's deterministic Lloyd loop
     (no Spark code involved): init = the first k vectors (callers pass
@@ -369,24 +393,7 @@ def _lloyd(vecs, k, iters):
     cents = [list(v) for v in vecs[:k]]
 
     def assign_all(cents):
-        nsqs = []
-        for c in cents:
-            nsq = 0.0
-            for x in c:
-                nsq += x * x
-            nsqs.append(nsq)
-        out = []
-        for v in vecs:
-            best_d, best_j = None, None
-            for j, c in enumerate(cents):
-                acc = 0.0
-                for i in range(len(v)):
-                    acc += v[i] * c[i]
-                d = nsqs[j] - 2.0 * acc
-                if best_d is None or d < best_d:
-                    best_d, best_j = d, j
-            out.append(best_j)
-        return out
+        return _assign(vecs, cents)
 
     for _ in range(iters):
         a = assign_all(cents)
@@ -510,10 +517,36 @@ def py_q125_pq_ann(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q127_incremental_pq(con, spark_df, oracle):
+    """Incremental PQ maintenance: codebooks trained on the OLD release only
+    (ids % 10 < 8, same per-subspace _lloyd sequence as q125), the NEW
+    release's vectors encoded against those frozen codebooks — old vectors
+    never revisited. Codes serialized like Spark's to_json."""
+    ids, vecs = _embeddings(con)
+    m, ksub, iters = 16, 8, 3
+    dim = len(vecs[0])
+    dsub = dim // m
+    old = [v for i, v in zip(ids, vecs) if i % 10 < 8]
+    new = [(i, v) for i, v in zip(ids, vecs) if i % 10 >= 8]
+    rows = []
+    codes = [[0] * m for _ in new]
+    for s in range(m):
+        cents, _ = _lloyd([v[s * dsub:(s + 1) * dsub] for v in old],
+                          ksub, iters)
+        a = _assign([v[s * dsub:(s + 1) * dsub] for _, v in new], cents)
+        for r_i, j in enumerate(a):
+            codes[r_i][s] = j
+    for (vid, _), c in zip(new, codes):
+        rows.append((vid, "[" + ",".join(str(x) for x in c) + "]"))
+    exp = pd.DataFrame(rows, columns=["vec_id", "codes"])
+    return spark_df, exp
+
+
 PY_ORACLES = {
     "q109_kmeans": py_q109_kmeans,
     "q113_semdedup": py_q113_semdedup,
     "q125_pq_ann": py_q125_pq_ann,
+    "q127_incremental_pq": py_q127_incremental_pq,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
