@@ -123,6 +123,40 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Edit-distance-verified near-duplicate pairs: the character-level
+    * verification pass layered on the MinHash pipeline (the shape of
+    * RETSim-style dedup, where a cheap candidate generator is confirmed by
+    * an exact string metric). A pair survives only if exact Jaccard ≥
+    * `threshold` AND `levenshtein(a, b) ≤ maxEditRatio · max(|a|, |b|)` —
+    * token-set similarity can be high for texts whose character sequences
+    * differ a lot (reordered sentences), and the edit bound rejects those.
+    *
+    * Scale shape: candidate generation + Jaccard verify are
+    * [[minhashNearDups]]'s (shuffle keyed by (band, bucket) collisions,
+    * never the corpus pair space); the text join-back and the O(|a|·|b|)
+    * dynamic-programming edit distance run for VERIFIED pairs only, so the
+    * expensive metric's cost scales with the near-dup count. Both
+    * `levenshtein` and the ratio comparison are exact integer / single-op
+    * double arithmetic — deterministic under any partitioning. */
+  def editVerifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, maxEditRatio: Double,
+                           shingleSize: Int = 3, numHashes: Int = 16,
+                           bands: Int = 8): DataFrame = {
+    require(maxEditRatio > 0 && maxEditRatio <= 1,
+      s"maxEditRatio must be in (0, 1], got $maxEditRatio")
+    val pairs = minhashNearDups(df, idCol, textCol, threshold,
+      shingleSize, numHashes, bands)
+    val txt = df.select(col(idCol), col(textCol))
+    pairs
+      .join(txt.select(col(idCol).as("a_id"), col(textCol).as("__ta")), Seq("a_id"))
+      .join(txt.select(col(idCol).as("b_id"), col(textCol).as("__tb")), Seq("b_id"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .where(col("edit_dist").cast("double") <=
+        lit(maxEditRatio) *
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("edit_dist"))
+  }
+
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise matches into dedup clusters (one keeper per component).
     *

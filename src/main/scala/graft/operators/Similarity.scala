@@ -45,13 +45,14 @@ object Similarity {
     * (Double, Long) encoder requires it). Enforced up front — a silent
     * cast-to-null would otherwise drop valid candidates from the top-k. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-                     scale: Int = 3): DataFrame = {
+                     scale: Int = 3, extraCond: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = candidates.schema("cand_id").dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"bruteForceTopK requires an integral cand_id, got $idType; " +
         "map string ids to dense longs first (e.g. zipWithUniqueId / xxhash64)")
-    val scored = candidates.join(broadcast(queries), col("cand_id") =!= col("q_id"))
+    val scored = candidates
+      .join(broadcast(queries), col("cand_id") =!= col("q_id") && extraCond)
       .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), scale))
       .select(col("q_id"), col("cand_id").cast("long").as("cand_id"), col("score"))
       // null scores (null embeddings) or non-numeric ids can never rank in a
@@ -64,6 +65,28 @@ object Similarity {
       .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
       .select(col("q_id"), explode(col("tk.items")).as("c"))
       .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the `k` most similar candidates from a DIFFERENT class — the
+    * near-but-wrong examples that make the strongest negatives (the
+    * batch-construction step behind dense-retrieval trainers, e.g.
+    * Karpukhin et al. 2020's hardest-negatives variant).
+    *
+    * Same plan shape as [[bruteForceTopK]] (broadcast queries, map-side
+    * bounded top-k partials, O(k × partitions) rows on the wire per query);
+    * the class constraint rides in the broadcast-join condition, so
+    * same-class candidates are dropped before scoring. Rows whose class is
+    * NULL never match the inequality and are excluded from both sides'
+    * pairings — a null class is not evidence of a different class. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+                    classCol: String, queryPred: Column, k: Int,
+                    scale: Int = 3): DataFrame = {
+    val q = df.where(queryPred).select(col(idCol).as("q_id"),
+      col(embCol).as("q_emb"), col(classCol).as("q_cls"))
+    val cands = df.select(col(idCol).as("cand_id"),
+      col(embCol).as("cand_emb"), col(classCol).as("cand_cls"))
+    bruteForceTopK(q, cands, k, scale, col("cand_cls") =!= col("q_cls"))
   }
 
   /** Deterministic random hyperplanes for LSH bucketing (fixed seed → stable

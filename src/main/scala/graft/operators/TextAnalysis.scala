@@ -209,4 +209,35 @@ object TextAnalysis {
       .join(best.select(col(idCol), col("cand_lang")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"))
   }
+
+  /** One counting step of byte-pair-encoding vocabulary induction (Sennrich
+    * et al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"): the corpus-wide frequency of every adjacent character pair,
+    * sliced to the top-`k` merge candidates — the statistic the BPE trainer
+    * recomputes per merge round. Counting runs over word *occurrences*,
+    * which equals the classic word-frequency-weighted formulation folded
+    * into a single pass (Σ_word freq(word)·pairs(word) = Σ_occurrence
+    * pairs(occurrence)).
+    *
+    * Scale shape: explode is map-side; the only shuffle is the pair-keyed
+    * aggregation, whose key space is bounded by alphabet² — map-side partial
+    * aggregation collapses the corpus to at most that many rows per
+    * partition before the wire — and the top-k is an ordered slice
+    * (TakeOrderedAndProject), never a global sort. Counts are integers and
+    * (count desc, pair asc) is a total order, so the slice is deterministic
+    * under any partitioning.
+    *
+    * The len ≥ 2 filter is load-bearing on the Spark side: `sequence(1,
+    * len-1)` with len = 1 would be `sequence(1, 0)`, which descends. */
+  def bpeMergePairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+  }
 }

@@ -72,6 +72,16 @@ object MiscQueries {
       Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    // Edit-distance verification on top of the MinHash pairs: token-set
+    // Jaccard can be high for texts whose character sequences differ
+    // (reordered spans); the levenshtein bound — computed for verified
+    // pairs only, never the corpus pair space — rejects those. Exact
+    // integer distance + single-multiply ratio ⇒ deterministic, full
+    // DuckDB oracle (same levenshtein definition).
+    "q128_edit_dups" -> ((s, dir) =>
+      Dedup.editVerifiedNearDups(Tables.load(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5, maxEditRatio = 0.02)),
+
     // Near-dup CLUSTERS: connected components over the verified MinHash
     // pairs, one canonical keeper (min id) per component, singletons kept —
     // the step that turns pairwise dedup into an actual corpus dedup.
@@ -446,6 +456,39 @@ object MiscQueries {
         |JOIN sizes sa ON sa.doc_id = a_id
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin,
+
+    "q128_edit_dups" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a_id, b_id,
+        |         round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+        |)
+        |SELECT a_id, b_id, jaccard,
+        |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = a_id
+        |JOIN documents db ON db.doc_id = b_id
+        |WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |      <= 0.02 * greatest(len(da.text), len(db.text))""".stripMargin,
 
     "q87_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

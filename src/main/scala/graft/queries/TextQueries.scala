@@ -348,6 +348,15 @@ object TextQueries {
       Dedup.scrubRepeatedSpans(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 8)),
 
+    // One BPE vocabulary-induction counting round (Sennrich et al. 2016):
+    // corpus-wide adjacent-character-pair frequencies, top-50 merge
+    // candidates. Pair-keyed aggregation (alphabet²-bounded key space,
+    // map-side partials) + ordered slice; (count desc, pair asc) is a
+    // total order so the limit is deterministic.
+    "q129_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergePairs(Tables.load(s, dir, "documents"),
+        "text", k = 50)),
+
     // Per-source dataset card (the summary table a corpus release ships
     // with): docs, token volume, mean quality score, language share, exact
     // duplicate rate — ONE map-side-combined aggregate over the corpus
@@ -975,6 +984,17 @@ object TextQueries {
         |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
         |       agg.scrubbed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "q129_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
+        |  FROM w, unnest(generate_series(1, len(word) - 1)) AS t(i)
+        |  WHERE len(word) >= 2
+        |)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
 
     "q118_source_card" ->
       """WITH d AS (

@@ -110,7 +110,15 @@ object VectorQueries {
       Similarity.pqEncode(emb.where(isNew), "vec_id", "embedding",
           dim = 64, cb)
         .select(col("vec_id"), to_json(col("codes")).as("codes"))
-    })
+    }),
+
+    // Hard-negative mining (dense-retrieval batch construction): per query
+    // vector, the top-3 most similar candidates of a DIFFERENT label —
+    // near-but-wrong examples. Same broadcast + bounded-top-k plan as q48;
+    // the label constraint rides in the join condition.
+    "q130_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -170,6 +178,25 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM dots
         |) WHERE rn <= 5""".stripMargin,
+
+    "q130_hard_negatives" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |dots AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |         round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS score
+        |  FROM ex q JOIN ex c
+        |    ON q.i = c.i AND c.vec_id <> q.vec_id AND c.label <> q.label
+        |  WHERE q.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT q_id, cand_id, score FROM (
+        |  SELECT q_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |  FROM dots
+        |) WHERE rn <= 3""".stripMargin,
 
     "q72_ivf_ann" ->
       """WITH ex AS (

@@ -26,6 +26,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("edit-verified near-dups: exact pair has distance 0, tight ratio drops the edited pair") {
+    // base vs nearDup differ by "quiet" -> "silent" (~4 char edits over ~140
+    // chars, ratio ~0.03): a loose bound keeps it, a tight one rejects it,
+    // and the exact duplicate (distance 0) always survives.
+    val loose = Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+      threshold = 0.5, maxEditRatio = 0.5)
+      .select("a_id", "b_id", "edit_dist").as[(Long, Long, Long)].collect()
+    assert(loose.exists { case (a, b, d) => a == 1L && b == 2L && d == 0L })
+    assert(loose.exists { case (a, b, d) => b == 3L && d > 0L })
+    val tight = Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+      threshold = 0.5, maxEditRatio = 0.01)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(tight === Set((1L, 2L)))
+  }
+
+  test("edit-verified near-dups: maxEditRatio outside (0,1] fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+        threshold = 0.5, maxEditRatio = 0.0)
+    }
+    assert(e.getMessage.contains("maxEditRatio"))
+  }
+
   test("simhash hamming distance: identical 0, near small, unrelated large") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -9,6 +9,54 @@ import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
 class TrainingOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- BPE merge counting --------------------------------------------
+
+  test("bpeMergePairs: hand-computed pair counts, overlaps counted per occurrence") {
+    // "aaab" -> aa(i=1), aa(i=2), ab(i=3); "aa" -> aa; "xy" -> xy; the
+    // length-1 word "z" contributes nothing.
+    val docs = Seq((1L, "aaab aa z"), (2L, "xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergePairs(docs, "text", k = 10)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("aa", 3L), ("ab", 1L), ("xy", 1L)))
+  }
+
+  test("bpeMergePairs: top-k slice is deterministic on count ties (pair asc)") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergePairs(docs, "text", k = 2)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("ab", 1L), ("cd", 1L)))
+  }
+
+  // ---- Hard-negative mining ------------------------------------------
+
+  test("hardNegatives: nearest same-label vector is excluded, top negative is cross-label") {
+    // q (label 0) is closest to id 1 (same label) then id 2 (label 1);
+    // the mined negative must be id 2 — and id 3 (opposite direction,
+    // label 1) ranks after it.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.4f, 0.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+      col("vec_id") === 0, k = 2)
+      .select("cand_id").as[Long].collect().toList
+    assert(got === List(2L, 3L))
+  }
+
+  test("hardNegatives: null-label rows neither query nor serve as negatives") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), Some(0)),
+      (1L, Array(1.0f, 0.0f), None),
+      (2L, Array(0.5f, 0.5f), Some(1))
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+      col("vec_id") === 0, k = 5)
+      .select("cand_id").as[Long].collect().toList
+    assert(got === List(2L))
+  }
+
   // ---- BM25 ----------------------------------------------------------
 
   test("bm25: hand-computed scores on a three-doc corpus") {
