@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear quality classifier over hashed bag-of-words features — the
+  * GPT-3-style pretraining filter (Brown et al. 2020 trained a linear
+  * classifier on weak source labels and kept documents by score; fastText's
+  * supervised mode is the same shape): full-batch logistic regression,
+  * trained and applied inside the engine.
+  *
+  * Everything is built for exact cross-engine determinism, so the whole
+  * training loop carries a hash-checked SQL oracle:
+  *
+  *   - Feature hashing uses md5 (first 8 hex chars mod `d`), not xxhash64 —
+  *     md5 is the one hash DuckDB and Spark share bit-for-bit.
+  *   - Weights live in integer micro-units; every corpus-sized sum (margins,
+  *     gradients) is a sum of exact longs, so no result depends on
+  *     partition or aggregation order. Per-row gradient contributions are
+  *     quantized HALF_UP before summing (the repo's determinism idiom).
+  *   - The link function is the softsign logistic p = 0.5 + 0.5·m/(1+|m|),
+  *     not 1/(1+e^-m): it is built from IEEE basic ops only (+, *, /, abs),
+  *     which are correctly-rounded and therefore bit-identical across
+  *     engines, where libm's `exp` is not guaranteed to agree in the last
+  *     ulp between a JVM and anything else. Same squashing shape, exact
+  *     reproducibility.
+  *
+  * Scale shape: the feature build is one (doc, idx)-keyed aggregation; per
+  * iteration, the margin pass is a doc-keyed aggregation of exact longs
+  * (map-side partials) with the d-row weight table broadcast, and the
+  * gradient pass aggregates into at most `d` keys — map-side partial
+  * aggregation collapses the corpus to ≤d rows per partition before the
+  * wire. The weight state never leaves the cluster: it stays a d-row
+  * DataFrame between iterations (no driver loop state beyond the row
+  * count), so the trainer is the same shape at 100 TB.
+  */
+object Classifier {
+
+  /** Feature index of a token: first 32 bits of md5, mod `d`. */
+  def featureIndex(tok: Column, d: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(d))
+
+  /** Hashed bag-of-words: (id, idx, cnt) with cnt = token occurrences. */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     d: Int): DataFrame =
+    docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), featureIndex(col("tok"), d).as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Softsign logistic link over a micro-unit margin column (exact IEEE). */
+  private def softsignP(marginMicro: Column): Column = {
+    val m = marginMicro.cast("double") / lit(1e6)
+    lit(0.5) + lit(0.5) * (m / (lit(1d) + abs(m)))
+  }
+
+  /** HALF_UP double→long quantization (matches DuckDB `round(x)::BIGINT`). */
+  private def halfUp(x: Column): Column =
+    x.cast("decimal(38,0)").cast("long")
+
+  /** Train `iters` full-batch iterations against the 0/1 `label` column and
+    * score every document. Returns (id, y, margin_micro, pred): the exact
+    * integer margin and the sign classification — both bit-stable outputs
+    * (no rounded float crosses the result boundary).
+    *
+    * `label` must be 0/1 for every row (weak supervision labels like
+    * `lang === "en"` cast cleanly); `n` is the corpus row count, taken once
+    * up front (metadata-scale action, like the k-means trainer's seeding).
+    */
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+                 label: Column, d: Int = 256, iters: Int = 2,
+                 lr: Double = 0.5): DataFrame = {
+    require(d > 0, s"d must be positive, got $d")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val feat = hashedFeatures(docs, idCol, textCol, d)
+    val lbl = docs.select(col(idCol), label.cast("int").as("y"))
+    val n = docs.count()
+
+    // Weight state: only indices that occur in the corpus can ever move off
+    // zero, so the state is exactly feat's distinct idx set (inner joins
+    // below then align with the oracle's, which never materializes the
+    // unobserved rows either).
+    var w: DataFrame = feat.select(col("idx")).distinct()
+      .withColumn("w_int", lit(0L))
+
+    for (_ <- 1 to iters) {
+      // margin_micro per doc: an exact long sum (cnt × micro-weights)
+      val margins = feat.join(broadcast(w), Seq("idx"))
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt") * col("w_int")).as("margin_micro"))
+      // per-(doc, idx) gradient contribution, quantized HALF_UP to micro
+      // units BEFORE the idx aggregation so the sum is exact
+      val grad = feat
+        .join(margins, Seq(idCol))
+        .join(lbl, Seq(idCol))
+        .withColumn("p", softsignP(col("margin_micro")))
+        .groupBy(col("idx"))
+        .agg(sum(halfUp((col("p") - col("y")) * col("cnt") * lit(1e6)))
+          .as("gsum"))
+      w = w.join(grad, Seq("idx"))
+        .select(col("idx"),
+          (col("w_int") - halfUp(lit(lr) * col("gsum").cast("double")
+            / lit(n.toDouble))).as("w_int"))
+        .localCheckpoint() // cut the per-iteration lineage, kMeans-style
+    }
+
+    val scored = feat.join(broadcast(w), Seq("idx"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("w_int")).as("margin_micro"))
+    lbl.join(scored, Seq(idCol))
+      .select(col(idCol), col("y"), col("margin_micro"),
+        (col("margin_micro") > 0).as("pred"))
+  }
+}

@@ -357,6 +357,16 @@ object TextQueries {
       TextAnalysis.bpeMergePairs(Tables.load(s, dir, "documents"),
         "text", k = 50)),
 
+    // GPT-3-style linear quality classifier, trained AND applied in-engine:
+    // two full-batch logistic iterations over md5-hashed bag-of-words
+    // features against the weak label lang = 'en', then every doc scored.
+    // Integer micro-unit weights + softsign link make the whole training
+    // loop bit-deterministic, so even the learned margins hash-check
+    // against a fully unrolled SQL oracle.
+    "q131_quality_classifier" -> ((s, dir) =>
+      Classifier.trainScore(Tables.load(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", d = 256, iters = 2, lr = 0.5)),
+
     // Per-source dataset card (the summary table a corpus release ships
     // with): docs, token volume, mean quality score, language share, exact
     // duplicate rate — ONE map-side-combined aggregate over the corpus
@@ -995,6 +1005,61 @@ object TextQueries {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    // The unrolled twin of Classifier.trainScore (iters = 2, d = 256,
+    // lr = 0.5): iteration 1 starts from zero weights, so p = 0.5 exactly;
+    // iteration 2 uses the learned micro-unit weights. All corpus-sized
+    // sums are sums of exact BIGINTs; round(x)::BIGINT matches Spark's
+    // decimal(38,0) HALF_UP for both signs (half away from zero).
+    "q131_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |feat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2
+        |),
+        |lbl AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |g1 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((0.5 - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w1 AS (
+        |  SELECT idx,
+        |         0 - CAST(round(0.5 * gsum / n) AS BIGINT) AS w_int
+        |  FROM g1, nn
+        |),
+        |m2 AS (
+        |  SELECT doc_id, SUM(cnt * w_int) AS margin_micro
+        |  FROM feat JOIN w1 USING (idx) GROUP BY 1
+        |),
+        |p2 AS (
+        |  SELECT doc_id, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
+        |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE) / 1e6 AS m FROM m2)
+        |),
+        |g2 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((p - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN p2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w2 AS (
+        |  SELECT w1.idx,
+        |         w_int - CAST(round(0.5 * g2.gsum / n) AS BIGINT) AS w_int
+        |  FROM w1 JOIN g2 ON w1.idx = g2.idx, nn
+        |),
+        |mf AS (
+        |  SELECT doc_id, CAST(SUM(cnt * w_int) AS BIGINT) AS margin_micro
+        |  FROM feat JOIN w2 USING (idx) GROUP BY 1
+        |)
+        |SELECT lbl.doc_id, lbl.y, mf.margin_micro, mf.margin_micro > 0 AS pred
+        |FROM lbl JOIN mf USING (doc_id)""".stripMargin,
 
     "q118_source_card" ->
       """WITH d AS (

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+/** The in-engine linear quality classifier: separability, exact
+  * partition-order determinism, guard rails. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two disjoint vocabularies -> linearly separable under hashed features
+  // (no index collisions matter: every "good" token pushes one way).
+  private lazy val corpus = Seq(
+    (1L, "excellent prose with careful structure and clear argument", 1),
+    (2L, "excellent careful writing with clear structure", 1),
+    (3L, "clear careful argument in excellent prose", 1),
+    (4L, "spam spam click here buy now cheap deal", 0),
+    (5L, "buy cheap spam deal click now", 0),
+    (6L, "click buy now cheap spam here", 0)
+  ).toDF("doc_id", "text", "gold")
+
+  test("two iterations separate a disjoint-vocabulary corpus") {
+    val scored = Classifier.trainScore(corpus, "doc_id", "text",
+      col("gold") === 1, d = 64, iters = 2, lr = 0.5)
+    val rows = scored.select("doc_id", "y", "pred")
+      .as[(Long, Int, Boolean)].collect()
+    assert(rows.length === 6)
+    rows.foreach { case (id, y, pred) =>
+      assert(pred === (y == 1), s"doc $id: pred $pred but label $y")
+    }
+  }
+
+  test("learned margins are bit-identical under repartitioning") {
+    def margins(parts: Int): Map[Long, Long] =
+      Classifier.trainScore(corpus.repartition(parts), "doc_id", "text",
+        col("gold") === 1, d = 64, iters = 2, lr = 0.5)
+        .select("doc_id", "margin_micro").as[(Long, Long)].collect().toMap
+    assert(margins(1) === margins(7))
+  }
+
+  test("parameters fail fast") {
+    intercept[IllegalArgumentException] {
+      Classifier.trainScore(corpus, "doc_id", "text", col("gold") === 1, d = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.trainScore(corpus, "doc_id", "text", col("gold") === 1,
+        iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.trainScore(corpus, "doc_id", "text", col("gold") === 1,
+        lr = 0.0)
+    }
+  }
+}
