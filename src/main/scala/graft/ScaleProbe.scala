@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+import graft.operators.{Classifier, CorpusOps, Dedup, TextAnalysis}
 
 /** Empirical scaling probe: run the heavy corpus operators on the documents
   * table at 1× and at `factor`× (id-remapped unioned copies, written to
@@ -22,6 +22,9 @@ object ScaleProbe {
   private def ops(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = Seq(
     "corpus_build" -> (d =>
       graft.queries.TextQueries.corpusBuild(spark, d)),
+    "quality_classifier" -> (d =>
+      Classifier.trainScore(d, "doc_id", "text", col("lang") === "en",
+        d = 256, iters = 2, lr = 0.5)),
     "exact_dedup" -> (d => Dedup.exactByContent(d, "doc_id", "text")),
     "minhash_pairs" -> (d => Dedup.minhashNearDups(d, "doc_id", "text",
       threshold = 0.5)),

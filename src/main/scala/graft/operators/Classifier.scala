@@ -72,7 +72,11 @@ object Classifier {
     require(d > 0, s"d must be positive, got $d")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be positive, got $lr")
-    val feat = hashedFeatures(docs, idCol, textCol, d)
+    // iterative trainer: cache the hashed-feature projection so each
+    // iteration's margin and gradient jobs read it instead of re-tokenizing
+    // the corpus (the k-means trainer persists its (id, vec) projection the
+    // same way)
+    val feat = hashedFeatures(docs, idCol, textCol, d).cache()
     val lbl = docs.select(col(idCol), label.cast("int").as("y"))
     val n = docs.count()
 
@@ -104,9 +108,14 @@ object Classifier {
         .localCheckpoint() // cut the per-iteration lineage, kMeans-style
     }
 
+    // Final margins materialize eagerly (two longs per doc — the same
+    // node-count-sized localCheckpoint the connected-components loop uses)
+    // so the feature cache can be released before returning the lazy result.
     val scored = feat.join(broadcast(w), Seq("idx"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * col("w_int")).as("margin_micro"))
+      .localCheckpoint()
+    feat.unpersist(blocking = false)
     lbl.join(scored, Seq(idCol))
       .select(col(idCol), col("y"), col("margin_micro"),
         (col("margin_micro") > 0).as("pred"))

@@ -229,6 +229,38 @@ object TextAnalysis {
     *
     * The len ≥ 2 filter is load-bearing on the Spark side: `sequence(1,
     * len-1)` with len = 1 would be `sequence(1, 0)`, which descends. */
+  /** Per-document n-gram novelty of a new release against the prior corpus:
+    * for every document matching `isNew`, the count and exact-permille
+    * fraction of its distinct n-grams absent from the old slice's gram set —
+    * the "how much genuinely new text does this release add" metric used to
+    * prioritize crawl snapshots before paying for a full dedup pass.
+    *
+    * The permille is computed by INTEGER division on both engines (`div`
+    * here, `//` in the oracle): a float ratio rounded at a boundary could
+    * disagree with true integer division when the correctly-rounded quotient
+    * lands exactly on an integer from below.
+    *
+    * Scale shape: one gram-keyed equi-join (the exact-decontamination
+    * shape — the old gram set shuffles once by gram, never pairs with
+    * anything corpus-quadratic) and one doc-keyed aggregation. At 100 TB
+    * the old gram set would come pre-distinct from the release store
+    * (SignatureStore pattern) instead of being rebuilt per run. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  isNew: Column): DataFrame = {
+    val g = df.withColumn("__new", isNew)
+      .select(col(idCol), col("__new"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+    val oldGrams = g.where(!col("__new"))
+      .select(col("gram")).distinct().withColumn("__seen", lit(1))
+    g.where(col("__new"))
+      .join(oldGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_permille",
+        expr("(n_unseen * 1000) div n_grams"))
+  }
+
   def bpeMergePairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val words = df.select(explode(tokens(col(textCol))).as("word"))

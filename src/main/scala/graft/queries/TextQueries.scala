@@ -357,6 +357,14 @@ object TextQueries {
       TextAnalysis.bpeMergePairs(Tables.load(s, dir, "documents"),
         "text", k = 50)),
 
+    // Release novelty: per new-release document, how many of its distinct
+    // 8-grams the prior corpus has never seen, in exact integer permille —
+    // the metric that ranks crawl snapshots before a full dedup pass.
+    // One gram-keyed equi-join (exact-decontamination shape) + doc agg.
+    "q132_novelty" -> ((s, dir) =>
+      TextAnalysis.gramNovelty(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 8, isNew = col("doc_id") % 10 >= 8)),
+
     // GPT-3-style linear quality classifier, trained AND applied in-engine:
     // two full-batch logistic iterations over md5-hashed bag-of-words
     // features against the weak label lang = 'en', then every doc scored.
@@ -1005,6 +1013,25 @@ object TextQueries {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "q132_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |    END)) AS gram
+        |  FROM toks
+        |),
+        |oldg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 < 8),
+        |newsh AS (SELECT doc_id, gram FROM sh WHERE doc_id % 10 >= 8)
+        |SELECT n.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN o.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |       CAST((SUM(CASE WHEN o.gram IS NULL THEN 1 ELSE 0 END) * 1000)
+        |            // COUNT(*) AS BIGINT) AS novelty_permille
+        |FROM newsh n LEFT JOIN oldg o ON n.gram = o.gram
+        |GROUP BY 1""".stripMargin,
 
     // The unrolled twin of Classifier.trainScore (iters = 2, d = 256,
     // lr = 0.5): iteration 1 starts from zero weights, so p = 0.5 exactly;

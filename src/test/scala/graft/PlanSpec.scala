@@ -200,6 +200,24 @@ class PlanSpec extends SparkSpec {
       && !p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("quality classifier iteration: weights broadcast, sums combine map-side") {
+    // trainScore materializes each iteration eagerly (localCheckpoint), so
+    // the declared q131 plan only shows the final scoring join — assert the
+    // per-iteration shape on its building blocks instead: the d-row weight
+    // table must enter by broadcast and the exact-long margin sum must have
+    // a map-side partial, with no sort-merge or cartesian anywhere.
+    val docs = Tables.load(spark, sf, "documents")
+    val feat = graft.operators.Classifier.hashedFeatures(docs, "doc_id", "text", 256)
+    val w = feat.select(col("idx")).distinct().withColumn("w_int", lit(0L))
+    val p = feat.join(broadcast(w), Seq("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("w_int")).as("margin_micro"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("chunk routing filters rows at the scan and never cross-joins") {
     val p = plan("q88_run_direct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

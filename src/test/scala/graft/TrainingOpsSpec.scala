@@ -27,6 +27,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === List(("ab", 1L), ("cd", 1L)))
   }
 
+  // ---- Release novelty -----------------------------------------------
+
+  test("gramNovelty: exact integer permille over seen/unseen grams") {
+    val docs = Seq(
+      (1L, "a b c"),  // old slice: gram set {"a b", "b c"}
+      (11L, "a b x"), // "a b" seen, "b x" unseen -> 500
+      (12L, "a b c"), // both seen -> 0
+      (13L, "x y z")  // both unseen -> 1000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gramNovelty(docs, "doc_id", "text", n = 2,
+      isNew = col("doc_id") >= 10)
+      .select("doc_id", "n_grams", "n_unseen", "novelty_permille")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((11L, 2L, 1L, 500L), (12L, 2L, 0L, 0L),
+      (13L, 2L, 2L, 1000L)))
+  }
+
   // ---- Hard-negative mining ------------------------------------------
 
   test("hardNegatives: nearest same-label vector is excluded, top negative is cross-label") {
