@@ -157,6 +157,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"), col("edit_dist"))
   }
 
+  /** Near-containment pairs: C(a, b) = |Sa ∩ Sb| / min(|Sa|, |Sb|) over
+    * df-capped distinct shingle sets — catches a small document quoted
+    * wholesale inside a much larger one, which Jaccard-keyed MinHash-LSH
+    * misses BY CONSTRUCTION: A ⊂ B with |B| ≫ |A| has Jaccard |A|/|B| → 0,
+    * so no Jaccard threshold band ever collides the pair, while its
+    * containment is 1.0 (Broder 1997 distinguishes resemblance from
+    * containment for exactly this case).
+    *
+    * Scale shape: the q44 inverted-index discipline — a shingle occurring
+    * in more than `dfCap` documents is dropped from BOTH the intersection
+    * and the set sizes (containment over the capped sets; the oracle
+    * mirrors the cap), so join fan-out is O(dfCap²) pairs per shingle at
+    * any corpus size, and the df pre-pass is a groupBy (map-side partials
+    * collapse hot shingles) + join-back, never a count-over-window. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleSize: Int = 3,
+                       dfCap: Int = 100): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val raw = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("shingle"))
+    val rare = raw.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= dfCap).select("shingle")
+    val sh = raw.join(rare, Seq("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "n_b"), Seq("b_id"))
+      .withColumn("containment", round(col("n_inter").cast("double")
+        / least(col("n_a"), col("n_b")), 4))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "n_inter", "containment")
+  }
+
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise matches into dedup clusters (one keeper per component).
     *

@@ -72,6 +72,14 @@ object MiscQueries {
       Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)),
 
+    // Near-containment pairs (Broder's containment, not resemblance): a
+    // small doc quoted inside a much larger one has Jaccard → 0 but
+    // containment → 1, so Jaccard-banded LSH can never surface it — this
+    // df-capped inverted-index pass can, at O(dfCap²) fan-out per shingle.
+    "q133_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.8)),
+
     // Edit-distance verification on top of the MinHash pairs: token-set
     // Jaccard can be high for texts whose character sequences differ
     // (reordered spans); the levenshtein bound — computed for verified
@@ -456,6 +464,32 @@ object MiscQueries {
         |JOIN sizes sa ON sa.doc_id = a_id
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5""".stripMargin,
+
+    "q133_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_inter,
+        |       round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 4) >= 0.8""".stripMargin,
 
     "q128_edit_dups" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -49,6 +49,35 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEditRatio"))
   }
 
+  test("containment finds a small doc quoted inside a large one that minhash misses") {
+    // quoted ⊂ host: Jaccard is ~|quoted|/|host| (small), containment 1.0
+    val quoted = "uniquely memorable passage about distributed query planning today"
+    val host = base + " " + quoted + " " + other
+    val docs2 = Seq((1L, quoted), (2L, host), (3L, other + " extra tail tokens here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs2, "doc_id", "text", threshold = 0.9)
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)].collect()
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 })
+    // the same pair is invisible to Jaccard at any near-dup threshold
+    val jac = Dedup.minhashNearDups(docs2, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containment: a df-capped shingle contributes to neither side") {
+    // one shingle shared by every doc; with dfCap = 2 it is dropped, so the
+    // two otherwise-disjoint docs have no intersection left
+    val docs2 = Seq(
+      (1L, "common shared phrase alpha beta"),
+      (2L, "common shared phrase gamma delta"),
+      (3L, "common shared phrase epsilon zeta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs2, "doc_id", "text",
+      threshold = 0.1, shingleSize = 3, dfCap = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.isEmpty)
+  }
+
   test("simhash hamming distance: identical 0, near small, unrelated large") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
