@@ -58,17 +58,18 @@ object Classifier {
     x.cast("decimal(38,0)").cast("long")
 
   /** Train `iters` full-batch iterations against the 0/1 `label` column and
-    * score every document. Returns (id, y, margin_micro, pred): the exact
-    * integer margin and the sign classification — both bit-stable outputs
-    * (no rounded float crosses the result boundary).
+    * return the learned micro-unit weight table (idx, w_int) — only indices
+    * observed in the corpus appear (unobserved weights are zero).
     *
     * `label` must be 0/1 for every row (weak supervision labels like
     * `lang === "en"` cast cleanly); `n` is the corpus row count, taken once
     * up front (metadata-scale action, like the k-means trainer's seeding).
+    * The caller owns `feat`'s lifetime via the returned (weights, feat)
+    * pair's second element — see [[trainScore]] for the release pattern.
     */
-  def trainScore(docs: DataFrame, idCol: String, textCol: String,
-                 label: Column, d: Int = 256, iters: Int = 2,
-                 lr: Double = 0.5): DataFrame = {
+  private def trainWeightsWithFeatures(
+      docs: DataFrame, idCol: String, textCol: String, label: Column,
+      d: Int, iters: Int, lr: Double): (DataFrame, DataFrame) = {
     require(d > 0, s"d must be positive, got $d")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be positive, got $lr")
@@ -107,7 +108,30 @@ object Classifier {
             / lit(n.toDouble))).as("w_int"))
         .localCheckpoint() // cut the per-iteration lineage, kMeans-style
     }
+    (w, feat)
+  }
 
+  /** Learned weight table only (the training half of [[trainScore]]);
+    * releases the feature cache before returning (w is already
+    * localCheckpoint-materialized). */
+  def trainWeights(docs: DataFrame, idCol: String, textCol: String,
+                   label: Column, d: Int = 256, iters: Int = 2,
+                   lr: Double = 0.5): DataFrame = {
+    val (w, feat) = trainWeightsWithFeatures(docs, idCol, textCol, label,
+      d, iters, lr)
+    feat.unpersist(blocking = false)
+    w
+  }
+
+  /** Train and score every training document. Returns (id, y, margin_micro,
+    * pred): the exact integer margin and the sign classification — both
+    * bit-stable outputs (no rounded float crosses the result boundary). */
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+                 label: Column, d: Int = 256, iters: Int = 2,
+                 lr: Double = 0.5): DataFrame = {
+    val (w, feat) = trainWeightsWithFeatures(docs, idCol, textCol, label,
+      d, iters, lr)
+    val lbl = docs.select(col(idCol), label.cast("int").as("y"))
     // Final margins materialize eagerly (two longs per doc — the same
     // node-count-sized localCheckpoint the connected-components loop uses)
     // so the feature cache can be released before returning the lazy result.
@@ -119,5 +143,30 @@ object Classifier {
     lbl.join(scored, Seq(idCol))
       .select(col(idCol), col("y"), col("margin_micro"),
         (col("margin_micro") > 0).as("pred"))
+  }
+
+  /** The learned weights as a dense micro-unit array (unobserved indices
+    * zero) — a d-row driver collect, metadata-scale like k-means centroids. */
+  def denseWeights(w: DataFrame, d: Int): Array[Long] = {
+    val arr = Array.fill(d)(0L)
+    w.select(col("idx"), col("w_int")).collect().foreach { r =>
+      arr(r.getLong(0).toInt) = r.getLong(1)
+    }
+    arr
+  }
+
+  /** Frozen-weight scoring as ONE per-row expression — no join, no shuffle,
+    * no state: the serving/streaming path (stream twin:
+    * `StreamEntry.scoreDocs`). Exactly equals the trained margins: the
+    * per-token weight lookups sum in token order as exact longs, and long
+    * addition commutes, so the result is bit-identical to the (idx, cnt)
+    * aggregated form whatever the token order or partitioning. */
+  def scoreExpr(textCol: Column, weights: Array[Long]): Column = {
+    val wLit = array(weights.map(lit): _*)
+    aggregate(
+      transform(TextAnalysis.tokens(textCol),
+        t => element_at(wLit,
+          (featureIndex(t, weights.length) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
   }
 }

@@ -375,6 +375,23 @@ object TextQueries {
       Classifier.trainScore(Tables.load(s, dir, "documents"), "doc_id",
         "text", col("lang") === "en", d = 256, iters = 2, lr = 0.5)),
 
+    // Train-on-old, serve-on-new: weights learned on the prior release
+    // (doc_id % 10 < 8) and applied to the new slice as ONE per-row
+    // expression — no join, no shuffle, the same frozen-weight path the
+    // streaming scorer (StreamEntry.scoreDocs) runs. Long addition
+    // commutes, so the token-order expression margins hash-match the
+    // oracle's (idx, cnt)-aggregated spelling exactly.
+    "q134_classifier_serve" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      val w = Classifier.trainWeights(docs.where(!isNew), "doc_id", "text",
+        col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      docs.where(isNew).select(col("doc_id"),
+          Classifier.scoreExpr(col("text"),
+            Classifier.denseWeights(w, 256)).as("margin_micro"))
+        .withColumn("pred", col("margin_micro") > 0)
+    }),
+
     // Per-source dataset card (the summary table a corpus release ships
     // with): docs, token volume, mean quality score, language share, exact
     // duplicate rate — ONE map-side-combined aggregate over the corpus
@@ -1032,6 +1049,68 @@ object TextQueries {
         |            // COUNT(*) AS BIGINT) AS novelty_permille
         |FROM newsh n LEFT JOIN oldg o ON n.gram = o.gram
         |GROUP BY 1""".stripMargin,
+
+    // q131's training CTEs restricted to the old slice, then the new slice
+    // scored against w2. Unseen-feature docs still get a (zero-margin) row
+    // via the LEFT JOIN, matching the expression path's additive-zero.
+    "q134_classifier_serve" ->
+      """WITH old AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM old),
+        |feat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2
+        |),
+        |lbl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM old),
+        |nn AS (SELECT COUNT(*) AS n FROM old),
+        |g1 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((0.5 - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w1 AS (
+        |  SELECT idx,
+        |         0 - CAST(round(0.5 * gsum / n) AS BIGINT) AS w_int
+        |  FROM g1, nn
+        |),
+        |m2 AS (
+        |  SELECT doc_id, SUM(cnt * w_int) AS margin_micro
+        |  FROM feat JOIN w1 USING (idx) GROUP BY 1
+        |),
+        |p2 AS (
+        |  SELECT doc_id, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
+        |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE) / 1e6 AS m FROM m2)
+        |),
+        |g2 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((p - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN p2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w2 AS (
+        |  SELECT w1.idx,
+        |         w_int - CAST(round(0.5 * g2.gsum / n) AS BIGINT) AS w_int
+        |  FROM w1 JOIN g2 ON w1.idx = g2.idx, nn
+        |),
+        |newtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 >= 8
+        |),
+        |newfeat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM newtoks GROUP BY 1, 2
+        |),
+        |mf AS (
+        |  SELECT doc_id, CAST(SUM(cnt * w_int) AS BIGINT) AS margin_micro
+        |  FROM newfeat JOIN w2 USING (idx) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(mf.margin_micro, 0) AS margin_micro,
+        |       COALESCE(mf.margin_micro, 0) > 0 AS pred
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        |LEFT JOIN mf USING (doc_id)""".stripMargin,
 
     // The unrolled twin of Classifier.trainScore (iters = 2, d = 256,
     // lr = 0.5): iteration 1 starts from zero weights, so p = 0.5 exactly;

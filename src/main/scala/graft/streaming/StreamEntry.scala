@@ -183,6 +183,18 @@ object StreamEntry {
         sink(keptDocs, id)
       }
 
+  /** Frozen-weight quality scoring on a document stream: ONE per-row
+    * expression (`Classifier.scoreExpr`) — no join, no shuffle, no state —
+    * so it runs identically on a stream or a batch frame. Batch twin:
+    * q134_classifier_serve (train on the prior release with
+    * `Classifier.trainWeights`, serve the new slice); margins are exact
+    * longs, bit-equal between the two paths. */
+  def scoreDocs(docs: DataFrame, weights: Array[Long]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.operators.Classifier.scoreExpr(col("text"), weights)
+          .as("margin_micro"))
+      .withColumn("pred", col("margin_micro") > 0)
+
   /** Run a streaming query to completion over whatever is already in the
     * landing dir (memory sink) — the local smoke-test harness. */
   def runOnce(spark: SparkSession, df: DataFrame, name: String): StreamingQuery = {

@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSpec {
     assert(stored.count() === (byBatch(0L).size + byBatch(1L).size).toLong)
   }
 
+  test("frozen-weight scoring streams map-only and equals the q134 batch twin") {
+    val docs = Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    val w = graft.operators.Classifier.trainWeights(docs.where(!isNew),
+      "doc_id", "text", col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+    val dense = graft.operators.Classifier.denseWeights(w, 256)
+    val dir = Files.createTempDirectory("scorestream").toString
+    docs.where(isNew).write.parquet(s"$dir/new")
+    val scored = StreamEntry.scoreDocs(
+      spark.readStream.schema(StreamEntry.docSchema).parquet(s"$dir/new"),
+      dense)
+    val q = scored.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("scored_docs").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("scored_docs").select("doc_id", "margin_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val twin = SparkEntry.queries("q134_classifier_serve")(spark, sf)
+      .select("doc_id", "margin_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === twin)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
