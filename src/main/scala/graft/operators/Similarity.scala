@@ -278,6 +278,70 @@ object Similarity {
     } finally vecs.unpersist(blocking = false)
   }
 
+  /** Per-vector projections onto the top principal component of the
+    * mean-centered embedding matrix, found by deterministic power iteration —
+    * the rotation/whitening prep step ANN compression pipelines run before
+    * quantizing (OPQ's simpler cousin), and a drift axis for embedding-space
+    * monitoring.
+    *
+    * Determinism is the kMeans recipe: every corpus-sized sum (the per-dim
+    * mean, each iteration's uₜ = Σ rows (x−μ)·((x−μ)·vₜ)) quantizes its
+    * per-row contribution with `floor(x·1e6 + 0.5)` and sums exact longs, so
+    * no result depends on partition order; the per-iteration driver state is
+    * dim-sized (metadata, like centroids). The fixed all-ones start vector
+    * makes the sign and the whole trajectory reproducible. Per iteration:
+    * one pass over the cached (id, vec) projection into a dim-keyed
+    * aggregation with map-side partials.
+    *
+    * @return (idCol, proj_micro): the centered projection onto the final
+    *         component, micro-quantized. */
+  def topComponentProjections(df: DataFrame, idCol: String, embCol: String,
+                              dim: Int, iters: Int = 3): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(iters > 0, s"iters must be positive, got $iters")
+    def q(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val vecs = df.select(col(idCol),
+      col(embCol).cast("array<double>").as("__v")).cache()
+    try {
+      val n = vecs.count()
+      require(n > 0, "topComponentProjections needs at least one input row")
+      val mu = new Array[Double](dim)
+      vecs.select(posexplode(col("__v")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(q(col("x"))).as("sx"))
+        .collect().foreach { r =>
+          mu(r.getAs[Int]("i")) = r.getAs[Long]("sx").toDouble / n.toDouble / 1e6
+        }
+      val muLit = array(mu.map(lit): _*)
+      def centered: Column = zip_with(col("__v"), muLit, (a, b) => a - b)
+      def proj(vLit: Column): Column =
+        aggregate(zip_with(col("__c"), vLit, (a, b) => a * b),
+          lit(0d), (acc, x) => acc + x)
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to iters) {
+        val vLit = array(v.map(lit): _*)
+        val u = new Array[Double](dim)
+        vecs.select(centered.as("__c"))
+          .select(col("__c"), proj(vLit).as("__s"))
+          .select(posexplode(col("__c")).as(Seq("i", "cx")), col("__s"))
+          .groupBy(col("i"))
+          .agg(sum(q(col("cx") * col("__s"))).as("su"))
+          .collect().foreach { r =>
+            u(r.getAs[Int]("i")) = r.getAs[Long]("su").toDouble / 1e6
+          }
+        var nsq = 0d
+        var i = 0
+        while (i < dim) { nsq += u(i) * u(i); i += 1 }
+        val norm = math.sqrt(nsq)
+        require(norm > 0, "power iteration collapsed to the zero vector " +
+          "(all-ones start orthogonal to the data span)")
+        v = u.map(_ / norm)
+      }
+      val vLit = array(v.map(lit): _*)
+      vecs.select(col(idCol), centered.as("__c"))
+        .select(col(idCol), q(proj(vLit)).as("proj_micro"))
+    } finally vecs.unpersist(blocking = false)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
     * embedding space, then drop near-duplicates WITHIN each cluster): k-means
     * confines the pair search to one cluster at a time, so the pair space is

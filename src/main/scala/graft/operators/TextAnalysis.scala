@@ -261,6 +261,38 @@ object TextAnalysis {
         expr("(n_unseen * 1000) div n_grams"))
   }
 
+  /** Token-distribution drift between two corpus slices (release N vs
+    * N+1) — the monitoring statistic that catches a crawl whose content
+    * shifted before it contaminates a training mix. Per token, the absolute
+    * difference of its parts-per-million rate in each slice, computed
+    * ENTIRELY in integer arithmetic (`c · 1e6 div N` — no float division,
+    * so no summation-order or rounding hazard anywhere), sliced to the
+    * top-k drifted tokens with a (drift desc, token asc) total order.
+    *
+    * Scale shape: one token-keyed aggregation with map-side partials (both
+    * slices counted in the same pass via conditional sums), a one-row
+    * totals broadcast, and an ordered slice — never a global sort. ppm
+    * fits a long for any slice under ~9·10¹² tokens; beyond that, widen to
+    * decimal(38,0). Both slices must be non-empty (ANSI division fails
+    * loudly on a zero total rather than emitting silent nulls). */
+  def tokenDrift(df: DataFrame, textCol: String, isNew: Column,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.withColumn("__new", isNew)
+      .select(col("__new"), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("__new"), 0L).otherwise(1L)).as("c_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("c_new"))
+    val tot = counts.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("ppm_old", expr("(c_old * 1000000) div n_old"))
+      .withColumn("ppm_new", expr("(c_new * 1000000) div n_new"))
+      .withColumn("drift_ppm", abs(col("ppm_new") - col("ppm_old")))
+      .orderBy(col("drift_ppm").desc, col("token").asc)
+      .limit(k)
+      .select("token", "c_old", "c_new", "ppm_old", "ppm_new", "drift_ppm")
+  }
+
   def bpeMergePairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val words = df.select(explode(tokens(col(textCol))).as("word"))

@@ -357,6 +357,13 @@ object TextQueries {
       TextAnalysis.bpeMergePairs(Tables.load(s, dir, "documents"),
         "text", k = 50)),
 
+    // Release drift: top-20 tokens whose parts-per-million rate moved most
+    // between the old and new slices — all-integer arithmetic (div, abs),
+    // one token-keyed aggregation + ordered slice.
+    "q135_release_drift" -> ((s, dir) =>
+      TextAnalysis.tokenDrift(Tables.load(s, dir, "documents"), "text",
+        isNew = col("doc_id") % 10 >= 8, k = 20)),
+
     // Release novelty: per new-release document, how many of its distinct
     // 8-grams the prior corpus has never seen, in exact integer permille —
     // the metric that ranks crawl snapshots before a full dedup pass.
@@ -1030,6 +1037,29 @@ object TextQueries {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "q135_release_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 10 >= 8 AS is_new, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |),
+        |counts AS (
+        |  SELECT token,
+        |         CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+        |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+        |  FROM toks GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+        |         CAST(SUM(c_new) AS BIGINT) AS n_new
+        |  FROM counts
+        |)
+        |SELECT token, c_old, c_new,
+        |       CAST((c_old * 1000000) // n_old AS BIGINT) AS ppm_old,
+        |       CAST((c_new * 1000000) // n_new AS BIGINT) AS ppm_new,
+        |       CAST(abs((c_new * 1000000) // n_new - (c_old * 1000000) // n_old) AS BIGINT) AS drift_ppm
+        |FROM counts, tot
+        |ORDER BY drift_ppm DESC, token LIMIT 20""".stripMargin,
 
     "q132_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

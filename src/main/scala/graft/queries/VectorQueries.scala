@@ -118,7 +118,14 @@ object VectorQueries {
     // the label constraint rides in the join condition.
     "q130_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3))
+        "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3)),
+
+    // Top principal component by deterministic power iteration (the OPQ-style
+    // rotation prep): per-vector centered projections, micro-quantized.
+    // Python-oracled (index-order IEEE replication, the q109 pattern).
+    "q136_top_component" -> ((s, dir) =>
+      Similarity.topComponentProjections(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, iters = 3))
   )
 
   def oracles: Map[String, String] = Map(

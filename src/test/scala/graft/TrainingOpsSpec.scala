@@ -44,6 +44,42 @@ class TrainingOpsSpec extends SparkSpec {
       (13L, 2L, 2L, 1000L)))
   }
 
+  // ---- Top principal component ---------------------------------------
+
+  test("topComponentProjections: recovers a planted dominant axis, bit-stable") {
+    // variance concentrated on dim 0; projections must order like the dim-0
+    // coordinate (component converges to ±e1 from the all-ones start)
+    val vecs = Seq(
+      (1L, Array(4.0f, 0.1f, 0f, 0f)),
+      (2L, Array(2.0f, -0.1f, 0f, 0f)),
+      (3L, Array(-2.0f, 0.05f, 0f, 0f)),
+      (4L, Array(-4.0f, -0.05f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val proj = Similarity.topComponentProjections(vecs, "vec_id", "embedding",
+      dim = 4, iters = 3).as[(Long, Long)].collect().toMap
+    val ord = List(1L, 2L, 3L, 4L).map(proj)
+    assert(ord === ord.sorted || ord === ord.sorted.reverse, s"not monotone: $ord")
+    assert(math.abs(proj(1L)) > math.abs(proj(2L)))
+    val proj2 = Similarity.topComponentProjections(vecs.repartition(5),
+      "vec_id", "embedding", dim = 4, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(proj === proj2)
+  }
+
+  // ---- Release drift -------------------------------------------------
+
+  test("tokenDrift: hand-computed integer ppm drift, deterministic order") {
+    val docs = Seq(
+      (1L, "a a b"),   // old: a:2, b:1 of 3
+      (11L, "a b b b") // new: a:1, b:3 of 4
+    ).toDF("doc_id", "text")
+    // a: 2000000 div 3 = 666666 -> 250000, drift 416666
+    // b: 1000000 div 3 = 333333 -> 750000, drift 416667 (ranks first)
+    val got = TextAnalysis.tokenDrift(docs, "text", col("doc_id") >= 10, k = 2)
+      .select("token", "drift_ppm").as[(String, Long)].collect().toList
+    assert(got === List(("b", 416667L), ("a", 416666L)))
+  }
+
   // ---- Hard-negative mining ------------------------------------------
 
   test("hardNegatives: nearest same-label vector is excluded, top negative is cross-label") {

@@ -542,11 +542,58 @@ def py_q127_incremental_pq(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q136_top_component(con, spark_df, oracle):
+    """Power-iteration top component (Similarity.topComponentProjections,
+    dim=64, iters=3): per-dim mean and every u-update quantized with
+    floor(x*1e6 + 0.5) and summed as exact ints; dots accumulate in index
+    order; norm/sqrt/divisions are IEEE basic ops identical to the JVM's."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim, iters, n = len(vecs[0]), 3, len(vecs)
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    mu = [0.0] * dim
+    for i in range(dim):
+        s = 0
+        for v in vecs:
+            s += q(v[i])
+        # float() first: replicate Scala's Long.toDouble / Long.toDouble
+        mu[i] = float(s) / float(n) / 1e6
+    w = [1.0] * dim
+    for _ in range(iters):
+        u = [0] * dim
+        for vec in vecs:
+            c = [vec[i] - mu[i] for i in range(dim)]
+            s = 0.0
+            for i in range(dim):
+                s += c[i] * w[i]
+            for i in range(dim):
+                u[i] += q(c[i] * s)
+        uf = [x / 1e6 for x in u]
+        nsq = 0.0
+        for i in range(dim):
+            nsq += uf[i] * uf[i]
+        norm = math.sqrt(nsq)
+        w = [x / norm for x in uf]
+    rows = []
+    for vid, vec in zip(ids, vecs):
+        c = [vec[i] - mu[i] for i in range(dim)]
+        s = 0.0
+        for i in range(dim):
+            s += c[i] * w[i]
+        rows.append((vid, q(s)))
+    exp = pd.DataFrame(rows, columns=["vec_id", "proj_micro"])
+    return spark_df, exp
+
+
 PY_ORACLES = {
     "q109_kmeans": py_q109_kmeans,
     "q113_semdedup": py_q113_semdedup,
     "q125_pq_ann": py_q125_pq_ann,
     "q127_incremental_pq": py_q127_incremental_pq,
+    "q136_top_component": py_q136_top_component,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
