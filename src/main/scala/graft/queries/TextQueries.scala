@@ -357,6 +357,44 @@ object TextQueries {
       TextAnalysis.bpeMergePairs(Tables.load(s, dir, "documents"),
         "text", k = 50)),
 
+    // The per-document curation scorecard: every verified curation signal
+    // in ONE row per document — predicted language + consistency flag, the
+    // shared milli-quantized quality score, exact-dup keeper flag, Bloom
+    // decontamination flag, the trained classifier margin, and the composed
+    // keep decision. The report a data team audits BEFORE committing to a
+    // q126-style release build; each signal reuses its driver-verified
+    // oracle spelling, so the whole row hash-checks end to end.
+    "q137_curation_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qMilli = round(TextAnalysis.qualityScore(col("text"), stopwords)
+        * 1000d).cast("long")
+      // raw-corpus keeper (min id per exact text), unlike q126's
+      // post-quality dedup — a report describes the corpus as found
+      val keepers = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val contaminated = Dedup.bloomDecontaminate(docs, "doc_id", "text",
+          benchFilter = col("doc_id") < 10, n = 6, minOverlaps = 2)
+        .select(col("doc_id")).withColumn("__cont", lit(true))
+      val dense = Classifier.denseWeights(
+        Classifier.trainWeights(docs, "doc_id", "text",
+          col("lang") === "en", d = 256, iters = 2, lr = 0.5), 256)
+      docs
+        .withColumn("q_milli", qMilli)
+        .withColumn("__h", md5(col("text")))
+        .join(keepers, Seq("__h"))
+        .join(predictedLang(s, docs), Seq("doc_id"))
+        .join(broadcast(contaminated), Seq("doc_id"), "left")
+        .withColumn("lang_ok", col("lang") === col("predicted_lang"))
+        .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+        .withColumn("contaminated", coalesce(col("__cont"), lit(false)))
+        .withColumn("margin_micro", Classifier.scoreExpr(col("text"), dense))
+        .withColumn("is_benchmark", col("doc_id") < 10)
+        .withColumn("keep", !col("is_benchmark") && col("lang_ok")
+          && col("q_milli") >= 200 && col("is_keeper") && !col("contaminated"))
+        .select("doc_id", "predicted_lang", "lang_ok", "q_milli",
+          "is_keeper", "contaminated", "margin_micro", "is_benchmark", "keep")
+    }),
+
     // Release drift: top-20 tokens whose parts-per-million rate moved most
     // between the old and new slices — all-integer arithmetic (div, abs),
     // one token-keyed aggregation + ordered slice.
@@ -1037,6 +1075,103 @@ object TextQueries {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    // Every signal reuses its already-verified spelling: the q126 lexicon
+    // vote (predicted lang), q118's q_milli quantization, q43's min-id
+    // keeper, q114's exact-overlap contamination, q131's unrolled
+    // classifier. The report row is their join.
+    "q137_curation_report" ->
+      s"""WITH lex(cand_lang, token) AS (VALUES $lexValues),
+         |ltoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |scores AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+         |  FROM ltoks JOIN lex USING (token) GROUP BY doc_id, cand_lang
+         |),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM scores
+         |  ) WHERE rn = 1
+         |),
+         |d0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(round(round(least(CAST(n_tok AS DOUBLE), 100) / 100
+         |           * (1 - CAST(len(list_filter(t,
+         |                tok -> tok IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
+         |              / n_tok), 3) * 1000) AS BIGINT) AS q_milli
+         |  FROM d0
+         |),
+         |keepers AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper_id FROM documents GROUP BY 1),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) < 6 THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(t[i:i+5], ' ') FOR i IN generate_series(1, len(t) - 5)]
+         |    END)) AS shingle
+         |  FROM ctoks
+         |),
+         |bench AS (SELECT DISTINCT shingle FROM csh WHERE doc_id < 10),
+         |cont AS (
+         |  SELECT csh.doc_id FROM csh JOIN bench USING (shingle)
+         |  WHERE csh.doc_id >= 10
+         |  GROUP BY csh.doc_id HAVING COUNT(*) >= 2
+         |),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY 1, 2
+         |),
+         |lbl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |g1 AS (
+         |  SELECT idx, SUM(CAST(round((0.5 - y) * cnt * 1e6) AS BIGINT)) AS gsum
+         |  FROM feat JOIN lbl USING (doc_id) GROUP BY 1
+         |),
+         |w1 AS (SELECT idx, 0 - CAST(round(0.5 * gsum / n) AS BIGINT) AS w_int FROM g1, nn),
+         |m2 AS (
+         |  SELECT doc_id, SUM(cnt * w_int) AS margin_micro
+         |  FROM feat JOIN w1 USING (idx) GROUP BY 1
+         |),
+         |p2 AS (
+         |  SELECT doc_id, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
+         |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE) / 1e6 AS m FROM m2)
+         |),
+         |g2 AS (
+         |  SELECT idx, SUM(CAST(round((p - y) * cnt * 1e6) AS BIGINT)) AS gsum
+         |  FROM feat JOIN p2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1
+         |),
+         |w2 AS (
+         |  SELECT w1.idx, w_int - CAST(round(0.5 * g2.gsum / n) AS BIGINT) AS w_int
+         |  FROM w1 JOIN g2 ON w1.idx = g2.idx, nn
+         |),
+         |mf AS (
+         |  SELECT doc_id, CAST(SUM(cnt * w_int) AS BIGINT) AS margin_micro
+         |  FROM feat JOIN w2 USING (idx) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       COALESCE(best.cand_lang, 'unknown') AS predicted_lang,
+         |       d.lang = COALESCE(best.cand_lang, 'unknown') AS lang_ok,
+         |       q.q_milli,
+         |       d.doc_id = k.keeper_id AS is_keeper,
+         |       d.doc_id IN (SELECT doc_id FROM cont) AS contaminated,
+         |       mf.margin_micro,
+         |       d.doc_id < 10 AS is_benchmark,
+         |       (NOT d.doc_id < 10) AND d.lang = COALESCE(best.cand_lang, 'unknown')
+         |         AND q.q_milli >= 200 AND d.doc_id = k.keeper_id
+         |         AND NOT (d.doc_id IN (SELECT doc_id FROM cont)) AS keep
+         |FROM documents d
+         |LEFT JOIN best ON d.doc_id = best.doc_id
+         |JOIN q ON q.doc_id = d.doc_id
+         |JOIN keepers k ON k.h = md5(d.text)
+         |JOIN mf ON mf.doc_id = d.doc_id""".stripMargin,
 
     "q135_release_drift" ->
       """WITH toks AS (
