@@ -36,6 +36,16 @@ object ScaleProbe {
     "bloom_decontaminate" -> (d => Dedup.bloomDecontaminate(d, "doc_id", "text",
       benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)),
     "span_scrub" -> (d => Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 8)),
+    // pair-emitting like minhash_pairs: 8 copies of every text form 8×8
+    // cliques, so TRUE pair output grows ~k² and time should track the
+    // output count, never the corpus pair space (the df cap only drops
+    // shingles hot across >dfCap distinct docs)
+    "containment" -> (d => Dedup.containmentPairs(d, "doc_id", "text",
+      threshold = 0.8)),
+    "novelty" -> (d => TextAnalysis.gramNovelty(d, "doc_id", "text", n = 8,
+      isNew = col("doc_id") % 10 >= 8)),
+    "release_drift" -> (d => TextAnalysis.tokenDrift(d, "text",
+      isNew = col("doc_id") % 10 >= 8, k = 20)),
     "source_manifest" -> (d => CorpusOps.sourceManifest(d, "doc_id", "source")),
     "incremental_dedup" -> (d => {
       val isNew = col("doc_id") % 10 >= 8
@@ -52,7 +62,9 @@ object ScaleProbe {
   private def embOps(origMax: Long): Seq[(String, DataFrame => DataFrame)] = Seq(
     "pq_ann" -> (e => graft.operators.Similarity.pqTopK(e, "vec_id",
       "embedding", col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
-      dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)))
+      dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
+    "top_component" -> (e => graft.operators.Similarity
+      .topComponentProjections(e, "vec_id", "embedding", dim = 64, iters = 3)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
