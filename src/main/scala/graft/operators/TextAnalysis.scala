@@ -293,6 +293,32 @@ object TextAnalysis {
       .select("token", "c_old", "c_new", "ppm_old", "ppm_new", "drift_ppm")
   }
 
+  /** Blocklist span scan: occurrence counts of every listed phrase in every
+    * document — the opt-out / copyright / banned-content matcher that runs
+    * BEFORE a corpus ships. Phrases are grouped by token length and each
+    * length's pass tests the doc's overlapping n-grams against an
+    * `array_contains` LITERAL — a codegen'd membership check, so the scan
+    * is entirely map-side (no join, no shuffle of text) and the only
+    * exchange is the tiny (doc, phrase) count aggregation. Occurrences,
+    * not presence: overlapping windows are NOT distinct'd, so "x y x y"
+    * counts "x y" twice.
+    *
+    * At a real 100 TB run the phrase list is lexicon-sized (thousands);
+    * one literal array per distinct phrase length keeps the expression
+    * linear in the list size. */
+  def blocklistScan(df: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistScan needs at least one phrase")
+    val byLen = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+    byLen.map { case (n, ps) =>
+      val lits = array(ps.sorted.map(lit): _*)
+      df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("phrase"))
+        .where(array_contains(lits, col("phrase")))
+        .groupBy(col(idCol), col("phrase"))
+        .agg(count(lit(1)).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
   def bpeMergePairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val words = df.select(explode(tokens(col(textCol))).as("word"))

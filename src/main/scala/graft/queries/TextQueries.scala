@@ -395,6 +395,15 @@ object TextQueries {
           "is_keeper", "contaminated", "margin_micro", "is_benchmark", "keep")
     }),
 
+    // Blocklist span scan: per-doc occurrence counts of listed phrases —
+    // map-side literal membership over overlapping n-grams, one tiny
+    // (doc, phrase) aggregation, no text shuffle anywhere.
+    "q138_blocklist_scan" -> ((s, dir) =>
+      TextAnalysis.blocklistScan(Tables.load(s, dir, "documents"),
+        "doc_id", "text", Seq(
+          "order fast", "window join", "stream column",
+          "big order scan", "group slow spark"))),
+
     // Release drift: top-20 tokens whose parts-per-million rate moved most
     // between the old and new slices — all-integer arithmetic (div, abs),
     // one token-keyed aggregation + ordered slice.
@@ -1172,6 +1181,32 @@ object TextQueries {
          |JOIN q ON q.doc_id = d.doc_id
          |JOIN keepers k ON k.h = md5(d.text)
          |JOIN mf ON mf.doc_id = d.doc_id""".stripMargin,
+
+    "q138_blocklist_scan" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE [array_to_string(tk[i:i+1], ' ') FOR i IN generate_series(1, len(tk) - 1)]
+        |    END) AS phrase
+        |  FROM t
+        |),
+        |g3 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+        |    END) AS phrase
+        |  FROM t
+        |),
+        |hits AS (
+        |  SELECT doc_id, phrase FROM g2
+        |  WHERE phrase IN ('order fast', 'window join', 'stream column')
+        |  UNION ALL
+        |  SELECT doc_id, phrase FROM g3
+        |  WHERE phrase IN ('big order scan', 'group slow spark')
+        |)
+        |SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY 1, 2""".stripMargin,
 
     "q135_release_drift" ->
       """WITH toks AS (

@@ -66,6 +66,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(proj === proj2)
   }
 
+  // ---- Blocklist scan ------------------------------------------------
+
+  test("blocklistScan: counts overlapping occurrences per phrase length") {
+    val docs = Seq(
+      (1L, "x y x y z"),       // "x y" twice (overlapping windows), "y z" once
+      (2L, "a b c a b c"),     // "a b c" twice
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScan(docs, "doc_id", "text",
+      Seq("x y", "y z", "a b c"))
+      .select("doc_id", "phrase", "n_hits")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "x y", 2L), (1L, "y z", 1L), (2L, "a b c", 2L)))
+  }
+
   // ---- Release drift -------------------------------------------------
 
   test("tokenDrift: hand-computed integer ppm drift, deterministic order") {
