@@ -183,6 +183,34 @@ object StreamEntry {
         sink(keptDocs, id)
       }
 
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming PQ encoding — the stream twin of q127's incremental index
+    * maintenance: each micro-batch of vectors encodes against FROZEN
+    * codebooks (trained once on a prior release) as a map-only expression
+    * and appends its codes to a release-partitioned parquet store,
+    * release = micro-batch id. Restart-safe the same way the signature
+    * store is: reprocessing a micro-batch dynamically overwrites its OWN
+    * partition, so at-least-once delivery converges to the single-run
+    * store. Old vectors and old codes are never re-read. */
+  def encodeVectors(vecs: DataFrame, dim: Int,
+                    codebooks: Array[Array[Array[Double]]],
+                    storePath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Similarity.pqEncode(batch, "vec_id", "embedding",
+            dim, codebooks)
+          .withColumn("release", lit(s"b$id"))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("release")
+          .parquet(storePath)
+      }
+
   /** Frozen-weight quality scoring on a document stream: ONE per-row
     * expression (`Classifier.scoreExpr`) — no join, no shuffle, no state —
     * so it runs identically on a stream or a batch frame. Batch twin:

@@ -7,6 +7,7 @@ import graft.sources.Tables
 import graft.streaming.StreamEntry
 
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val landing: String = {
     // stage the events fixture as a landing directory with µs timestamps
@@ -185,6 +186,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === twin)
     assert(got.nonEmpty)
+  }
+
+  test("streaming PQ encoding equals the q127 batch twin and is restart-idempotent") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isNew = col("vec_id") % 10 >= 8
+    val cb = graft.operators.Similarity.pqCodebooks(emb.where(!isNew),
+      "vec_id", "embedding", dim = 64, m = 16, ksub = 8, iters = 3)
+    val dir = Files.createTempDirectory("pqstream").toString
+    // two micro-batches in a fixed order (the ingestDocs file trick)
+    val newHalf = emb.where(isNew)
+    newHalf.where(col("vec_id") % 20 < 10).coalesce(1).write.parquet(s"$dir/in/a")
+    newHalf.where(col("vec_id") % 20 >= 10).coalesce(1).write.parquet(s"$dir/in/b")
+    def part(sub: String) = new java.io.File(s"$dir/in/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    part("a").setLastModified(1_000_000_000_000L)
+    part("b").setLastModified(1_000_000_002_000L)
+    val store = s"$dir/store"
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.encodeVectors(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+        dim = 64, codebooks = cb, storePath = store)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    val stored = spark.read.parquet(store)
+    assert(stored.select("release").distinct().count() === 2)
+    val got = stored.select(col("vec_id"), to_json(col("codes")).as("codes"))
+      .as[(Long, String)].collect().toMap
+    val twin = SparkEntry.queries("q127_incremental_pq")(spark, sf)
+      .as[(Long, String)].collect().toMap
+    assert(got === twin)
+    // reprocessing overwrites per-release partitions: same store, no dupes
+    runOnceThrough()
+    assert(spark.read.parquet(store).count() === got.size.toLong)
   }
 
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
