@@ -218,6 +218,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("blocklist scan: literal membership, no join touches the text stream") {
+    // the phrase match must be a Filter over the generated n-grams (a
+    // codegen'd array_contains against a literal), never a join — the only
+    // exchange below the count agg would shuffle matched hits, not text
+    val p = plan("q138_blocklist_scan")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("array_contains"), p.take(1500))
+  }
+
   test("chunk routing filters rows at the scan and never cross-joins") {
     val p = plan("q88_run_direct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
