@@ -227,6 +227,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("blocklistScan equals a brute-force substring-window recount on random corpora") {
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(8, docGen)
+    val phrases = Seq("a b", "c a", "a b c")
+    forAllSeeded(corpusGen, 10) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis
+        .blocklistScan(docs, "doc_id", "text", phrases)
+        .as[(Long, String, Long)].collect().toSet
+      val expect = (for {
+        (t, i) <- texts.zipWithIndex
+        toks = t.split(" ").toList
+        p <- phrases
+        pn = p.split(" ").length
+        // shingles() semantics: a doc shorter than pn contributes its whole
+        // text as the single window
+        windows = if (toks.length < pn) Seq(toks.mkString(" "))
+                  else toks.sliding(pn).map(_.mkString(" ")).toSeq
+        n = windows.count(_ == p) if n > 0
+      } yield (i.toLong, p, n.toLong)).toSet
+      assert(got === expect, s"corpus: $texts")
+    }
+  }
+
   test("blake2s/blake2b are deterministic, length-correct, and key-sensitive") {
     forAllSeeded(Gen.zip(Gen.asciiPrintableStr, Gen.choose(1, 32)), 30) { case (s, n) =>
       val data = s.getBytes("UTF-8")
