@@ -309,14 +309,23 @@ object TextAnalysis {
   def blocklistScan(df: DataFrame, idCol: String, textCol: String,
                     phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "blocklistScan needs at least one phrase")
-    val byLen = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
-    byLen.map { case (n, ps) =>
-      val lits = array(ps.sorted.map(lit): _*)
-      df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("phrase"))
-        .where(array_contains(lits, col("phrase")))
-        .groupBy(col(idCol), col("phrase"))
-        .agg(count(lit(1)).as("n_hits"))
-    }.reduce(_ unionByName _)
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    // ALL lengths ride one corpus scan: each doc emits the concatenation of
+    // its n-gram windows for every distinct phrase length, then one literal
+    // membership filter. A doc shorter than n contributes nothing for that
+    // length (not the whole-text fallback — a length-n phrase has exactly n
+    // tokens, so the shorter fallback string could never equal it anyway),
+    // and cross-length false matches are impossible for the same reason.
+    val grams = lens.map { n =>
+      when(size(tokens(col(textCol))) >= n, Dedup.shingles(col(textCol), n))
+        .otherwise(array().cast("array<string>"))
+    }
+    val lits = array(phrases.distinct.sorted.map(lit): _*)
+    df.select(col(idCol),
+        explode(flatten(array(grams: _*))).as("phrase"))
+      .where(array_contains(lits, col("phrase")))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   def bpeMergePairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
