@@ -30,12 +30,17 @@ object Dedup {
 
   /** Word shingles of size `n` from a text column (codegen'd higher-order fns,
     * no UDF): overlapping n-token windows joined with spaces. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesOfTokens(split(textCol, " "), n)
+
+  /** [[shingles]] over an already-split token array — callers that need
+    * several shingle widths stage the tokenization ONCE in a projection and
+    * window it repeatedly (CollapseProject won't inline a multiply-referenced
+    * non-trivial alias, so the split really does run once per row). */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
   /** MinHash signature: `numHashes` min-hashes of the shingle set via the
     * classic permutation family — ONE xxhash64 per shingle, then `numHashes`

@@ -317,11 +317,12 @@ object TextAnalysis {
     // tokens, so the shorter fallback string could never equal it anyway),
     // and cross-length false matches are impossible for the same reason.
     val grams = lens.map { n =>
-      when(size(tokens(col(textCol))) >= n, Dedup.shingles(col(textCol), n))
+      when(size(col("__t")) >= n, Dedup.shinglesOfTokens(col("__t"), n))
         .otherwise(array().cast("array<string>"))
     }
     val lits = array(phrases.distinct.sorted.map(lit): _*)
-    df.select(col(idCol),
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
         explode(flatten(array(grams: _*))).as("phrase"))
       .where(array_contains(lits, col("phrase")))
       .groupBy(col(idCol), col("phrase"))
