@@ -299,4 +299,29 @@ object CorpusOps {
         array_join(transform(col("ids"), i => i.cast("string")), ",")
           .as("manifest"))
   }
+
+  /** Shard-level export manifest with an order-independent membership
+    * checksum: per shard (the q111 md5 assignment), the doc count, token
+    * volume, and the XOR of a 60-bit md5-derived hash per member id. XOR
+    * commutes and associates, so the checksum needs no per-shard buffering
+    * or ordering anywhere — pure map + one aggregation with map-side
+    * partials, unlike a sorted-id digest which would collect each shard's
+    * full membership into one task. Re-materialize a shard anywhere, fold
+    * the same per-id hashes, compare three numbers — done. Integrity is
+    * against loss/duplication/corruption, not adversaries (a 60-bit XOR is
+    * forgeable by construction). */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val idStr = col(idCol).cast("string")
+    val shard = pmod(conv(substring(md5(concat(lit("shuffle|"), idStr)), 1, 8),
+      16, 10).cast("long"), lit(nShards.toLong))
+    val idHash = conv(substring(md5(concat(lit("id:"), idStr)), 1, 15), 16, 10)
+      .cast("long")
+    df.select(shard.as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"), idHash.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(__h)").as("ids_xor"))
+  }
 }

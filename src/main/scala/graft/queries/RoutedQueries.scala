@@ -149,6 +149,15 @@ object RoutedQueries {
       CorpusOps.deterministicShuffle(Tables.load(s, dir, "documents"),
         "doc_id", nShards = 8)),
 
+    // Shard export manifest: per q111-shard doc count, token volume, and an
+    // order-independent XOR membership checksum — the integrity artifact a
+    // release ships so any re-materialized shard verifies by folding the
+    // same per-id hashes. XOR commutes, so no ordering or buffering exists
+    // anywhere in the plan.
+    "q139_shard_manifest" -> ((s, dir) =>
+      CorpusOps.shardManifest(Tables.load(s, dir, "documents"),
+        "doc_id", "text", nShards = 16)),
+
     // Length-bucketed batch packing: docs routed to the smallest fitting
     // length bucket, hash-ordered, grouped into fixed-size batches; emits
     // the per-batch padding fraction the bucketing exists to minimize.
@@ -471,6 +480,19 @@ object RoutedQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS manifest
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q139_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         ('0x' || substr(md5('id:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |)
+        |SELECT shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(bit_xor(h) AS BIGINT) AS ids_xor
+        |FROM d GROUP BY shard""".stripMargin,
 
     "q115_length_batches" ->
       """WITH d AS (

@@ -192,4 +192,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again === out.orderBy("doc_id").collect().toSeq)
     out.unpersist()
   }
+
+  test("shardManifest: XOR checksum matches an independent MD5 recount, order-free") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq((1L, "a b"), (2L, "c d e"), (3L, "f"), (17L, "g h i j"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .select("shard", "n_docs", "n_tokens", "ids_xor")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expect = Seq(1L -> 2, 2L -> 3, 3L -> 1, 17L -> 4)
+      .map { case (id, nTok) =>
+        val shard = java.lang.Long.parseLong(
+          md5hex(s"shuffle|$id").substring(0, 8), 16) % 4
+        val h = java.lang.Long.parseLong(md5hex(s"id:$id").substring(0, 15), 16)
+        (shard, nTok.toLong, h)
+      }
+      .groupBy(_._1).map { case (shard, rows) =>
+        (shard, rows.size.toLong, rows.map(_._2).sum,
+          rows.map(_._3).reduce(_ ^ _))
+      }.toSet
+    assert(got === expect)
+    val again = CorpusOps.shardManifest(docs.repartition(7), "doc_id", "text",
+      nShards = 4).select("shard", "n_docs", "n_tokens", "ids_xor")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
 }
