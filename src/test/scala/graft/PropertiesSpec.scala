@@ -254,6 +254,62 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("tokenDrift equals a brute-force ppm recount on random two-slice corpora") {
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(10, docGen)
+    forAllSeeded(corpusGen, 10) { texts =>
+      // ids 0..4 old, 10..14 new — both slices always non-empty
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (if (i < 5) i.toLong else (i + 5).toLong, t)
+      }.toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis
+        .tokenDrift(docs, "text", col("doc_id") >= 10, k = 100)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      def counts(sel: Int => Boolean) = texts.zipWithIndex
+        .filter { case (_, i) => sel(i) }
+        .flatMap(_._1.split(" ")).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      val co = counts(_ < 5); val cn = counts(_ >= 5)
+      val no = co.values.sum; val nn = cn.values.sum
+      val expect = (co.keySet ++ cn.keySet).map { t =>
+        val o = co.getOrElse(t, 0L); val n = cn.getOrElse(t, 0L)
+        val po = o * 1000000L / no; val pn = n * 1000000L / nn
+        (t, o, n, po, pn, math.abs(pn - po))
+      }
+      assert(got.toSet === expect, s"corpus: $texts")
+      // ordered slice is (drift desc, token asc)
+      assert(got.toList === got.toList.sortBy(r => (-r._6, r._1)))
+    }
+  }
+
+  test("gramNovelty equals a brute-force unseen-gram recount on random corpora") {
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(8, docGen)
+    forAllSeeded(corpusGen, 10) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (if (i < 4) i.toLong else (i + 6).toLong, t)
+      }.toDF("doc_id", "text")
+      def grams(t: String): Set[String] = {
+        val toks = t.split(" ").toList
+        if (toks.length < 2) Set(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val oldSet = texts.take(4).flatMap(grams).toSet
+      val got = graft.operators.TextAnalysis
+        .gramNovelty(docs, "doc_id", "text", n = 2, isNew = col("doc_id") >= 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expect = texts.zipWithIndex.drop(4).map { case (t, i) =>
+        val g = grams(t)
+        val unseen = g.count(x => !oldSet.contains(x)).toLong
+        ((i + 6).toLong, g.size.toLong, unseen, unseen * 1000 / g.size)
+      }.toSet
+      assert(got === expect, s"corpus: $texts")
+    }
+  }
+
   test("blake2s/blake2b are deterministic, length-correct, and key-sensitive") {
     forAllSeeded(Gen.zip(Gen.asciiPrintableStr, Gen.choose(1, 32)), 30) { case (s, n) =>
       val data = s.getBytes("UTF-8")
