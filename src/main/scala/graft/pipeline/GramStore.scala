@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted distinct-gram store for INCREMENTAL release-novelty scoring —
+  * the companion of [[SignatureStore]] for the q132 metric.
+  *
+  * Novelty asks "which of this release's n-grams has the corpus never
+  * seen?". Rebuilding the corpus-wide gram set per crawl snapshot is a full
+  * corpus text pass; this store persists each release's NEW distinct grams
+  * once, hashed to 8-byte keys (the same 64-bit trade documented at
+  * `Dedup.containmentPairs`), parquet-partitioned by release. Scoring a
+  * candidate snapshot then costs one pass over the SNAPSHOT plus a
+  * gram-keyed join against the store — O(new slice), never O(corpus) — and
+  * accepting the snapshot appends only the grams the store lacked, so the
+  * store grows by the novel margin alone.
+  *
+  * Writes carry the [[SignatureStore]] idempotence contract: a release
+  * dynamically overwrites exactly its own partition; re-running a failed
+  * ingest converges to the single-run store.
+  */
+object GramStore {
+
+  val GramSize = 8
+
+  /** Distinct hashed grams of a document set (one map-side pass + one
+    * distinct). */
+  def grams(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(
+        Dedup.shingles(col(textCol), GramSize))).as("__g"))
+      .select(xxhash64(col("__g")).as("gram_h")).distinct()
+
+  /** Append a release's NOVEL grams (those absent from OTHER releases'
+    * partitions) as the release's own partition. The anti-join excludes the
+    * release's own prior rows, so re-running a release — including one that
+    * previously failed partway — fully rebuilds and replaces its partition
+    * instead of being suppressed by its own partial leftovers. */
+  def append(spark: SparkSession, path: String, release: String,
+             docs: DataFrame, textCol: String): Unit = {
+    val existing =
+      if (exists(spark, path))
+        read(spark, path).where(col("release") =!= release).select("gram_h")
+      else grams(docs.limit(0), textCol)
+    grams(docs, textCol)
+      .join(existing, Seq("gram_h"), "left_anti")
+      .withColumn("release", lit(release))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("release")
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Per-document novelty of a candidate slice against the store — the
+    * incremental form of `TextAnalysis.gramNovelty` (same integer-permille
+    * output columns), reading NO prior-release text. */
+  def noveltyAgainst(docs: DataFrame, idCol: String, textCol: String,
+                     store: DataFrame): DataFrame = {
+    val g = docs.select(col(idCol), explode(array_distinct(
+        Dedup.shingles(col(textCol), GramSize))).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("gram_h"))
+    g.join(store.select(col("gram_h")).distinct()
+        .withColumn("__seen", lit(1)), Seq("gram_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_permille",
+        expr("(n_unseen * 1000) div n_grams"))
+  }
+}
