@@ -41,11 +41,20 @@ object GramStore {
   def append(spark: SparkSession, path: String, release: String,
              docs: DataFrame, textCol: String): Unit = {
     val existing =
-      if (exists(spark, path))
+      if (exists(spark, path)) {
+        // the session FileStatusCache may hold a pre-overwrite listing from
+        // an earlier append to this same path; list as committed
+        spark.catalog.refreshByPath(path)
         read(spark, path).where(col("release") =!= release).select("gram_h")
-      else grams(docs.limit(0), textCol)
-    grams(docs, textCol)
+      } else grams(docs.limit(0), textCol)
+    // materialize the novel-gram set BEFORE the write: the write's commit
+    // dynamically replaces files under the same path this plan reads, so
+    // the anti-join must not still be scanning the store while (or after)
+    // its listing is being replaced — localCheckpoint pins the result
+    val novel = grams(docs, textCol)
       .join(existing, Seq("gram_h"), "left_anti")
+      .localCheckpoint()
+    novel
       .withColumn("release", lit(release))
       .write
       .mode("overwrite")

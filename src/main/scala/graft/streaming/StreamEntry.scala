@@ -162,8 +162,13 @@ object StreamEntry {
     *
     * Restart-safe: reprocessing a micro-batch overwrites its OWN release
     * partition ([[graft.pipeline.SignatureStore.append]] is a dynamic
-    * partition overwrite), so at-least-once micro-batch delivery converges
-    * to the same store a single batch run would produce. */
+    * partition overwrite), AND the dedup pass reads the store EXCLUDING the
+    * batch's own release — a replayed batch (crash between append and sink)
+    * would otherwise find its own hashes already stored, keep nothing, and
+    * permanently drop its documents from the sink. Excluding `b<id>` makes
+    * the replay recompute the same kept set, re-overwrite its partition,
+    * and re-deliver — the same self-exclusion contract as
+    * [[graft.pipeline.GramStore.append]]. */
   def ingestDocs(docs: DataFrame, storePath: String,
                  sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode(OutputMode.Append)
@@ -172,12 +177,22 @@ object StreamEntry {
         val store =
           if (new org.apache.hadoop.fs.Path(storePath)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
-                .exists(new org.apache.hadoop.fs.Path(storePath)))
+                .exists(new org.apache.hadoop.fs.Path(storePath))) {
+            // a prior micro-batch (or a replayed run) overwrote partitions
+            // of this same path; drop the session FileStatusCache entry so
+            // this batch lists the store as committed, not as cached
+            spark.catalog.refreshByPath(storePath)
             graft.pipeline.SignatureStore.read(spark, storePath)
-          else batch.select(md5(col("text")).as("content_md5")).limit(0)
+              .where(col("release") =!= s"b$id")
+          } else batch.select(md5(col("text")).as("content_md5")).limit(0)
         val kept = graft.pipeline.SignatureStore.incrementalExactKeep(
           batch, "doc_id", "text", store)
-        val keptDocs = batch.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        // materialize BEFORE the store append: the append dynamically
+        // overwrites files this plan's store read lists, so a lazy
+        // re-evaluation at sink time would read through a replaced listing
+        val keptDocs = batch
+          .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
         graft.pipeline.SignatureStore.append(spark, storePath, s"b$id",
           keptDocs, "doc_id", "text")
         sink(keptDocs, id)

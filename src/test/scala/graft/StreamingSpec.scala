@@ -146,23 +146,43 @@ class StreamingSpec extends SparkSpec {
     }
     oldF.setLastModified(1_000_000_000_000L)
     newF.setLastModified(1_000_000_002_000L)
-    val stream = spark.readStream.schema(StreamEntry.docSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
     val byBatch = scala.collection.mutable.Map[Long, Set[Long]]()
-    val writer = StreamEntry.ingestDocs(stream, store,
-      sink = (kept, id) =>
-        byBatch(id) = kept.select("doc_id").collect().map(_.getLong(0)).toSet)
-    val q = writer.trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable(); q.stop()
+    def runIngest(): Unit = {
+      byBatch.clear()
+      val stream = spark.readStream.schema(StreamEntry.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      val writer = StreamEntry.ingestDocs(stream, store,
+        sink = (kept, id) =>
+          byBatch(id) = kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+      val q = writer.trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runIngest()
     assert(byBatch.keySet === Set(0L, 1L), s"expected 2 micro-batches, got $byBatch")
     val twin = SparkEntry.queries("q121_incremental_exact")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(byBatch(1L) === twin,
       "batch-2 kept set must equal the q121 batch twin")
     // the store accumulated one release per micro-batch, rows = kept docs
-    val stored = graft.pipeline.SignatureStore.read(spark, store)
-    assert(stored.select("release").distinct().count() === 2)
-    assert(stored.count() === (byBatch(0L).size + byBatch(1L).size).toLong)
+    val storedCount = graft.pipeline.SignatureStore.read(spark, store).count()
+    assert(graft.pipeline.SignatureStore.read(spark, store)
+      .select("release").distinct().count() === 2)
+    assert(storedCount === (byBatch(0L).size + byBatch(1L).size).toLong)
+    // at-least-once REPLAY: a crash between the store append and the sink
+    // re-delivers the micro-batch with the store already holding its own
+    // release. No checkpoint dir → a fresh run replays both batches with
+    // the same ids against the populated store; each must exclude its own
+    // partition, recompute the same kept set, and re-deliver it (a store
+    // read INCLUDING the batch's own hashes would keep nothing and lose
+    // the batch downstream forever).
+    val firstRun = byBatch.toMap
+    runIngest()
+    assert(byBatch.toMap === firstRun,
+      "replayed micro-batches must re-deliver the same kept sets")
+    spark.catalog.refreshByPath(store)
+    val restored = graft.pipeline.SignatureStore.read(spark, store)
+    assert(restored.count() === storedCount)
+    assert(restored.select("release").distinct().count() === 2)
   }
 
   test("frozen-weight scoring streams map-only and equals the q134 batch twin") {
