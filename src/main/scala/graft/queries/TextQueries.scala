@@ -297,10 +297,14 @@ object TextQueries {
             t => array_contains(array(stopwords.map(lit): _*), t))).cast("long"))
         .withColumn("quality_score", TextAnalysis.qualityScore(col("text"), stopwords))
         .where(col("quality_score") >= 0.2)
-      val deduped = quality
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("__rn") === 1)
+      // keep-first per exact text via min-id aggregate + semi-join (the
+      // q99/q119 de-skew shape) — a window keyed by content hash buffers
+      // every copy of a flooded boilerplate text in one sort partition
+      val keepIds = quality
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
       deduped.select(col("doc_id"), col("lang"), col("quality_score"),
         regexp_replace(regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
@@ -539,10 +543,15 @@ object TextQueries {
       .withColumn("quality_score",
         TextAnalysis.qualityScore(col("text"), stopwords))
       .where(col("quality_score") >= 0.2)
-    val deduped = quality
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .where(col("__rn") === 1)
+    // keep-first per exact text as a partial-aggregable min + id semi-join,
+    // never a window partitioned by content hash: a boilerplate text that
+    // floods the corpus would funnel through ONE unsplittable sort
+    // partition in the window form (the q99/q119 de-skew reasoning)
+    val keepIds = quality
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
     // benchmark = the RAW held-out docs (ids < 10); corpus = the cleaned
     // survivors among the rest — contamination is judged against what the
     // benchmark actually contains, not against its cleaned residue

@@ -85,8 +85,12 @@ class PlanSpec extends SparkSpec {
     // text column (e.g. count(*) over (partition by gram)) buffers every
     // instance of a hot key in one unsplittable partition AQE cannot break —
     // the aggregate+join-back formulation is skew-safe and must be used
-    // instead (see Dedup.scrubRepeatedSpans). Ordered frames over strings
-    // (streaming rank, e.g. block dedup's keep-first) are allowed.
+    // instead (see Dedup.scrubRepeatedSpans). Ordered frames over string
+    // ATTRIBUTES (streaming rank) are allowed — but a window partitioned by
+    // a COMPUTED string key (row_number over md5(text)) is keep-first-by-
+    // content in disguise, always expressible as a min-per-key aggregate +
+    // join-back, and buffers every copy of a flooded text in one sort
+    // partition; ban it ordered or not.
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val unpartitioned = scala.collection.mutable.Set[String]()
     val skewBuffering = scala.collection.mutable.Set[String]()
@@ -96,6 +100,10 @@ class PlanSpec extends SparkSpec {
         case w: WindowExec if w.partitionSpec.isEmpty => unpartitioned += name
         case w: WindowExec if w.orderSpec.isEmpty &&
             w.partitionSpec.exists(_.dataType == StringType) =>
+          skewBuffering += name
+        case w: WindowExec if w.partitionSpec.exists(e =>
+            e.dataType == StringType &&
+              !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
           skewBuffering += name
         // a genuine cross product (broadcast scalar anchors plan as
         // BroadcastNestedLoopJoin and are fine; this is the pair-explosion)
