@@ -114,9 +114,14 @@ object ScaleProbe {
       // Output rows are reported alongside time: for pair-emitting operators a
       // k×-duplicated corpus legitimately has ~k² more true pairs, so the
       // honest scaling signal is time ratio vs OUTPUT ratio, not row ratio.
+      // optional 2nd arg: comma-separated op names to probe in isolation
+      // (iterating on one operator's scale shape without paying the full
+      // inventory; the round artifact still comes from an unfiltered run)
+      val only = args.lift(1).map(_.split(",").toSet)
       val probes: Seq[(String, DataFrame, DataFrame, DataFrame => DataFrame)] =
-        ops(spark).map { case (n, op) => (n, docs, bigDocs, op) } ++
-          embOps(eoff - 1).map { case (n, op) => (n, embs, bigEmbs, op) }
+        (ops(spark).map { case (n, op) => (n, docs, bigDocs, op) } ++
+          embOps(eoff - 1).map { case (n, op) => (n, embs, bigEmbs, op) })
+          .filter { case (n, _, _, _) => only.forall(_.contains(n)) }
       val results = probes.map { case (name, small, big, op) =>
         time(op(small)) // untimed warmup pass at 1x (codegen, listings)
         val t1 = time(op(small))
@@ -132,8 +137,11 @@ object ScaleProbe {
       val line =
         s"""{"metric":"scale_probe","rows":$n,"factor":$factor,"ops":$qs}"""
       println(line)
-      java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
-        (line + "\n").getBytes("UTF-8"))
+      // a filtered probe is a scratch measurement — never let it clobber
+      // the full-inventory round artifact
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+          (line + "\n").getBytes("UTF-8"))
     } finally {
       spark.stop()
       // the temp corpus is factor× the documents table — leaving it behind

@@ -173,9 +173,28 @@ object Dedup {
     * Scale shape: the q44 inverted-index discipline — a shingle occurring
     * in more than `dfCap` documents is dropped from BOTH the intersection
     * and the set sizes (containment over the capped sets; the oracle
-    * mirrors the cap), so join fan-out is O(dfCap²) pairs per shingle at
-    * any corpus size, and the df pre-pass is a groupBy (map-side partials
-    * collapse hot shingles) + join-back, never a count-over-window. */
+    * mirrors the cap) — PLUS prefix filtering from the set-similarity-join
+    * literature (Chaudhuri et al. 2006's SSJoin primitive; Bayardo et al.
+    * 2007 All-Pairs; Xiao et al. 2008 PPJoin): only each document's RAREST
+    * few shingles seed candidate pairs, so the per-shingle fan-out is
+    * O(df_prefix × df), never O(df²) — and df_prefix is small precisely for
+    * the hot shingles that dominate the unfiltered pair stream.
+    *
+    * Why the filter is LOSSLESS (the oracle stays the exact all-pairs
+    * containment, proving it): for a qualifying pair, let m = min(|Sa|,|Sb|)
+    * and o = ⌈(t − ε)·m⌉ ≤ |Sa ∩ Sb| the minimum shared-shingle count
+    * (ε absorbs the 4-decimal rounding of the output filter). Sort every
+    * doc's capped shingles by (global df, hash). The SMALLER doc misses at
+    * most o − 1 of the shared shingles from its first |S| − o + 1 entries —
+    * so at least one shared shingle sits in the smaller doc's PREFIX, and
+    * trivially in the larger doc's full set. Candidates therefore come from
+    * (prefix entry) × (full entry, larger-or-equal size) joins only. The
+    * symmetric prefix×prefix form of PPJoin is sound for Jaccard but NOT
+    * for containment-over-min (a 1-shingle doc fully contained in a huge
+    * doc shares nothing with the huge doc's short prefix), hence the
+    * asymmetric prefix×full join with the size inequality on the full side.
+    * Every candidate is then verified by exact intersection counting over
+    * the capped sets, so false candidates cost time, never correctness. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleSize: Int = 3,
                        dfCap: Int = 100): DataFrame = {
@@ -191,18 +210,47 @@ object Dedup {
         explode(array_distinct(shingles(col(textCol), shingleSize))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val rare = raw.groupBy(col("sh_h")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= dfCap).select("sh_h")
+      .where(col("__df") <= dfCap)
     val sh = raw.join(rare, Seq("sh_h"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh_h"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh_h"))
-    val inter = a.join(b, Seq("sh_h")).where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n_sh", "n_a"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n_sh", "n_b"), Seq("b_id"))
+    // ONE doc-keyed shuffle materializes each doc's capped set, sorted by
+    // the global (df, hash) order (sort_array on the struct is exactly that
+    // lexicographic order) — prefix, probe and verification all derive from
+    // it map-side, so the set stream is never re-shuffled per use and no
+    // per-doc window is needed. A per-row array of a doc's shingles is the
+    // memory class every shingling caller already lives in (shingles()
+    // itself builds one from the text in-row).
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh_h")))).as("__s"))
+      .select(col("doc_id"),
+        transform(col("__s"), s => s.getField("sh_h")).as("vals"),
+        size(col("__s")).as("n_sh"))
+    // The output filter keeps round(n_inter/m, 4) >= t, i.e. n_inter >=
+    // (t − 5e-5)·m; the 1e-4 margin makes the float product's ceil
+    // overshoot-proof (a product landing 1e-12 above an exact integer must
+    // not raise the required overlap by one — that would shorten the prefix
+    // below the lossless bound).
+    val oMin = ceil((lit(threshold) - lit(0.0001)) * col("n_sh")).cast("int")
+    val pref = sets
+      .select(col("doc_id").as("p_id"), col("n_sh").as("p_n"),
+        explode(slice(col("vals"), lit(1), col("n_sh") - oMin + 1)).as("sh_h"))
+    val full = sets
+      .select(col("doc_id").as("f_id"), col("n_sh").as("f_n"),
+        explode(col("vals")).as("sh_h"))
+    val cand = pref.join(full, Seq("sh_h"))
+      .where(col("p_id") =!= col("f_id") && col("p_n") <= col("f_n"))
+      .select(least(col("p_id"), col("f_id")).as("a_id"),
+        greatest(col("p_id"), col("f_id")).as("b_id"))
+      .distinct()
+    // exact verification: id-keyed joins over the candidate set only;
+    // array_intersect over the distinct-element capped sets equals the
+    // shingle-join count of the unfiltered formulation
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("vals").as("__va"),
+        col("n_sh").as("n_a")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("vals").as("__vb"),
+        col("n_sh").as("n_b")), Seq("b_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("__va"), col("__vb"))).cast("long"))
       .withColumn("containment", round(col("n_inter").cast("double")
         / least(col("n_a"), col("n_b")), 4))
       .where(col("containment") >= threshold)

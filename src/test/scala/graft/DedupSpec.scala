@@ -64,6 +64,51 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("containment prefix filter is lossless against the all-pairs join") {
+    // duplicate-heavy random corpus over a tiny vocabulary (shingles collide
+    // constantly) + planted quoted-inside-host containments at every size
+    // ratio — the prefix-filtered pass must return EXACTLY the pair set of
+    // the unfiltered inverted-index self-join it replaced
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    def mk(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (1L to 60L).map(i => (i, mk(5 + rnd.nextInt(40))))
+    val planted = (61L to 75L).map { i =>
+      val (_, qtxt) = bases(rnd.nextInt(20))
+      (i, (mk(rnd.nextInt(8)) + " " + qtxt + " " + mk(rnd.nextInt(8))).trim)
+    }
+    val corpus = (bases ++ planted).toDF("doc_id", "text")
+    val thr = 0.6
+    val cap = 30
+    val fast = Dedup.containmentPairs(corpus, "doc_id", "text",
+        threshold = thr, dfCap = cap)
+      .select("a_id", "b_id", "n_inter", "containment")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the unfiltered formulation this round replaced, inlined as the oracle
+    val raw = corpus.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val rare = raw.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= cap).select("sh_h")
+    val sh = raw.join(rare, Seq("sh_h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val slow = sh.select(col("doc_id").as("a_id"), col("sh_h"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh_h")), Seq("sh_h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.toDF("a_id", "n_a"), Seq("a_id"))
+      .join(sizes.toDF("b_id", "n_b"), Seq("b_id"))
+      .withColumn("containment", round(col("n_inter").cast("double")
+        / least(col("n_a"), col("n_b")), 4))
+      .where(col("containment") >= thr)
+      .select("a_id", "b_id", "n_inter", "containment")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(slow.nonEmpty, "fixture must produce qualifying pairs")
+    assert(fast === slow)
+  }
+
   test("containment: a df-capped shingle contributes to neither side") {
     // one shingle shared by every doc; with dfCap = 2 it is dropped, so the
     // two otherwise-disjoint docs have no intersection left

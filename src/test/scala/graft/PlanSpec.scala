@@ -226,6 +226,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("containment pairs: prefix-filtered candidates, set-array verification") {
+    val p = plan("q133_containment")
+    // candidate generation must seed from each doc's sliced PREFIX (the
+    // df-rarest shingles), not the full posting × posting self-join — the
+    // unfiltered form is O(df²) per shingle and measured 12.9× at 8× data;
+    // verification must be id-keyed array_intersect over the materialized
+    // sets, never a second shingle-keyed shuffle of the corpus
+    assert(p.contains("slice(vals"), p.take(3000))
+    assert(p.contains("array_intersect"), p.take(3000))
+    // the doc-keyed set build is a collect_list aggregate (sort_array is
+    // applied in the projection above it and doesn't survive to plan text)
+    assert("collect_list".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
   test("blocklist scan: literal membership, no join touches the text stream") {
     // the phrase match must be a Filter over the generated n-grams (a
     // codegen'd array_contains against a literal), never a join — the only
