@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, CorpusOps}
+
+/** Incremental END-TO-END release build: roll crawl release N+1 forward
+  * against persisted state, reading no prior-release text outside the
+  * id-keyed candidate verifications — the nightly job a 100 TB corpus
+  * operator actually runs, composed from the individually-verified
+  * incremental stages (the reference analogue is the release-versioned
+  * idempotent upsert loop, `db_etl_upload/uploader.py:320-325`, applied to
+  * the whole curation funnel instead of one table):
+  *
+  *  1. exact dedup against every prior release via the signature store's
+  *     `content_md5` column + keep-first within the new slice (q121),
+  *  2. near-dup gate: drop new documents whose exact Jaccard reaches the
+  *     threshold against any prior-release document (via the store's
+  *     band buckets — no prior re-signing) or any earlier kept document
+  *     of the new slice (q120),
+  *  3. novelty gate: per-document unseen-gram permille against the
+  *     persisted gram store, dropping low-novelty documents (q132),
+  *  4. frozen-weight quality gate: margin of the pre-trained linear
+  *     classifier must be positive — one per-row expression (q134),
+  *  5. temperature mix over the survivors (q110).
+  *
+  * Scale shape: every stage is the verified incremental one — the new
+  * slice is signed/shingled once; stores are joined by content hash,
+  * (band, bucket), or gram hash; prior text is touched only for the
+  * candidate verify; the mix is a broadcast rate table + map-side filter.
+  * Nothing prior-release-sized shuffles.
+  */
+object ReleaseBuild {
+
+  /** Gate thresholds; defaults are the declared q140 fixture's. */
+  case class Params(jaccard: Double = 0.5, noveltyFloor: Long = 200,
+                    alpha: Double = 0.5, budgetTokens: Long = 4000)
+
+  /** Pure roll-forward over store FRAMES (the declared q140 passes the
+    * prior release inline so the query stays pure; the disk path reads the
+    * same frames from parquet — ReleaseBuildSpec pins disk ≡ inline).
+    *
+    * @param sigStore   [[SignatureStore]] rows of every prior release
+    * @param gramStore  rows with a `gram_h` column ([[GramStore]] layout)
+    * @param verifyDocs text lookup for near-dup candidate verification
+    *                   (prior + new releases; candidate-id-keyed access)
+    * @param weights    dense classifier weights (frozen, micro-units)
+    * @return one row per retained new document:
+    *         (doc_id, source, n_tokens, novelty_permille, margin_micro) */
+  def rollForward(newDocs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, verifyDocs: DataFrame,
+                  sigStore: DataFrame, gramStore: DataFrame,
+                  weights: Array[Long], p: Params = Params()): DataFrame = {
+    // 1. exact: content-hash anti-join vs store + keep-first in the slice
+    val exactKept = SignatureStore.incrementalExactKeep(
+      newDocs, idCol, textCol, sigStore)
+    val d1 = newDocs.join(exactKept.select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    // 2. near-dup: any verified pair to a prior doc or an earlier kept doc
+    val pairs = SignatureStore.incrementalNearDups(
+      d1, idCol, textCol, sigStore, verifyDocs, p.jaccard)
+    val d2 = d1.join(pairs.select(col("new_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    // 3. novelty floor against the gram store
+    val nov = GramStore.noveltyAgainst(d2, idCol, textCol, gramStore)
+      .where(col("novelty_permille") >= p.noveltyFloor)
+      .select(col(idCol), col("novelty_permille"))
+    val d3 = d2.join(nov, Seq(idCol))
+    // 4. frozen-weight margin gate (map-side expression, no join)
+    val d4 = d3.withColumn("margin_micro",
+        Classifier.scoreExpr(col(textCol), weights))
+      .where(col("margin_micro") > 0)
+    // 5. temperature mix over the survivors
+    CorpusOps.temperatureMix(d4, idCol, sourceCol, textCol,
+        p.alpha, p.budgetTokens)
+      .join(d4.select(col(idCol), col("novelty_permille"),
+        col("margin_micro")), Seq(idCol))
+  }
+
+  /** Disk roll-forward: read both stores (excluding this release's own
+    * partition, so a rerun after a partial failure converges — the
+    * [[graft.streaming.StreamEntry.ingestDocs]] replay contract), build the
+    * release, then append the RETAINED documents' signatures and novel
+    * grams as this release's partitions. Returns the retained rows. */
+  def rollForwardOnDisk(spark: SparkSession, newDocs: DataFrame,
+                        idCol: String, textCol: String, sourceCol: String,
+                        verifyDocs: DataFrame, sigPath: String,
+                        gramPath: String, release: String,
+                        weights: Array[Long], p: Params = Params()): DataFrame = {
+    spark.catalog.refreshByPath(sigPath)
+    spark.catalog.refreshByPath(gramPath)
+    val sig = SignatureStore.read(spark, sigPath)
+      .where(col("release") =!= release)
+    val grams = GramStore.read(spark, gramPath)
+      .where(col("release") =!= release).select("gram_h")
+    // pin the result before the appends dynamically replace store files
+    // this plan's reads have listed (same reasoning as GramStore.append)
+    val out = rollForward(newDocs, idCol, textCol, sourceCol, verifyDocs,
+      sig, grams, weights, p).localCheckpoint()
+    val retained = newDocs.join(out.select(idCol), Seq(idCol), "left_semi")
+    SignatureStore.append(spark, sigPath, release, retained, idCol, textCol)
+    GramStore.append(spark, gramPath, release, retained, textCol)
+    out
+  }
+}

@@ -523,6 +523,28 @@ object TextQueries {
         docs.where(isNew), "doc_id", "text",
         graft.pipeline.SignatureStore.signatures(
           docs.where(!isNew), "doc_id", "text"))
+    }),
+
+    // Incremental END-TO-END release build: the nightly counterpart of
+    // q126's from-scratch build — exact dedup vs the signature store (q121)
+    // → near-dup gate vs store + earlier kept (q120) → novelty floor vs
+    // the gram store (q132) → frozen-weight classifier margin (q134) →
+    // temperature mix (q110), all rolled forward against prior-release
+    // STATE in one job (prior text touched only for candidate verifies).
+    // The declared query passes the prior release's store frames inline so
+    // it stays pure; ReleaseBuildSpec pins the persisted-store path to this
+    // exact output and proves the rerun idempotent.
+    "q140_release_build" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      val old = docs.where(!isNew)
+      val w = Classifier.trainWeights(old, "doc_id", "text",
+        col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      graft.pipeline.ReleaseBuild.rollForward(
+        docs.where(isNew), "doc_id", "text", "source", docs,
+        graft.pipeline.SignatureStore.signatures(old, "doc_id", "text"),
+        graft.pipeline.GramStore.grams(old, "text"),
+        Classifier.denseWeights(w, 256))
     })
   )
 
@@ -1457,7 +1479,154 @@ object TextQueries {
         |    SELECT 1 FROM h o WHERE NOT o.is_new AND o.content_md5 = n.content_md5)
         |)
         |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, content_md5
-        |FROM fresh GROUP BY content_md5""".stripMargin
+        |FROM fresh GROUP BY content_md5""".stripMargin,
+
+    // Chains the verified spellings stage by stage: k1 = q121's exact keep,
+    // dup/k2 = q120's exact-Jaccard pairs restricted to k1 survivors,
+    // nov/k3 = q132's unseen-gram permille over k2, w1..w2/mf = q134's
+    // unrolled classifier (trained on the old slice) gating margin > 0,
+    // and the tail is q110's temperature mix computed over the survivors.
+    "q140_release_build" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_md5,
+        |                  doc_id % 10 >= 8 AS is_new
+        |           FROM documents),
+        |k1 AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM h n
+        |  WHERE is_new AND NOT EXISTS (
+        |    SELECT 1 FROM h o WHERE NOT o.is_new AND o.content_md5 = n.content_md5)
+        |  GROUP BY content_md5
+        |),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             doc_id % 10 >= 8 AS is_new
+        |      FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, is_new,
+        |         unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, is_new,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS dup_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id IN (SELECT doc_id FROM k1)
+        |    AND (NOT b.is_new
+        |         OR (b.doc_id IN (SELECT doc_id FROM k1) AND b.doc_id < a.doc_id))
+        |  GROUP BY 1, 2
+        |),
+        |dup AS (
+        |  SELECT DISTINCT new_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = new_id
+        |  JOIN sizes sb ON sb.doc_id = dup_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+        |),
+        |k2 AS (SELECT doc_id FROM k1
+        |       WHERE doc_id NOT IN (SELECT new_id FROM dup)),
+        |gsh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(gt.t) < 8 THEN [array_to_string(gt.t, ' ')]
+        |         ELSE [array_to_string(gt.t[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(gt.t) - 7)]
+        |    END)) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) gt
+        |),
+        |oldg AS (SELECT DISTINCT gram FROM gsh WHERE doc_id % 10 < 8),
+        |nov AS (
+        |  SELECT n.doc_id,
+        |         CAST((SUM(CASE WHEN o.gram IS NULL THEN 1 ELSE 0 END) * 1000)
+        |              // COUNT(*) AS BIGINT) AS novelty_permille
+        |  FROM gsh n JOIN k2 USING (doc_id)
+        |  LEFT JOIN oldg o ON n.gram = o.gram
+        |  GROUP BY 1
+        |),
+        |k3 AS (SELECT doc_id, novelty_permille FROM nov
+        |       WHERE novelty_permille >= 200),
+        |old AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+        |toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM old),
+        |feat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks2 GROUP BY 1, 2
+        |),
+        |lbl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM old),
+        |nn AS (SELECT COUNT(*) AS n FROM old),
+        |g1 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((0.5 - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w1 AS (
+        |  SELECT idx,
+        |         0 - CAST(round(0.5 * gsum / n) AS BIGINT) AS w_int
+        |  FROM g1, nn
+        |),
+        |m2 AS (
+        |  SELECT doc_id, SUM(cnt * w_int) AS margin_micro
+        |  FROM feat JOIN w1 USING (idx) GROUP BY 1
+        |),
+        |p2 AS (
+        |  SELECT doc_id, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
+        |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE) / 1e6 AS m FROM m2)
+        |),
+        |g2 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((p - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN p2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w2 AS (
+        |  SELECT w1.idx,
+        |         w_int - CAST(round(0.5 * g2.gsum / n) AS BIGINT) AS w_int
+        |  FROM w1 JOIN g2 ON w1.idx = g2.idx, nn
+        |),
+        |newtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 >= 8
+        |),
+        |newfeat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM newtoks GROUP BY 1, 2
+        |),
+        |mf AS (
+        |  SELECT doc_id, CAST(SUM(cnt * w_int) AS BIGINT) AS margin_micro
+        |  FROM newfeat JOIN w2 USING (idx) GROUP BY 1
+        |),
+        |k4 AS (
+        |  SELECT k3.doc_id, k3.novelty_permille, mf.margin_micro
+        |  FROM k3 JOIN mf USING (doc_id)
+        |  WHERE mf.margin_micro > 0
+        |),
+        |mt AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |         k4.novelty_permille, k4.margin_micro
+        |  FROM documents d JOIN k4 USING (doc_id)
+        |),
+        |tot AS (
+        |  SELECT source, SUM(n_tokens) AS src_tokens,
+        |         CAST(round(pow(CAST(SUM(n_tokens) AS DOUBLE), 0.5) * 1e6)
+        |              AS HUGEINT) AS wq
+        |  FROM mt GROUP BY source
+        |),
+        |r AS (
+        |  SELECT source,
+        |         least(1.0, 4000.0 * CAST(wq AS DOUBLE)
+        |           / CAST((SELECT SUM(wq) FROM tot) AS DOUBLE)
+        |           / CAST(src_tokens AS DOUBLE)) AS keep_rate
+        |  FROM tot
+        |)
+        |SELECT mt.doc_id, mt.source, mt.n_tokens,
+        |       mt.novelty_permille, mt.margin_micro
+        |FROM mt JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(CAST(mt.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < keep_rate""".stripMargin
   )
 
   /** q112's term list rendered for the oracle's IN clause. */
