@@ -376,6 +376,30 @@ object Dedup {
                          n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val toks = split(col(textCol), " ")
+    val covered = coveredPositions(df, idCol, textCol, n)
+    val tok = df.select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = tok.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("scrubbed"))
+  }
+
+  /** The token positions covered by ANY corpus-repeated n-gram: the shared
+    * decision kernel of [[scrubRepeatedSpans]] and [[maximalRepeatedSpans]].
+    * Returns distinct (id, pos), 1-based. The repeated-instance decision is
+    * the skew-safe aggregate+join-back shape q119 pins (see
+    * [[scrubRepeatedSpans]]'s scaladoc for why a gram-keyed window cannot
+    * survive boilerplate grams at 100 TB). */
+  private def coveredPositions(df: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
     val nGrams = size(toks) - (n - 1)
     // 1-based gram positions; empty when the doc is shorter than n tokens
     // (an unguarded sequence(1, 0) would DESCEND and fabricate grams)
@@ -389,21 +413,46 @@ object Dedup {
     // join-back build side to repeated grams only
     val dupGrams = g.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select(col("gram"))
-    val covered = g.join(dupGrams, Seq("gram"))
+    g.join(dupGrams, Seq("gram"))
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
-    val tok = df.select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
-    val kept = tok.join(covered, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("scrubbed"))
-    df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        col("scrubbed"))
+  }
+
+  /** Maximal repeated spans — the spans Lee et al. 2022's ExactSubstr
+    * actually removes, recovered exactly from n-gram covers: one row per
+    * MAXIMAL run of tokens that belongs to some corpus-repeated substring of
+    * ≥ n tokens. The equivalence is two-sided: (⊆) every repeated substring
+    * of length L ≥ n is tiled by L−n+1 repeated n-grams, so its positions are
+    * n-gram-covered; (⊇) every repeated n-gram IS a repeated substring of
+    * length n. Hence {positions in some repeated substring of length ≥ n} =
+    * {positions covered by some repeated n-gram}, and the maximal removed
+    * regions are precisely the maximal islands of covered positions — a
+    * 50-token boilerplate repeat surfaces as ONE 50-token span, not 43
+    * overlapping 8-gram windows. Returns (id, span_start, span_len,
+    * span_text), span_start 1-based.
+    *
+    * Scale shape: [[coveredPositions]]'s aggregate+join-back decides
+    * repetition (no gram-keyed anything); the island merge is a gaps-and-
+    * islands window partitioned by DOC ID and ordered by position — bounded
+    * by a single document's token count, the safe window class (PlanSpec's
+    * repo-wide sweep admits it) — and the span text rejoins the document
+    * row by id, an equi-join on the natural key. Nothing pairwise, nothing
+    * gram-keyed past the aggregate. */
+  def maximalRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val covered = coveredPositions(df, idCol, textCol, n)
+    // gaps-and-islands: consecutive covered positions share (pos − rank)
+    val isl = covered.withColumn("__grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    val spans = isl.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("span_len"))
+    spans.join(df.select(col(idCol), split(col(textCol), " ").as("__t")), Seq(idCol))
+      .select(col(idCol), col("span_start").cast("long").as("span_start"),
+        col("span_len"),
+        array_join(slice(col("__t"), col("span_start"), col("span_len").cast("int")), " ")
+          .as("span_text"))
   }
 
   /** Bloom-filter benchmark decontamination — the 100 TB path for the exact

@@ -352,6 +352,16 @@ object TextQueries {
       Dedup.scrubRepeatedSpans(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 8)),
 
+    // Maximal repeated spans (Lee et al. 2022 ExactSubstr semantics): each
+    // maximal run of tokens belonging to a corpus-repeated substring of ≥ 8
+    // tokens, as ONE span row — a 50-token boilerplate repeat is one
+    // 50-token span, not 43 overlapping 8-gram windows. Same skew-safe
+    // aggregate+join-back decision kernel as q119; the island merge is a
+    // doc-keyed (bounded) window.
+    "q141_maximal_spans" -> ((s, dir) =>
+      Dedup.maximalRepeatedSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 8)),
+
     // One BPE vocabulary-induction counting round (Sennrich et al. 2016):
     // corpus-wide adjacent-character-pair frequencies, top-50 merge
     // candidates. Pair-keyed aggregation (alphabet²-bounded key space,
@@ -1104,6 +1114,40 @@ object TextQueries {
         |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
         |       agg.scrubbed
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Same covered-position CTE chain as q119, then textbook
+    // gaps-and-islands (pos − row_number is constant on a consecutive run)
+    // and a slice of the document's token array for the span text.
+    "q141_maximal_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)] AS gs
+        |  FROM d WHERE len(t) >= 8
+        |),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gram, generate_subscripts(gs, 1) AS gpos
+        |  FROM g0
+        |),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(gpos, gpos + 7)) AS pos
+        |  FROM g JOIN rep USING (gram)
+        |),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cov
+        |),
+        |sp AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, COUNT(*) AS span_len
+        |  FROM isl GROUP BY doc_id, grp
+        |)
+        |SELECT sp.doc_id, CAST(sp.span_start AS BIGINT) AS span_start,
+        |       CAST(sp.span_len AS BIGINT) AS span_len,
+        |       array_to_string(d.t[sp.span_start:sp.span_start + sp.span_len - 1], ' ')
+        |         AS span_text
+        |FROM sp JOIN d USING (doc_id)""".stripMargin,
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

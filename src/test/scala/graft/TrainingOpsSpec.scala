@@ -263,6 +263,83 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3, r._4)) === Seq((1L, 0L, null), (2L, 0L, null)))
   }
 
+  // ---- Maximal repeated spans (Lee et al. ExactSubstr semantics) ------
+
+  /** Reference implementation for the maximal-span contract: count every
+    * n-gram by brute force, mark covered positions, merge consecutive runs. */
+  private def bruteSpans(docs: Seq[(Long, String)], n: Int): Set[(Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val counts = toks.values.toSeq
+      .flatMap(ts => if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")) else Nil)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      val covered = (for {
+        i <- 0 to ts.length - n
+        if counts(ts.slice(i, i + n).mkString(" ")) > 1
+        p <- i until i + n
+      } yield p).distinct.sorted
+      val islands = covered.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (run :: rest), p) if run.head == p - 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse)
+      islands.map(run => (id, run.head + 1L, run.size.toLong,
+        ts.slice(run.head, run.head + run.size).mkString(" ")))
+    }.toSet
+  }
+
+  private def plantedDocs: Seq[(Long, String)] = {
+    // a 50-token repeat R planted in two docs, plus a 12-token repeat S that
+    // OVERLAPS R's tail in doc 2 (partial overlap at a span edge), plus an
+    // exactly-n-token repeat T — widths 50, 12, 8 all >> or == n = 8
+    val r = (1 to 50).map(i => s"r$i").mkString(" ")
+    val s12 = (41 to 52).map(i => s"r$i").mkString(" ") // r41..r50 ++ r51 r52
+    val t = (1 to 8).map(i => s"t$i").mkString(" ")
+    Seq(
+      1L -> s"${(1 to 10).map(i => s"a$i").mkString(" ")} $r ${(1 to 10).map(i => s"b$i").mkString(" ")}",
+      2L -> s"$r r51 r52 ${(1 to 6).map(i => s"c$i").mkString(" ")} $t",
+      3L -> s"$s12 ${(1 to 9).map(i => s"d$i").mkString(" ")} $t",
+      4L -> (1 to 20).map(i => s"e$i").mkString(" "))
+  }
+
+  test("maximalRepeatedSpans: a 50-token repeat is ONE span, not 43 8-gram windows") {
+    val out = Dedup.maximalRepeatedSpans(plantedDocs.toDF("doc_id", "text"),
+      "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out === bruteSpans(plantedDocs, 8))
+    // doc 1's only span is exactly the planted repeat: starts after the
+    // 10-token prefix, runs the full 50 tokens
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(s => (s._2, s._3)) === Set((11L, 50L)))
+    assert(d1.head._4 === (1 to 50).map(i => s"r$i").mkString(" "))
+    // doc 2: R and the overlapping 12-token repeat merge into ONE 52-token
+    // island (r1..r52) — the edge-overlap case where fixed-width windows
+    // and maximal semantics could disagree
+    assert(out.filter(_._1 == 2L).exists(s => s._2 == 1L && s._3 == 52L))
+    // doc 4 has no repeats and no rows
+    assert(!out.exists(_._1 == 4L))
+  }
+
+  test("maximalRepeatedSpans positions reconstruct scrubRepeatedSpans exactly") {
+    // removing precisely the span intervals from each document must yield
+    // q119's scrubbed text — the two operators are one semantics, two views
+    val docs = plantedDocs.toDF("doc_id", "text")
+    val spans = Dedup.maximalRepeatedSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    val scrubbed = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect()
+    scrubbed.foreach { case (id, _, _, expect) =>
+      val ts = plantedDocs.toMap.apply(id).split(" ")
+      val drop = spans.getOrElse(id, Set.empty)
+        .flatMap { case (start, len) => (start - 1) until (start - 1 + len) }
+        .map(_.toInt)
+      val rebuilt = ts.zipWithIndex.collect { case (t, i) if !drop(i) => t }
+        .mkString(" ")
+      assert((if (rebuilt.isEmpty) null else rebuilt) === expect, s"doc $id")
+    }
+  }
+
   // ---- weightedSample weight contract --------------------------------
 
   test("weightedSample: negative weight fails loudly, null weight is skipped") {
