@@ -340,4 +340,73 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Iterative BPE vocabulary induction (Sennrich et al. 2016): the full
+    * count → select-top-merge → re-segment loop that [[bpeMergePairs]] only
+    * runs one counting round of. Returns one row per executed merge round:
+    * (round, pair, pair_count), where `pair` is the selected merge in the
+    * sentinel spelling below and `pair_count` its corpus frequency at
+    * selection time. Stops early when no adjacent pair remains.
+    *
+    * Symbol representation: a word's segmentation is a single string with
+    * every symbol PREFIXED by `!` (words are pre-filtered to `!`-free
+    * tokens), e.g. "aaab" → "!a!a!a!b"; merging pair (a,b) is the literal
+    * string replace "!a!b" → "!ab". The leading sentinel makes the replace
+    * boundary-exact — "!a!b" cannot match inside "!xa!b" because the char
+    * before a symbol's text is always `!` and symbols never contain `!` —
+    * and `replace`'s left-to-right non-overlapping scan IS the standard
+    * greedy merge order ("!a!a!a" merges to "!aa!a", not "!a!aa"), with
+    * identical semantics in Spark and DuckDB, so the oracle can replay the
+    * loop verbatim.
+    *
+    * Scale shape: the corpus is scanned ONCE, collapsing to the distinct-
+    * word frequency table (vocabulary-sized — millions of rows at 100 TB,
+    * not tokens); every round then works on that table: one map-side pair
+    * explode weighted by word frequency (Σ_word freq·pairs(word) equals
+    * occurrence counting), one pair-keyed aggregation with map-side partials
+    * (key space bounded by current-vocab adjacency, alphabet²-flavored), a
+    * deterministic top-1 via ordered limit ((count desc, pair asc) is a
+    * total order), and a pure-map string replace. Driver state is one row
+    * per round — the k-means/PQ iterative-trainer idiom. Each round's table
+    * is persisted and the previous unpersisted, so lineage stays flat. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    var words = df.select(explode(tokens(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2 && !col("word").contains("!"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "!$1").as("seg"), col("freq"))
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = split(col("seg"), "!")
+      // adjacent symbol pairs: split yields a leading "" at index 1, symbols
+      // at 2..size; guard size >= 3 (sequence would descend on 1-symbol segs)
+      val top = words.where(size(syms) >= 3)
+        .select(explode(transform(sequence(lit(2), size(syms) - 1),
+          i => concat(lit("!"), element_at(syms, i),
+            lit("!"), element_at(syms, i + 1)))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = "!" + pair.substring(1).replace("!", "")
+        merges += ((r, pair, top(0).getLong(1)))
+        val next = words.select(
+          call_function("replace", col("seg"), lit(pair), lit(merged)).as("seg"),
+          col("freq")).persist()
+        next.count()
+        words.unpersist()
+        words = next
+        r += 1
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(merges.toSeq).toDF("round", "pair", "pair_count")
+  }
 }

@@ -371,6 +371,16 @@ object TextQueries {
       TextAnalysis.bpeMergePairs(Tables.load(s, dir, "documents"),
         "text", k = 50)),
 
+    // Full iterative BPE induction (q129 is one counting round of this):
+    // six count → top-merge → re-segment rounds over the distinct-word
+    // frequency table. The oracle replays the identical loop as six
+    // unrolled CTE rounds — `replace` has the same left-to-right
+    // non-overlapping semantics in both engines, which IS greedy BPE
+    // merge order.
+    "q142_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"),
+        "text", rounds = 6)),
+
     // The per-document curation scorecard: every verified curation signal
     // in ONE row per document — predicted language + consistency flag, the
     // shared milli-quantized quality score, exact-dup keeper flag, Bloom
@@ -637,6 +647,46 @@ object TextQueries {
        |       END AS approx_distinct,
        |       CAST(max_len AS BIGINT) AS max_len
        |FROM s""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeTrain]]'s loop,
+    * unrolled to `rounds` CTE rounds (the q131 unrolled-oracle pattern):
+    * w0 is the sentinel-segmented distinct-word frequency table; each round
+    * counts adjacent symbol pairs weighted by word frequency, picks the
+    * (count desc, pair asc) top-1, and re-segments with the same literal
+    * `replace` the Spark side uses. SUM over BIGINT is HUGEINT in DuckDB,
+    * so pair_count re-casts to BIGINT in the final union. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val init =
+      """WITH w0 AS (
+        |  SELECT regexp_replace(word, '(.)', '!\1', 'g') AS seg,
+        |         CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 2 AND NOT contains(word, '!')
+        |  GROUP BY word
+        |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, SUM(freq) AS pair_count FROM (
+         |    SELECT unnest(['!' || l[i] || '!' || l[i+1]
+         |                   FOR i IN generate_series(2, len(l) - 1)]) AS pair,
+         |           freq
+         |    FROM (SELECT string_split(seg, '!') AS l, freq FROM w${r - 1})
+         |    WHERE len(l) >= 3
+         |  ) GROUP BY pair
+         |),
+         |b$r AS (SELECT pair, pair_count FROM p$r
+         |        ORDER BY pair_count DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(seg, (SELECT pair FROM b$r),
+         |                       (SELECT '!' || replace(substr(pair, 2), '!', '')
+         |                        FROM b$r)) AS seg, freq
+         |        FROM w${r - 1})""".stripMargin
+    }
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS round, pair, " +
+        s"CAST(pair_count AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    (init +: roundCtes).mkString(",\n") + "\n" + union
   }
 
   def oracles: Map[String, String] = Map(
@@ -1148,6 +1198,8 @@ object TextQueries {
         |       array_to_string(d.t[sp.span_start:sp.span_start + sp.span_len - 1], ' ')
         |         AS span_text
         |FROM sp JOIN d USING (doc_id)""".stripMargin,
+
+    "q142_bpe_train" -> bpeTrainOracle(6),
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -263,6 +263,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3, r._4)) === Seq((1L, 0L, null), (2L, 0L, null)))
   }
 
+  // ---- Iterative BPE induction ---------------------------------------
+
+  test("bpeTrain: hand-computed merge sequence, greedy-leftmost, early stop") {
+    // words: "aaab" ×2, "cd" ×1.  Hand-run of the loop:
+    //   r1: !a!a appears twice per "aaab" → 4; merge → "!aa!a!b"
+    //       (leftmost non-overlapping: NOT "!a!aa!b")
+    //   r2: tie !a!b=2 vs !aa!a=2 → pair asc picks !a!b; merge → "!aa!ab"
+    //   r3: !aa!ab → 2; merge → "!aaab"
+    //   r4: only "!c!d" remains → 1; merge → "!cd"
+    //   r5: no adjacent pairs anywhere → loop stops early (rounds=6 asked)
+    val docs = Seq((1L, "aaab cd aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", rounds = 6)
+      .orderBy("round").as[(Int, String, Long)].collect().toList
+    assert(got === List(
+      (1, "!a!a", 4L), (2, "!a!b", 2L), (3, "!aa!ab", 2L), (4, "!c!d", 1L)))
+  }
+
+  test("bpeTrain counts by word frequency: vocabulary-table loop ≡ occurrence counting") {
+    // same corpus written as repeated occurrences vs distinct words with
+    // multiplicity must select identical merges with identical counts
+    val a = Seq((1L, "xy xy xy zw")).toDF("doc_id", "text")
+    val b = Seq((1L, "xy zw"), (2L, "xy xy")).toDF("doc_id", "text")
+    val ra = TextAnalysis.bpeTrain(a, "text", rounds = 2)
+      .as[(Int, String, Long)].collect().toSet
+    val rb = TextAnalysis.bpeTrain(b, "text", rounds = 2)
+      .as[(Int, String, Long)].collect().toSet
+    assert(ra === rb)
+    assert(ra === Set((1, "!x!y", 3L), (2, "!z!w", 1L)))
+  }
+
   // ---- Maximal repeated spans (Lee et al. ExactSubstr semantics) ------
 
   /** Reference implementation for the maximal-span contract: count every
