@@ -64,7 +64,10 @@ object ScaleProbe {
       "embedding", col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
       dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
     "top_component" -> (e => graft.operators.Similarity
-      .topComponentProjections(e, "vec_id", "embedding", dim = 64, iters = 3)))
+      .topComponentProjections(e, "vec_id", "embedding", dim = 64, iters = 3)),
+    // trainer is dim-sized driver state; the reflection itself is a pure map
+    "opq_rotate" -> (e => graft.operators.Similarity
+      .opqRotate(e, "vec_id", "embedding", dim = 64, iters = 3)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -297,6 +297,25 @@ object Similarity {
     *         component, micro-quantized. */
   def topComponentProjections(df: DataFrame, idCol: String, embCol: String,
                               dim: Int, iters: Int = 3): DataFrame = {
+    def q(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    val (mu, v) = topComponent(df, idCol, embCol, dim, iters)
+    val muLit = array(mu.map(lit): _*)
+    val vLit = array(v.map(lit): _*)
+    df.select(col(idCol),
+        zip_with(col(embCol).cast("array<double>"), muLit, (a, b) => a - b).as("__c"))
+      .select(col(idCol),
+        q(aggregate(zip_with(col("__c"), vLit, (a, b) => a * b),
+          lit(0d), (acc, x) => acc + x)).as("proj_micro"))
+  }
+
+  /** The mean vector and unit top principal component of the embedding
+    * column — [[topComponentProjections]]'s deterministic power-iteration
+    * kernel, exposed for callers that need the COMPONENT itself (e.g.
+    * [[opqRotate]]'s reflection). Same reproducibility recipe: every
+    * corpus-sized sum micro-quantizes per-row contributions and sums exact
+    * longs; driver state is two dim-sized arrays. */
+  def topComponent(df: DataFrame, idCol: String, embCol: String,
+                   dim: Int, iters: Int = 3): (Array[Double], Array[Double]) = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(iters > 0, s"iters must be positive, got $iters")
     def q(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
@@ -304,7 +323,7 @@ object Similarity {
       col(embCol).cast("array<double>").as("__v")).cache()
     try {
       val n = vecs.count()
-      require(n > 0, "topComponentProjections needs at least one input row")
+      require(n > 0, "topComponent needs at least one input row")
       val mu = new Array[Double](dim)
       vecs.select(posexplode(col("__v")).as(Seq("i", "x")))
         .groupBy(col("i")).agg(sum(q(col("x"))).as("sx"))
@@ -336,10 +355,48 @@ object Similarity {
           "(all-ones start orthogonal to the data span)")
         v = u.map(_ / norm)
       }
-      val vLit = array(v.map(lit): _*)
-      vecs.select(col(idCol), centered.as("__c"))
-        .select(col(idCol), q(proj(vLit)).as("proj_micro"))
+      (mu, v)
     } finally vecs.unpersist(blocking = false)
+  }
+
+  /** OPQ-lite: one Householder reflection before product quantization (the
+    * single-rotation cut of Ge et al. 2013's "Optimized Product
+    * Quantization" objective). The corpus's top principal component — found
+    * by [[topComponent]]'s deterministic power iteration — is reflected onto
+    * the balanced direction (1,…,1)/√dim, spreading the dominant variance
+    * evenly across every coordinate and hence every PQ subspace, so
+    * equal-bit sub-quantizers stop wasting codewords on flat subspaces.
+    * A reflection is an isometry: dot products, distances, and exact
+    * brute-force top-k are bit-for-bit unaffected in exact arithmetic; only
+    * the quantization error changes (for the better on anisotropic data —
+    * PQSpec pins recall and reconstruction error against plain PQ).
+    *
+    * Returns (idCol, `emb_rot` array<double>): x′ = x − 2(w·x)w with
+    * w ∝ u − t. When the component already lies on the balanced direction
+    * (‖u − t‖ ≈ 0) the reflection is the identity and vectors pass through.
+    *
+    * Scale shape: after the trainer's dim-sized driver state, the rotation
+    * itself is a PURE MAP — w broadcasts as a dim-length array literal,
+    * each vector reflects in place, nothing shuffles. Feed the output to
+    * [[pqCodebooks]]/[[pqEncode]]/[[pqTopK]] unchanged; incremental
+    * releases reuse the frozen w exactly like frozen codebooks. */
+  def opqRotate(df: DataFrame, idCol: String, embCol: String,
+                dim: Int, iters: Int = 3): DataFrame = {
+    val (_, u) = topComponent(df, idCol, embCol, dim, iters)
+    val t = 1.0 / math.sqrt(dim.toDouble)
+    val wRaw = Array.tabulate(dim)(i => u(i) - t)
+    val wNorm = math.sqrt(wRaw.map(x => x * x).sum)
+    val raw = df.select(col(idCol), col(embCol).cast("array<double>").as("emb_rot"))
+    if (wNorm < 1e-9) raw
+    else {
+      val w = wRaw.map(_ / wNorm)
+      val wLit = array(w.map(lit): _*)
+      raw.select(col(idCol), col("emb_rot"),
+          (aggregate(zip_with(col("emb_rot"), wLit, (a, b) => a * b),
+            lit(0d), (acc, x) => acc + x) * 2d).as("__d2"))
+        .select(col(idCol),
+          zip_with(col("emb_rot"), wLit, (a, b) => a - col("__d2") * b).as("emb_rot"))
+    }
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the

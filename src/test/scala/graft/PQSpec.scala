@@ -57,6 +57,64 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("opqRotate: isometric to fp error, and beats plain PQ on anisotropic data") {
+    // all the variance is a 4-D cloud in the FIRST subspace (m=2 splits
+    // coords 0–3 / 4–7): plain PQ spends subspace B's codes on nothing,
+    // while A crams a 4-D cloud into 4 codes. The reflection moves the top
+    // component's share of A-variance into B where codes are idle — the
+    // eigenvalue-balancing effect a single Householder can buy. (A pure
+    // 1-D line fixture is provably NEUTRAL here: splitting a line's
+    // variance across subspaces rescales distortion linearly.)
+    val pts = for (i <- 0 until 40) yield
+      (i.toLong, Array.tabulate(dim)(d =>
+        if (d < 4) ((i * 31 + d * 17) % 11 - 5).toDouble
+        else ((i * 7 + d) % 3) * 0.01).toSeq)
+    val aniso = pts.toDF("id", "emb")
+    val rot = Similarity.opqRotate(aniso, "id", "emb", dim, iters = 5)
+    val origMap = pts.toMap
+    val rotMap = rot.as[(Long, Seq[Double])].collect().toMap
+    assert(rotMap.keySet === origMap.keySet)
+    // isometry: pairwise dot products preserved to fp error
+    def dot(m: Map[Long, Seq[Double]], a: Long, b: Long): Double =
+      m(a).zip(m(b)).map { case (x, y) => x * y }.sum
+    for ((a, b) <- Seq((0L, 1L), (5L, 17L), (39L, 3L), (20L, 20L)))
+      assert(math.abs(dot(origMap, a, b) - dot(rotMap, a, b)) < 1e-6,
+        s"dot($a,$b) not preserved")
+    // reconstruction error: same budget (m=2, ksub=4) quantizes the rotated
+    // corpus strictly better
+    def mse(df: org.apache.spark.sql.DataFrame, embCol: String): Double = {
+      val cb = Similarity.pqCodebooks(df, "id", embCol, dim, m = 2, ksub = 4,
+        iters = 3)
+      val codes = Similarity.pqEncode(df, "id", embCol, dim, cb)
+        .as[(Long, Seq[Int])].collect().toMap
+      val vecs = df.select($"id", col(embCol).cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+      vecs.map { case (id, v) =>
+        val rec = codes(id).zipWithIndex.flatMap { case (c, mi) => cb(mi)(c) }
+        v.zip(rec).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum / vecs.length
+    }
+    val ePlain = mse(aniso, "emb")
+    val eRot = mse(rot, "emb_rot")
+    assert(eRot < ePlain, s"rotated PQ error $eRot !< plain $ePlain")
+    // recall under a TIGHT shortlist (no rerank headroom): ground truth is
+    // rotation-invariant, the ADC shortlist is not — rotated must not lose
+    val queries = aniso.where($"id" % 10 === 0)
+      .select($"id".as("q_id"), $"emb".as("q_emb"))
+    val exact = Similarity.bruteForceTopK(queries,
+      aniso.select($"id".as("cand_id"), $"emb".as("cand_emb")), k = 3)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame, embCol: String): Double = {
+      val got = Similarity.pqTopK(df, "id", embCol, $"id" % 10 === 0,
+        dim, m = 2, ksub = 4, iters = 3, k = 3, shortlist = 4)
+        .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val rPlain = recall(aniso, "emb")
+    val rRot = recall(rot, "emb_rot")
+    assert(rRot >= rPlain, s"rotated recall $rRot < plain $rPlain")
+  }
+
   test("recall@5 vs exact brute force stays above the pinned floor") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.where($"vec_id" % 50 === 0)
