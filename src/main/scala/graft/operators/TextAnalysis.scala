@@ -370,12 +370,58 @@ object TextAnalysis {
     * per round — the k-means/PQ iterative-trainer idiom. Each round's table
     * is persisted and the previous unpersisted, so lineage stays flat. */
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (words, merges) = bpeLoop(df, textCol, rounds)
+    words.unpersist()
+    df.sparkSession.createDataFrame(merges).toDF("round", "pair", "pair_count")
+  }
+
+  /** The trained word→segmentation map after `rounds` BPE merges: one row
+    * per distinct ELIGIBLE word (≥ 2 chars, `!`-free — the [[bpeTrain]]
+    * filter), with its final sentinel-spelled segmentation. This is the
+    * artifact a tokenizer ships: [[bpeTokenCounts]] applies it; callers can
+    * persist it like frozen PQ codebooks and re-segment later releases
+    * without retraining. Vocabulary-sized (distinct words, not tokens). */
+  def bpeVocab(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (words, _) = bpeLoop(df, textCol, rounds)
+    // hand the caller an unpersisted, lineage-complete frame
+    val out = words.select(col("word"), col("seg"))
+    words.unpersist()
+    out
+  }
+
+  /** Per-document token count under the BPE vocabulary trained by
+    * [[bpeTrain]]'s loop on this same corpus: eligible words cost their
+    * merged-symbol count, ineligible words (1-char, or containing the
+    * sentinel) fall back to one token per character — the byte-fallback
+    * convention real BPE tokenizers use for out-of-vocabulary input.
+    * Returns (idCol, n_bpe_tokens).
+    *
+    * Scale shape: training is [[bpeTrain]]'s vocabulary-sized loop; the
+    * application is one word-keyed equi-join (AQE-splittable on hot words;
+    * the vocab side is vocabulary-sized and typically auto-broadcasts) and
+    * one doc-keyed aggregation. The corpus text is scanned twice total:
+    * once into the distinct-word table, once to tokenize for counting. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     rounds: Int): DataFrame = {
+    val vocab = bpeVocab(df, textCol, rounds)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(size(split(col("seg"), "!")) - 1,
+        length(col("word")))).as("n_bpe_tokens"))
+  }
+
+  /** The count → select-top-merge → re-segment loop shared by [[bpeTrain]],
+    * [[bpeVocab]] and [[bpeTokenCounts]]. Returns the PERSISTED final word
+    * table (word, seg, freq) — caller unpersists — and the executed merges. */
+  private def bpeLoop(df: DataFrame, textCol: String,
+                      rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    val spark = df.sparkSession
     var words = df.select(explode(tokens(col(textCol))).as("word"))
       .where(length(col("word")) >= 2 && !col("word").contains("!"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", "!$1").as("seg"), col("freq"))
+      .select(col("word"), regexp_replace(col("word"), "(.)", "!$1").as("seg"),
+        col("freq"))
       .persist()
     words.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -397,7 +443,7 @@ object TextAnalysis {
         val pair = top(0).getString(0)
         val merged = "!" + pair.substring(1).replace("!", "")
         merges += ((r, pair, top(0).getLong(1)))
-        val next = words.select(
+        val next = words.select(col("word"),
           call_function("replace", col("seg"), lit(pair), lit(merged)).as("seg"),
           col("freq")).persist()
         next.count()
@@ -406,7 +452,6 @@ object TextAnalysis {
         r += 1
       }
     }
-    words.unpersist()
-    spark.createDataFrame(merges.toSeq).toDF("round", "pair", "pair_count")
+    (words, merges.toSeq)
   }
 }

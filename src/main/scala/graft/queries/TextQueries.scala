@@ -381,6 +381,15 @@ object TextQueries {
       TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"),
         "text", rounds = 6)),
 
+    // Tokenizer APPLICATION: per-document token count under the 6-merge BPE
+    // vocabulary q142 trains — eligible words cost their merged-symbol
+    // count, out-of-vocabulary input falls back to per-character tokens.
+    // The token-budget statistic every mixing/packing stage actually wants
+    // once a real tokenizer exists (q40's whitespace count is the proxy).
+    "q143_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(Tables.load(s, dir, "documents"),
+        "doc_id", "text", rounds = 6)),
+
     // The per-document curation scorecard: every verified curation signal
     // in ONE row per document — predicted language + consistency flag, the
     // shared milli-quantized quality score, exact-dup keeper flag, Bloom
@@ -656,10 +665,10 @@ object TextQueries {
     * (count desc, pair asc) top-1, and re-segments with the same literal
     * `replace` the Spark side uses. SUM over BIGINT is HUGEINT in DuckDB,
     * so pair_count re-casts to BIGINT in the final union. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  private def bpeRoundCtes(rounds: Int): String = {
     val init =
       """WITH w0 AS (
-        |  SELECT regexp_replace(word, '(.)', '!\1', 'g') AS seg,
+        |  SELECT word, regexp_replace(word, '(.)', '!\1', 'g') AS seg,
         |         CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE len(word) >= 2 AND NOT contains(word, '!')
@@ -677,17 +686,37 @@ object TextQueries {
          |),
          |b$r AS (SELECT pair, pair_count FROM p$r
          |        ORDER BY pair_count DESC, pair LIMIT 1),
-         |w$r AS (SELECT replace(seg, (SELECT pair FROM b$r),
+         |w$r AS (SELECT word, replace(seg, (SELECT pair FROM b$r),
          |                       (SELECT '!' || replace(substr(pair, 2), '!', '')
          |                        FROM b$r)) AS seg, freq
          |        FROM w${r - 1})""".stripMargin
     }
+    (init +: roundCtes).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
     val union = (1 to rounds)
       .map(r => s"SELECT CAST($r AS INTEGER) AS round, pair, " +
         s"CAST(pair_count AS BIGINT) AS pair_count FROM b$r")
       .mkString("\nUNION ALL\n")
-    (init +: roundCtes).mkString(",\n") + "\n" + union
+    bpeRoundCtes(rounds) + "\n" + union
   }
+
+  /** Apply the final round's vocabulary (w`rounds`): eligible words cost
+    * their symbol count, everything else one token per character. */
+  private def bpeTokensOracle(rounds: Int): String =
+    bpeRoundCtes(rounds) +
+      s""",
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |),
+         |cnt AS (
+         |  SELECT t.doc_id,
+         |         COALESCE(len(string_split(v.seg, '!')) - 1, len(t.word)) AS c
+         |  FROM toks t LEFT JOIN w$rounds v USING (word)
+         |)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bpe_tokens
+         |FROM cnt GROUP BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q85_chunk_docs" ->
@@ -1200,6 +1229,8 @@ object TextQueries {
         |FROM sp JOIN d USING (doc_id)""".stripMargin,
 
     "q142_bpe_train" -> bpeTrainOracle(6),
+
+    "q143_bpe_tokens" -> bpeTokensOracle(6),
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

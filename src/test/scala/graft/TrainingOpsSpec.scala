@@ -293,6 +293,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(ra === Set((1, "!x!y", 3L), (2, "!z!w", 1L)))
   }
 
+  test("bpeVocab/bpeTokenCounts: trained segmentation applies with OOV char fallback") {
+    // merges on this corpus: !a!a, !a!b, !aa!ab, !b!b, !c!d → vocab
+    // aaab→"!aaab", cd→"!cd", bb→"!bb" (all single symbols)
+    val docs = Seq((1L, "aaab cd aaab"), (2L, "a x!y bb")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeVocab(docs, "text", rounds = 6)
+      .as[(String, String)].collect().toMap
+    assert(vocab === Map("aaab" -> "!aaab", "cd" -> "!cd", "bb" -> "!bb"))
+    val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", rounds = 6)
+      .orderBy("doc_id").as[(Long, Long)].collect().toList
+    // doc 1: three in-vocab words, one symbol each = 3
+    // doc 2: "a" (1 char) + "x!y" (sentinel, 3 chars, OOV fallback) + "bb" = 5
+    assert(counts === List((1L, 3L), (2L, 5L)))
+  }
+
   // ---- Maximal repeated spans (Lee et al. ExactSubstr semantics) ------
 
   /** Reference implementation for the maximal-span contract: count every
