@@ -402,14 +402,21 @@ object TextAnalysis {
     * one doc-keyed aggregation. The corpus text is scanned twice total:
     * once into the distinct-word table, once to tokenize for counting. */
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
-                     rounds: Int): DataFrame = {
-    val vocab = bpeVocab(df, textCol, rounds)
+                     rounds: Int): DataFrame =
+    bpeCountWithVocab(df, idCol, textCol, bpeVocab(df, textCol, rounds))
+
+  /** [[bpeTokenCounts]]'s application half against an ALREADY-TRAINED
+    * vocabulary — the frozen-artifact serving path (the classifier-weights /
+    * PQ-codebooks idiom): one word-keyed equi-join plus a doc-keyed
+    * aggregation, no training work. `StreamEntry.countTokens` runs exactly
+    * this per micro-batch. */
+  def bpeCountWithVocab(df: DataFrame, idCol: String, textCol: String,
+                        vocab: DataFrame): DataFrame =
     df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .join(vocab, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(size(split(col("seg"), "!")) - 1,
         length(col("word")))).as("n_bpe_tokens"))
-  }
 
   /** The count → select-top-merge → re-segment loop shared by [[bpeTrain]],
     * [[bpeVocab]] and [[bpeTokenCounts]]. Returns the PERSISTED final word

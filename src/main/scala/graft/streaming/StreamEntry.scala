@@ -226,6 +226,22 @@ object StreamEntry {
           .parquet(storePath)
       }
 
+  /** Frozen-vocabulary BPE token counting on a document stream — the
+    * tokenizer's serving twin (the encodeVectors / scoreDocs idiom): each
+    * micro-batch counts tokens under a vocabulary trained ONCE on a prior
+    * release (`TextAnalysis.bpeVocab`), running the identical word-keyed
+    * join + doc-keyed aggregation the batch path (q143) runs — foreachBatch
+    * makes the micro-batch a plain frame, so stream and batch share one
+    * code path and counts are bit-equal. The vocab is a static
+    * vocabulary-sized table; no streaming state, no watermark. */
+  def countTokens(docs: DataFrame, vocab: DataFrame,
+                  sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.TextAnalysis.bpeCountWithVocab(
+          batch, "doc_id", "text", vocab), id)
+      }
+
   /** Frozen-weight quality scoring on a document stream: ONE per-row
     * expression (`Classifier.scoreExpr`) — no join, no shuffle, no state —
     * so it runs identically on a stream or a batch frame. Batch twin:

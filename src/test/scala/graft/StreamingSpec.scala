@@ -185,6 +185,37 @@ class StreamingSpec extends SparkSpec {
     assert(restored.select("release").distinct().count() === 2)
   }
 
+  test("frozen-vocab token counting streams per micro-batch and equals the batch path") {
+    val docs = Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    // train ONCE on the prior release; serve the new slice
+    val vocab = graft.operators.TextAnalysis.bpeVocab(docs.where(!isNew),
+      "text", rounds = 4).cache()
+    val dir = Files.createTempDirectory("tokstream").toString
+    val newDocs = docs.where(isNew)
+    newDocs.where(col("doc_id") % 20 < 10).coalesce(1).write.parquet(s"$dir/in/a")
+    newDocs.where(col("doc_id") % 20 >= 10).coalesce(1).write.parquet(s"$dir/in/b")
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    var batches = 0
+    val q = StreamEntry.countTokens(
+      spark.readStream.schema(StreamEntry.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      vocab,
+      sink = (df, _) => {
+        batches += 1
+        df.collect().foreach(r => got(r.getLong(0)) = r.getLong(1))
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(batches === 2)
+    val twin = graft.operators.TextAnalysis.bpeCountWithVocab(
+      newDocs, "doc_id", "text", vocab)
+      .as[(Long, Long)].collect().toMap
+    assert(got.toMap === twin)
+    assert(got.nonEmpty)
+    vocab.unpersist()
+  }
+
   test("frozen-weight scoring streams map-only and equals the q134 batch twin") {
     val docs = Tables.load(spark, sf, "documents")
     val isNew = col("doc_id") % 10 >= 8
