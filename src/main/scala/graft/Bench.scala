@@ -50,12 +50,16 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(1))
     val results = (1 to passes).map(_ => onePass()).last
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: full Double.toString made the line ~5.5 KB and the
+    // driver's truncated-tail capture clipped it into an unparseable
+    // fragment (round-6 summary recorded parsed:null); millisecond
+    // resolution loses nothing a wall-clock benchmark can claim anyway
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only — summing the -1 failure sentinels
     // would make the benchmark read faster when queries break
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a truncated stderr tail, which has dropped ~20
     // queries from past rounds' artifacts — persist the complete sorted

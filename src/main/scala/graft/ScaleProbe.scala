@@ -36,6 +36,13 @@ object ScaleProbe {
     "bloom_decontaminate" -> (d => Dedup.bloomDecontaminate(d, "doc_id", "text",
       benchFilter = col("doc_id") % 1000 === 0, n = 6, minOverlaps = 2)),
     "span_scrub" -> (d => Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 8)),
+    // same decision kernel as span_scrub plus the doc-keyed island window;
+    // on the k×-copied corpus every position is covered (all text repeats),
+    // so output rows grow ~k× and the window input is the covered set
+    "maximal_spans" -> (d => Dedup.maximalRepeatedSpans(d, "doc_id", "text", n = 8)),
+    // the trainer loop is vocabulary-sized (distinct words barely grow under
+    // copying); only the w0 build and the final count join scan the corpus
+    "bpe_tokens" -> (d => TextAnalysis.bpeTokenCounts(d, "doc_id", "text", rounds = 6)),
     // pair-emitting like minhash_pairs: 8 copies of every text form 8×8
     // cliques, so TRUE pair output grows ~k² and time should track the
     // output count, never the corpus pair space (the df cap only drops
