@@ -349,15 +349,19 @@ object TextAnalysis {
     * selection time. Stops early when no adjacent pair remains.
     *
     * Symbol representation: a word's segmentation is a single string with
-    * every symbol PREFIXED by `!` (words are pre-filtered to `!`-free
-    * tokens), e.g. "aaab" → "!a!a!a!b"; merging pair (a,b) is the literal
-    * string replace "!a!b" → "!ab". The leading sentinel makes the replace
-    * boundary-exact — "!a!b" cannot match inside "!xa!b" because the char
-    * before a symbol's text is always `!` and symbols never contain `!` —
-    * and `replace`'s left-to-right non-overlapping scan IS the standard
-    * greedy merge order ("!a!a!a" merges to "!aa!a", not "!a!aa"), with
-    * identical semantics in Spark and DuckDB, so the oracle can replay the
-    * loop verbatim.
+    * every symbol BRACKETED as `!sym?` (words are pre-filtered to
+    * `!`/`?`-free tokens), e.g. "aaab" → "!a?!a?!a?!b?"; merging pair (a,b)
+    * is the literal string replace "!a?!b?" → "!ab?". Both sentinels are
+    * load-bearing: a `!` can only occur at a symbol start, so a match
+    * aligns to a symbol boundary, and the trailing `?` anchors each
+    * symbol's END — with a prefix-only sentinel, merging (a,a) would
+    * corrupt "!a!acb" (symbols a·acb) because "!a!a" matches into the
+    * PREFIX of "acb"; "!a?!a?" cannot. Adjacent matches share no
+    * characters, so `replace`'s left-to-right non-overlapping scan IS the
+    * standard greedy merge order ("a a a" merges to "aa·a", not "a·aa"),
+    * with identical semantics in Spark and DuckDB, so the oracle can
+    * replay the loop verbatim. PropertiesSpec pins the whole trajectory
+    * against a symbol-list reference trainer on random corpora.
     *
     * Scale shape: the corpus is scanned ONCE, collapsing to the distinct-
     * word frequency table (vocabulary-sized — millions of rows at 100 TB,
@@ -425,9 +429,10 @@ object TextAnalysis {
                       rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     var words = df.select(explode(tokens(col(textCol))).as("word"))
-      .where(length(col("word")) >= 2 && !col("word").contains("!"))
+      .where(length(col("word")) >= 2 &&
+        !col("word").contains("!") && !col("word").contains("?"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"), regexp_replace(col("word"), "(.)", "!$1").as("seg"),
+      .select(col("word"), regexp_replace(col("word"), "(.)", "!$1?").as("seg"),
         col("freq"))
       .persist()
     words.count()
@@ -435,20 +440,21 @@ object TextAnalysis {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val syms = split(col("seg"), "!")
-      // adjacent symbol pairs: split yields a leading "" at index 1, symbols
-      // at 2..size; guard size >= 3 (sequence would descend on 1-symbol segs)
+      // splitting "!a?!b?" on '?' yields ["!a", "!b", ""]: `!`-prefixed
+      // symbols at 1..size-1; guard size >= 3 = at least two symbols
+      // (sequence would descend on 1-symbol segs)
+      val syms = split(col("seg"), "\\?")
       val top = words.where(size(syms) >= 3)
-        .select(explode(transform(sequence(lit(2), size(syms) - 1),
-          i => concat(lit("!"), element_at(syms, i),
-            lit("!"), element_at(syms, i + 1)))).as("pair"), col("freq"))
+        .select(explode(transform(sequence(lit(1), size(syms) - 2),
+          i => concat(element_at(syms, i), lit("?"),
+            element_at(syms, i + 1), lit("?")))).as("pair"), col("freq"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
-        val merged = "!" + pair.substring(1).replace("!", "")
+        val merged = "!" + pair.replace("!", "").replace("?", "") + "?"
         merges += ((r, pair, top(0).getLong(1)))
         val next = words.select(col("word"),
           call_function("replace", col("seg"), lit(pair), lit(merged)).as("seg"),

@@ -666,28 +666,31 @@ object TextQueries {
     * `replace` the Spark side uses. SUM over BIGINT is HUGEINT in DuckDB,
     * so pair_count re-casts to BIGINT in the final union. */
   private def bpeRoundCtes(rounds: Int): String = {
+    // symbols are BRACKETED "!sym?" (both sentinels load-bearing — see
+    // TextAnalysis.bpeTrain's scaladoc); splitting on '?' yields
+    // '!'-prefixed symbols with a trailing "" element
     val init =
       """WITH w0 AS (
-        |  SELECT word, regexp_replace(word, '(.)', '!\1', 'g') AS seg,
+        |  SELECT word, regexp_replace(word, '(.)', '!\1?', 'g') AS seg,
         |         CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE len(word) >= 2 AND NOT contains(word, '!')
+        |  WHERE len(word) >= 2 AND NOT contains(word, '!') AND NOT contains(word, '?')
         |  GROUP BY word
         |)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT pair, SUM(freq) AS pair_count FROM (
-         |    SELECT unnest(['!' || l[i] || '!' || l[i+1]
-         |                   FOR i IN generate_series(2, len(l) - 1)]) AS pair,
+         |    SELECT unnest([l[i] || '?' || l[i+1] || '?'
+         |                   FOR i IN generate_series(1, len(l) - 2)]) AS pair,
          |           freq
-         |    FROM (SELECT string_split(seg, '!') AS l, freq FROM w${r - 1})
+         |    FROM (SELECT string_split(seg, '?') AS l, freq FROM w${r - 1})
          |    WHERE len(l) >= 3
          |  ) GROUP BY pair
          |),
          |b$r AS (SELECT pair, pair_count FROM p$r
          |        ORDER BY pair_count DESC, pair LIMIT 1),
          |w$r AS (SELECT word, replace(seg, (SELECT pair FROM b$r),
-         |                       (SELECT '!' || replace(substr(pair, 2), '!', '')
+         |                       (SELECT '!' || replace(replace(pair, '!', ''), '?', '') || '?'
          |                        FROM b$r)) AS seg, freq
          |        FROM w${r - 1})""".stripMargin
     }

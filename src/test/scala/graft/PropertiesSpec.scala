@@ -310,6 +310,84 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("maximalRepeatedSpans equals brute-force islands on random small-vocab corpora") {
+    // a 4-symbol vocabulary forces plenty of repeated n-grams, including
+    // overlapping and adjacent covers — the edge geometry the operator merges
+    val docGen = Gen.listOfN(5,
+      Gen.chooseNum(8, 24).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("u", "v", "w", "x")).map(_.mkString(" "))))
+    forAllSeeded(docGen, 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = 3
+      val got = graft.operators.Dedup
+        .maximalRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Long, Long, String)].collect().toSet
+      // brute force: count every n-gram, mark covered positions, merge runs
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val counts = toks.values.toSeq
+        .flatMap(ts => if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")) else Nil)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val expect = docs.flatMap { case (id, _) =>
+        val ts = toks(id)
+        val covered = (for {
+          i <- 0 to ts.length - n
+          if counts(ts.slice(i, i + n).mkString(" ")) > 1
+          p <- i until i + n
+        } yield p).distinct.sorted
+        covered.foldLeft(List.empty[List[Int]]) {
+          case ((run :: rest), p) if run.head == p - 1 => (p :: run) :: rest
+          case (acc, p) => List(p) :: acc
+        }.map(_.reverse).map(run => (id, run.head + 1L, run.size.toLong,
+          ts.slice(run.head, run.head + run.size).mkString(" ")))
+      }.toSet
+      assert(got === expect, s"corpus: $texts")
+    }
+  }
+
+  test("bpeTrain merge trajectory equals a list-based reference trainer") {
+    // reference trainer on symbol LISTS: the property pins that the
+    // sentinel-string replace implements greedy-leftmost merge exactly
+    def referenceMerges(wordFreq: Map[String, Long], rounds: Int): List[(Int, String, Long)] = {
+      var words: Map[List[String], Long] = wordFreq
+        .map { case (w, f) => w.map(_.toString).toList -> f }
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+      for (r <- 1 to rounds) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+        }
+        if (pairs.nonEmpty && out.size == r - 1) {
+          val ((a, b), c) = pairs.toSeq
+            .minBy { case ((a, b), c) => (-c, "!" + a + "?!" + b + "?") }
+          out += ((r, "!" + a + "?!" + b + "?", c))
+          words = words.groupBy { case (syms, _) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toList
+          }.map { case (mergedSyms, group) => mergedSyms -> group.values.sum }
+        }
+      }
+      out.toList
+    }
+    val corpusGen = Gen.listOfN(6,
+      Gen.chooseNum(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    forAllSeeded(corpusGen, 8) { wordList =>
+      val docs = Seq((1L, wordList.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.bpeTrain(docs, "text", rounds = 5)
+        .orderBy("round").as[(Int, String, Long)].collect().toList
+      val freq = wordList
+        .filter(w => w.length >= 2 && !w.contains("!") && !w.contains("?"))
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      assert(got === referenceMerges(freq, 5), s"words: $wordList")
+    }
+  }
+
   test("blake2s/blake2b are deterministic, length-correct, and key-sensitive") {
     forAllSeeded(Gen.zip(Gen.asciiPrintableStr, Gen.choose(1, 32)), 30) { case (s, n) =>
       val data = s.getBytes("UTF-8")

@@ -266,18 +266,42 @@ class TrainingOpsSpec extends SparkSpec {
   // ---- Iterative BPE induction ---------------------------------------
 
   test("bpeTrain: hand-computed merge sequence, greedy-leftmost, early stop") {
-    // words: "aaab" ×2, "cd" ×1.  Hand-run of the loop:
-    //   r1: !a!a appears twice per "aaab" → 4; merge → "!aa!a!b"
-    //       (leftmost non-overlapping: NOT "!a!aa!b")
-    //   r2: tie !a!b=2 vs !aa!a=2 → pair asc picks !a!b; merge → "!aa!ab"
-    //   r3: !aa!ab → 2; merge → "!aaab"
-    //   r4: only "!c!d" remains → 1; merge → "!cd"
+    // words: "aaab" ×2, "cd" ×1.  Hand-run of the loop (symbols bracketed
+    // "!sym?"):
+    //   r1: (a,a) appears twice per "aaab" → 4; merge → "!aa?!a?!b?"
+    //       (leftmost non-overlapping: NOT "!a?!aa?!b?")
+    //   r2: tie (a,b)=2 vs (aa,a)=2 → pair asc picks "!a?!b?"; → "!aa?!ab?"
+    //   r3: (aa,ab) → 2; merge → "!aaab?"
+    //   r4: only (c,d) remains → 1; merge → "!cd?"
     //   r5: no adjacent pairs anywhere → loop stops early (rounds=6 asked)
     val docs = Seq((1L, "aaab cd aaab")).toDF("doc_id", "text")
     val got = TextAnalysis.bpeTrain(docs, "text", rounds = 6)
       .orderBy("round").as[(Int, String, Long)].collect().toList
     assert(got === List(
-      (1, "!a!a", 4L), (2, "!a!b", 2L), (3, "!aa!ab", 2L), (4, "!c!d", 1L)))
+      (1, "!a?!a?", 4L), (2, "!a?!b?", 2L), (3, "!aa?!ab?", 2L), (4, "!c?!d?", 1L)))
+  }
+
+  test("bpeTrain merge cannot match into a longer symbol's prefix") {
+    // regression for the prefix-capture bug: after (a,c) and (ac,b) merge,
+    // "aacb" segments as [a, acb]; a prefix-only sentinel encoding would
+    // let the (a,a) merge of "aa" match "!a!a" into "!a!acb" and corrupt
+    // the word to [aacb] — the bracketed "!a?!a?" pattern cannot
+    val docs = Seq((1L, "ac ac acb acb aacb aa aa aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+      .orderBy("round").as[(Int, String, Long)].collect().toList
+    // r1: (a,c)=5 (ac×2, acb×2, aacb) → aacb segments [a, ac, b].
+    // r2: (a,a)=3 (aa×3 only — aacb no longer has an a·a adjacency!) ties
+    //     (ac,b)=3, pair asc picks (a,a). The buggy encoding would match
+    //     "!a!a" into aacb's "!a!ac!b" here and corrupt it to [aac, b].
+    // r3: (ac,b)=3 (acb×2 + intact aacb).
+    assert(got.map(g => (g._1, g._2, g._3)) ===
+      List((1, "!a?!c?", 5L), (2, "!a?!a?", 3L), (3, "!ac?!b?", 3L)))
+    // the corrupted trajectory would have emitted a pair mentioning "aacb"
+    // or segmented aacb as one pre-formed symbol; verify the vocab instead:
+    val vocab = TextAnalysis.bpeVocab(docs, "text", rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert(vocab("aacb") === "!a?!acb?")
+    assert(vocab("aa") === "!aa?")
   }
 
   test("bpeTrain counts by word frequency: vocabulary-table loop ≡ occurrence counting") {
@@ -290,16 +314,16 @@ class TrainingOpsSpec extends SparkSpec {
     val rb = TextAnalysis.bpeTrain(b, "text", rounds = 2)
       .as[(Int, String, Long)].collect().toSet
     assert(ra === rb)
-    assert(ra === Set((1, "!x!y", 3L), (2, "!z!w", 1L)))
+    assert(ra === Set((1, "!x?!y?", 3L), (2, "!z?!w?", 1L)))
   }
 
   test("bpeVocab/bpeTokenCounts: trained segmentation applies with OOV char fallback") {
-    // merges on this corpus: !a!a, !a!b, !aa!ab, !b!b, !c!d → vocab
-    // aaab→"!aaab", cd→"!cd", bb→"!bb" (all single symbols)
+    // merges on this corpus: (a,a), (a,b), (aa,ab), (b,b), (c,d) → vocab
+    // aaab→"!aaab?", cd→"!cd?", bb→"!bb?" (all single symbols)
     val docs = Seq((1L, "aaab cd aaab"), (2L, "a x!y bb")).toDF("doc_id", "text")
     val vocab = TextAnalysis.bpeVocab(docs, "text", rounds = 6)
       .as[(String, String)].collect().toMap
-    assert(vocab === Map("aaab" -> "!aaab", "cd" -> "!cd", "bb" -> "!bb"))
+    assert(vocab === Map("aaab" -> "!aaab?", "cd" -> "!cd?", "bb" -> "!bb?"))
     val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", rounds = 6)
       .orderBy("doc_id").as[(Long, Long)].collect().toList
     // doc 1: three in-vocab words, one symbol each = 3
