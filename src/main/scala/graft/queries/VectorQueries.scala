@@ -95,6 +95,20 @@ object VectorQueries {
         "vec_id", "embedding", col("vec_id") % 50 === 0,
         dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
 
+    // OPQ-lite end to end: q136's power-iteration component reflects every
+    // embedding onto the balanced direction (Householder, pure map), then
+    // the q125 PQ pipeline runs over the rotated space. The reflection is
+    // an isometry, so exact search is unchanged; what the rotation buys is
+    // sub-quantizer variance balance (PQSpec pins the distortion win).
+    // Python-oracled: q136's quantized power sequence + index-order
+    // reflection + q125's Lloyd/ADC/rerank over the rotated vectors.
+    "q144_opq_ann" -> ((s, dir) => {
+      val rot = Similarity.opqRotate(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, iters = 3)
+      Similarity.pqTopK(rot, "vec_id", "emb_rot", col("vec_id") % 50 === 0,
+        dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)
+    }),
+
     // Incremental PQ index maintenance (completes the incremental family:
     // q120/q121 signatures, q123 clusters, q124 IVF cells, q127 PQ codes):
     // codebooks train on the prior release only; the new release's vectors

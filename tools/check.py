@@ -459,16 +459,21 @@ def py_q113_semdedup(con, spark_df, oracle):
 
 
 def py_q125_pq_ann(con, spark_df, oracle):
-    """Product-quantization ADC shortlist + exact rerank: per-subspace
-    Lloyd codebooks (the exact IEEE sequence of Similarity.pqCodebooks —
-    one _lloyd run per contiguous dim/m slice), codes = final-centroid
-    assignment, query lookup tables parts[s][j] =
-    floor(q_s . c_{s,j} * 1e6 + 0.5) with index-order dots, ADC score =
-    integer sum of m lookups, top-100 shortlist by (adc desc, cand_id asc),
-    then exact index-order dot rounded to 3 dp reranks to the final top-5."""
-    import math
+    """Product-quantization ADC shortlist + exact rerank — see _pq_topk."""
     ids, vecs = _embeddings(con)
-    m, ksub, iters, k, shortlist = 16, 8, 3, 5, 100
+    exp = _pq_topk(ids, vecs, m=16, ksub=8, iters=3, k=5, shortlist=100)
+    return spark_df, exp
+
+
+def _pq_topk(ids, vecs, m, ksub, iters, k, shortlist):
+    """Similarity.pqTopK replication: per-subspace Lloyd codebooks (the
+    exact IEEE sequence of Similarity.pqCodebooks — one _lloyd run per
+    contiguous dim/m slice), codes = final-centroid assignment, query
+    lookup tables parts[s][j] = floor(q_s . c_{s,j} * 1e6 + 0.5) with
+    index-order dots, ADC score = integer sum of m lookups, top-`shortlist`
+    by (adc desc, cand_id asc), then exact index-order dot rounded to 3 dp
+    reranks to the final top-k. Queries: vec_id % 50 == 0."""
+    import math
     dim = len(vecs[0])
     dsub = dim // m
     cbs = []
@@ -513,8 +518,7 @@ def py_q125_pq_ann(con, spark_df, oracle):
         rer.sort(key=lambda t: (-t[0], t[1]))
         for sc, cid in rer[:k]:
             out.append((qid, cid, sc))
-    exp = pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
-    return spark_df, exp
+    return pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
 
 
 def py_q127_incremental_pq(con, spark_df, oracle):
@@ -542,14 +546,13 @@ def py_q127_incremental_pq(con, spark_df, oracle):
     return spark_df, exp
 
 
-def py_q136_top_component(con, spark_df, oracle):
-    """Power-iteration top component (Similarity.topComponentProjections,
-    dim=64, iters=3): per-dim mean and every u-update quantized with
-    floor(x*1e6 + 0.5) and summed as exact ints; dots accumulate in index
-    order; norm/sqrt/divisions are IEEE basic ops identical to the JVM's."""
+def _power_component(vecs, dim, iters):
+    """Similarity.topComponent replication: per-dim mean and every u-update
+    quantized with floor(x*1e6 + 0.5) and summed as exact ints; dots
+    accumulate in index order; norm/sqrt/divisions are IEEE basic ops
+    identical to the JVM's. Returns (mu, unit component)."""
     import math
-    ids, vecs = _embeddings(con)
-    dim, iters, n = len(vecs[0]), 3, len(vecs)
+    n = len(vecs)
 
     def q(x):
         return math.floor(x * 1e6 + 0.5)
@@ -577,14 +580,55 @@ def py_q136_top_component(con, spark_df, oracle):
             nsq += uf[i] * uf[i]
         norm = math.sqrt(nsq)
         w = [x / norm for x in uf]
+    return mu, w
+
+
+def py_q136_top_component(con, spark_df, oracle):
+    """Power-iteration top component (Similarity.topComponentProjections,
+    dim=64, iters=3) — see _power_component for the IEEE sequence."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    mu, w = _power_component(vecs, dim, iters=3)
     rows = []
     for vid, vec in zip(ids, vecs):
         c = [vec[i] - mu[i] for i in range(dim)]
         s = 0.0
         for i in range(dim):
             s += c[i] * w[i]
-        rows.append((vid, q(s)))
+        rows.append((vid, math.floor(s * 1e6 + 0.5)))
     exp = pd.DataFrame(rows, columns=["vec_id", "proj_micro"])
+    return spark_df, exp
+
+
+def py_q144_opq_ann(con, spark_df, oracle):
+    """OPQ-lite ANN: q136's power component, Householder reflection onto the
+    balanced direction (Similarity.opqRotate: w ∝ u − 1/√dim, index-order
+    dot, x′ = x − 2(w·x)w, identity when ‖u−t‖ < 1e-9), then EXACTLY the
+    q125 PQ pipeline (same Lloyd sequence, integer ADC, 3-dp rerank) over
+    the rotated vectors."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    _, u = _power_component(vecs, dim, iters=3)
+    t = 1.0 / math.sqrt(float(dim))
+    wraw = [u[i] - t for i in range(dim)]
+    nsq = 0.0
+    for x in wraw:
+        nsq += x * x
+    nrm = math.sqrt(nsq)
+    if nrm < 1e-9:
+        rot = vecs
+    else:
+        hh = [x / nrm for x in wraw]
+        rot = []
+        for v in vecs:
+            d = 0.0
+            for i in range(dim):
+                d += v[i] * hh[i]
+            d2 = d * 2.0
+            rot.append([v[i] - d2 * hh[i] for i in range(dim)])
+    exp = _pq_topk(ids, rot, m=16, ksub=8, iters=3, k=5, shortlist=100)
     return spark_df, exp
 
 
@@ -594,6 +638,7 @@ PY_ORACLES = {
     "q125_pq_ann": py_q125_pq_ann,
     "q127_incremental_pq": py_q127_incremental_pq,
     "q136_top_component": py_q136_top_component,
+    "q144_opq_ann": py_q144_opq_ann,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
