@@ -137,6 +137,29 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty)
   }
 
+  test("maximal spans: q119's no-gram-window kernel plus ONE doc-keyed island window") {
+    val p = plan("q141_maximal_spans")
+    // the covered-position decision inherits q119's aggregate+join-back
+    // shape; the only window allowed is the gaps-and-islands merge,
+    // partitioned by the doc id (bounded by one document's token count)
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+    // Window [exprs], [partitionSpec], [orderSpec] — partitioned by the doc
+    // id and ordered by position
+    assert("Window \\[[^\\]]*\\], \\[doc_id#\\d+L?\\], \\[pos#\\d+".r
+      .findFirstIn(p).isDefined, p.take(2000))
+    // span text rejoins the doc table without a sort-merge
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("BPE token counts: vocab broadcasts into the word join, one doc-keyed agg") {
+    val p = plan("q143_bpe_tokens")
+    // the trained vocabulary is vocabulary-sized state — it must reach the
+    // corpus as a broadcast build side, never by shuffling the token stream
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("block dedup keeps-first by aggregate+join-back, never a window") {
     // same skew reasoning as span scrub: min(struct(id,pos)) per block text
     // partial-combines map-side; a row_number window keyed by block would
