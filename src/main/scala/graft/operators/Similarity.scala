@@ -565,6 +565,101 @@ object Similarity {
       .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
   }
 
+  /** IVFADC (Jégou et al. 2011 §IV) — the canonical billion-scale ANN
+    * index, composing this file's two verified quantizers: a coarse
+    * [[kMeans]] quantizer routes every vector to one of `kCoarse` cells,
+    * PQ codebooks are trained and codes stored on the RESIDUAL
+    * (v − centroid(cell)) — far more quantizable than the raw vector — and
+    * a query probes only its `nProbe` nearest cells, scoring candidates
+    * there from codes alone with a PER-CELL lookup table built from the
+    * query's own residual against that cell, then exact-reranks the ADC
+    * shortlist on full vectors.
+    *
+    * Determinism is inherited: coarse assignment is [[kMeans]]'s strict-<
+    * argmin expression, probed cells rank by the same (‖c‖² − 2·q·c) metric
+    * with cell-ascending ties, residual sub-quantizers follow
+    * [[pqCodebooks]]'s exact IEEE sequence, ADC scores are exact integer
+    * sums, rerank dots round to 3 dp. The Python oracle replays the whole
+    * chain.
+    *
+    * Scale shape: the coarse and PQ trainers keep metadata-sized driver
+    * state; encoding is map-only (centroid and codebook literals); the ADC
+    * pass is an EQUI-JOIN ON THE CELL ID — only the probed cells'
+    * (cand_id, cell, codes) rows meet the broadcast query tables, so work
+    * scales with the probed population, not the corpus (this cell-pruned
+    * join is what q125's flat ADC lacks and why FAISS serves billions this
+    * way); both top-shortlist and top-k are bounded TopK aggregates with
+    * map-side partials; the rerank reads |queries| × shortlist full
+    * vectors via broadcast joins. */
+  def ivfPqTopK(df: DataFrame, idCol: String, embCol: String,
+                queryFilter: Column, dim: Int, kCoarse: Int, coarseIters: Int,
+                nProbe: Int, m: Int, ksub: Int, iters: Int,
+                k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    require(nProbe > 0 && nProbe <= kCoarse,
+      s"nProbe=$nProbe must be in 1..kCoarse=$kCoarse")
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val cents = kMeansCentroids(df, idCol, embCol, kCoarse, coarseIters)
+    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centArr, cell + 1), (a, b) => a - b)
+    val base = df.select(col(idCol).cast("long").as("cand_id"),
+        col(embCol).cast("array<double>").as("__v"))
+      .withColumn("cell", assignExpr(cents, col("__v")))
+      .withColumn("__r", residual(col("__v"), col("cell")))
+    val cb = pqCodebooks(base, "cand_id", "__r", dim, m, ksub, iters)
+    val enc = base.select(col("cand_id"), col("cell"),
+      array((0 until m).map(s => assignExpr(cb(s),
+        slice(col("__r"), s * dsub + 1, dsub))): _*).as("codes"))
+    val qd = df.where(queryFilter)
+      .select(col(idCol).cast("long").as("q_id"),
+        col(embCol).cast("array<double>").as("__q"))
+    // probe selection: same argmin metric as assignment, ranked to nProbe
+    val cellScores = array(cents.zipWithIndex.map { case (cv, j) =>
+      var nsq = 0d; var i = 0
+      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
+      struct((lit(nsq) - lit(2d) * dot(col("__q"), array(cv.map(lit): _*))).as("d"),
+        lit(j).as("cell"))
+    }: _*)
+    val probed = qd.select(col("q_id"), col("__q"),
+        explode(cellScores).as("cs"))
+      .select(col("q_id"), col("__q"),
+        col("cs.d").as("__d"), col("cs.cell").as("cell"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cell").asc)))
+      .where(col("__rn") <= nProbe)
+    // per-(query, probed cell) residual lookup tables
+    val parts = array((0 until m).map { s =>
+      val qs = slice(col("__qr"), s * dsub + 1, dsub)
+      array(cb(s).map(c =>
+        floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
+    }: _*)
+    val qtab = probed
+      .withColumn("__qr", residual(col("__q"), col("cell")))
+      .select(col("q_id"), col("cell"), parts.as("__parts"))
+    val short = enc.join(broadcast(qtab), Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("__parts"), (c, p) => element_at(p, c + 1)),
+        lit(0L), (acc, x) => acc + x).cast("double"))
+      .where(col("adc").isNotNull && col("cand_id").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(shortlist)(col("adc"), col("cand_id"))
+        .as("tk"))
+      .select(col("q_id"), explode(col("tk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+    val cands = df.select(col(idCol).cast("long").as("cand_id"),
+      col(embCol).cast("array<double>").as("__c"))
+    cands.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(qd), Seq("q_id"))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 3))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
+      .select(col("q_id"), explode(col("tk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
+  }
+
   /** Int8 scalar quantization of an embedding column: per-dimension corpus
     * [min, max] → each component mapped to round((v-lo)/((hi-lo)/255)) in
     * 0..255 — 4× smaller at rest than float32, the standard first compression

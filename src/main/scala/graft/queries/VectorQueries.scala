@@ -95,6 +95,18 @@ object VectorQueries {
         "vec_id", "embedding", col("vec_id") % 50 === 0,
         dim = 64, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
 
+    // IVFADC (the FAISS-style billion-scale index, Jégou 2011 §IV): coarse
+    // k-means routes vectors to cells, PQ codes live on the residuals, a
+    // query probes its 2 nearest cells and ADC-scores only their members
+    // (cell-keyed equi-join — the pruning q125's flat ADC lacks), then
+    // exact-reranks. Python-oracled by composing the q109 Lloyd's and q125
+    // PQ kernels with residual/probe steps replayed in the same IEEE order.
+    "q145_ivfpq_ann" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0,
+        dim = 64, kCoarse = 8, coarseIters = 4, nProbe = 2,
+        m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
+
     // OPQ-lite end to end: q136's power-iteration component reflects every
     // embedding onto the balanced direction (Householder, pure map), then
     // the q125 PQ pipeline runs over the rotated space. The reflection is

@@ -115,6 +115,31 @@ class PQSpec extends SparkSpec {
     assert(rRot >= rPlain, s"rotated recall $rRot < plain $rPlain")
   }
 
+  test("ivfPqTopK: partition-invariant, self-excluding, and recall holds with full probing") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame, nProbe: Int) =
+      Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        $"vec_id" % 50 === 0, dim = 64, kCoarse = 8, coarseIters = 4,
+        nProbe = nProbe, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)
+    val a = run(emb, 2).orderBy("q_id", "cand_id").collect().toSeq
+    val b = run(emb.repartition(13), 2).orderBy("q_id", "cand_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    assert(!a.exists(r => r.getLong(0) == r.getLong(1)), "self-match leaked")
+    // probing ALL cells removes the IVF approximation: the only loss left
+    // is the residual-PQ shortlist, which should recover most of the exact
+    // top-5 (residual PQ quantizes better than raw PQ; same 0.8 floor)
+    val exact = Similarity.bruteForceTopK(
+      emb.where($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb")),
+      emb.select($"vec_id".as("cand_id"), $"embedding".as("cand_emb")), k = 5)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+    val full = run(emb, 8).select("q_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & full).size.toDouble / exact.size
+    assert(recall >= 0.8, s"full-probe recall collapsed: $recall")
+  }
+
   test("recall@5 vs exact brute force stays above the pinned floor") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.where($"vec_id" % 50 === 0)

@@ -583,6 +583,83 @@ def _power_component(vecs, dim, iters):
     return mu, w
 
 
+def py_q145_ivfpq_ann(con, spark_df, oracle):
+    """IVFADC: coarse Lloyd's (the exact q109 sequence, k=8, iters=4),
+    residuals v − centroid(cell), per-subspace residual codebooks (the q125
+    sequence), probe = 2 cells by (‖c‖² − 2q·c, cell) ascending, per-cell
+    integer ADC over the query's own residual, 3-dp exact rerank of the
+    top-100 shortlist to the final top-5."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    kc, citers, nprobe = 8, 4, 2
+    m, ksub, iters, k, shortlist = 16, 8, 3, 5, 100
+    dsub = dim // m
+    cents, assign = _lloyd(vecs, kc, citers)
+    resid = [[v[i] - cents[c][i] for i in range(dim)]
+             for v, c in zip(vecs, assign)]
+    cbs = []
+    codes = [[0] * m for _ in ids]
+    for s in range(m):
+        scents, sassign = _lloyd([r[s * dsub:(s + 1) * dsub] for r in resid],
+                                 ksub, iters)
+        cbs.append(scents)
+        for ri, j in enumerate(sassign):
+            codes[ri][s] = j
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    by_cell = {}
+    for i, c in enumerate(assign):
+        by_cell.setdefault(c, []).append(i)
+    out = []
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        cs = []
+        for j, cv in enumerate(cents):
+            nsq = 0.0
+            for x in cv:
+                nsq += x * x
+            d = 0.0
+            for i in range(dim):
+                d += vecs[qi][i] * cv[i]
+            cs.append((nsq - 2.0 * d, j))
+        cs.sort(key=lambda t: (t[0], t[1]))
+        scored = []
+        for _, cell in cs[:nprobe]:
+            qr = [vecs[qi][i] - cents[cell][i] for i in range(dim)]
+            parts = []
+            for s in range(m):
+                qs = qr[s * dsub:(s + 1) * dsub]
+                row = []
+                for c in cbs[s]:
+                    acc = 0.0
+                    for i in range(dsub):
+                        acc += qs[i] * c[i]
+                    row.append(math.floor(acc * 1e6 + 0.5))
+                parts.append(row)
+            for ci in by_cell.get(cell, []):
+                cid = ids[ci]
+                if cid == qid:
+                    continue
+                sc = 0
+                for s in range(m):
+                    sc += parts[s][codes[ci][s]]
+                scored.append((sc, cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rer = []
+        for _, cid in scored[:shortlist]:
+            cv2 = vecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += vecs[qi][i] * cv2[i]
+            rer.append((_spark_round(acc, 3), cid))
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        for sc, cid in rer[:k]:
+            out.append((qid, cid, sc))
+    exp = pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
+    return spark_df, exp
+
+
 def py_q136_top_component(con, spark_df, oracle):
     """Power-iteration top component (Similarity.topComponentProjections,
     dim=64, iters=3) — see _power_component for the IEEE sequence."""
@@ -639,6 +716,7 @@ PY_ORACLES = {
     "q127_incremental_pq": py_q127_incremental_pq,
     "q136_top_component": py_q136_top_component,
     "q144_opq_ann": py_q144_opq_ann,
+    "q145_ivfpq_ann": py_q145_ivfpq_ann,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
