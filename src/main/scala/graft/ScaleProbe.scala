@@ -74,7 +74,14 @@ object ScaleProbe {
       .topComponentProjections(e, "vec_id", "embedding", dim = 64, iters = 3)),
     // trainer is dim-sized driver state; the reflection itself is a pure map
     "opq_rotate" -> (e => graft.operators.Similarity
-      .opqRotate(e, "vec_id", "embedding", dim = 64, iters = 3)))
+      .opqRotate(e, "vec_id", "embedding", dim = 64, iters = 3)),
+    // cell-pruned ADC: the big-side join input is the probed cells'
+    // (cand_id, cell, codes) rows, not the corpus — time should track the
+    // probed population while the query set stays pinned
+    "ivfpq_ann" -> (e => graft.operators.Similarity.ivfPqTopK(e, "vec_id",
+      "embedding", col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
+      dim = 64, kCoarse = 8, coarseIters = 4, nProbe = 2,
+      m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
