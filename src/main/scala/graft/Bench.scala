@@ -50,23 +50,31 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(1))
     val results = (1 to passes).map(_ => onePass()).last
-    // 3-decimal seconds: full Double.toString made the line ~5.5 KB and the
-    // driver's truncated-tail capture clipped it into an unparseable
-    // fragment (round-6 summary recorded parsed:null); millisecond
-    // resolution loses nothing a wall-clock benchmark can claim anyway
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT explicitly: the default-locale `f` interpolator would emit
+    // comma decimals (12,345) on e.g. de_DE — invalid JSON
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only — summing the -1 failure sentinels
     // would make the benchmark read faster when queries break
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures a truncated stderr tail, which has dropped ~20
-    // queries from past rounds' artifacts — persist the complete sorted
-    // result ourselves so round-over-round comparison is lossless.
+    val nFailed = results.count(_._2 < 0)
+    // The driver's tail capture truncates long lines (rounds 6 AND 7 recorded
+    // parsed:null once the per-query map outgrew it), so stdout gets a SHORT
+    // fixed-size summary that can never truncate; the complete per-query map
+    // lives in the artifact file, keyed back to the summary by its md5.
+    val qsMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val artifact = if (passes > 1) "BENCH_STEADY.json" else "BENCH_FULL.json"
+    val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""queries_md5":"$qsMd5","detail":"$artifact","sf":"$sfDir"}"""
+    println(line)
+    val full = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

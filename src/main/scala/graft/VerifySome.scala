@@ -26,6 +26,11 @@ object VerifySome {
     val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // names.json tells check.py which queries this partial dump covers, so
+    // its Python-oracle loop skips the ~12 undumped ones instead of failing
+    // them as MISSING — without this a partial gate could never exit 0
+    Files.writeString(Paths.get(s"$outDir/names.json"),
+      names.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

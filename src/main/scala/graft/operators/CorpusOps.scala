@@ -36,11 +36,22 @@ object CorpusOps {
     * One shuffle (by shard) + one sort (by id); shards pack independently so
     * the operator scales out linearly with `nShards`. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budgetTokens: Int, nShards: Int): DataFrame = {
+                    budgetTokens: Int, nShards: Int): DataFrame =
+    packSequencesByCount(df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("__nt")),
+      idCol, "__nt", budgetTokens, nShards)
+
+  /** [[packSequences]] over an ALREADY-COMPUTED per-document token-count
+    * column — the entry point once a real tokenizer exists: feed it
+    * [[TextAnalysis.bpeCountWithVocab]]'s output and the packing plan
+    * budgets in trained-tokenizer tokens instead of the whitespace proxy
+    * (same plan shape: one window over the shard key). */
+  def packSequencesByCount(df: DataFrame, idCol: String, countCol: String,
+                           budgetTokens: Int, nShards: Int): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val withShard = df.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      col(countCol).cast("long").as("n_tokens"),
       pmod(col(idCol), lit(nShards.toLong)).as("shard"))
     val before = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -235,13 +246,24 @@ object CorpusOps {
     * map-side-combined batch aggregation on (bucket, batch). Buckets are
     * few; batch ranks within a bucket stream through one sort. */
   def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
-                          batchSize: Int, bounds: Seq[Int]): DataFrame = {
+                          batchSize: Int, bounds: Seq[Int]): DataFrame =
+    lengthBucketBatchesByCount(df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("__nt")),
+      idCol, "__nt", batchSize, bounds)
+
+  /** [[lengthBucketBatches]] over an already-computed token-count column
+    * (e.g. trained-tokenizer counts from
+    * [[TextAnalysis.bpeCountWithVocab]]) — the padding economics a real
+    * dataloader sees are in TOKENIZER tokens, not whitespace words. */
+  def lengthBucketBatchesByCount(df: DataFrame, idCol: String,
+                                 countCol: String, batchSize: Int,
+                                 bounds: Seq[Int]): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
       s"bounds must be non-empty, ascending, distinct: $bounds")
     require(bounds.head > 0, s"bounds must be positive: $bounds")
     val overflow = 1L << 30
-    val nTok = TextAnalysis.tokenCount(col(textCol))
+    val nTok = col(countCol).cast("long")
     val bucket = bounds.foldRight(lit(overflow): Column)((bnd, acc) =>
       when(nTok <= bnd, lit(bnd.toLong)).otherwise(acc))
     val w = Window.partitionBy(col("bucket"))
@@ -268,6 +290,24 @@ object CorpusOps {
     require(capTokens > 0, s"capTokens must be positive, got $capTokens")
     val withTokens = df.withColumn("n_tokens",
         TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withTokens
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= capTokens)
+      .drop("__h")
+  }
+
+  /** [[capSourceTokens]] over an already-computed token-count column (the
+    * trained-tokenizer entry point, like [[packSequencesByCount]]): source
+    * caps are token BUDGETS, so once a real tokenizer exists they should be
+    * enforced in its tokens. Input carries (idCol, sourceCol, countCol);
+    * all input columns pass through plus n_tokens and cum_tokens. */
+  def capSourceTokensByCount(df: DataFrame, idCol: String, sourceCol: String,
+                             countCol: String, capTokens: Long): DataFrame = {
+    require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    val withTokens = df.withColumn("n_tokens", col(countCol).cast("long"))
       .withColumn("__h", md5(col(idCol).cast("string")))
     val w = Window.partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)

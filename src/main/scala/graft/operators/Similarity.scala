@@ -595,48 +595,120 @@ object Similarity {
                 queryFilter: Column, dim: Int, kCoarse: Int, coarseIters: Int,
                 nProbe: Int, m: Int, ksub: Int, iters: Int,
                 k: Int, shortlist: Int): DataFrame = {
-    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    require(nProbe > 0 && nProbe <= kCoarse,
-      s"nProbe=$nProbe must be in 1..kCoarse=$kCoarse")
-    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    val cents = kMeansCentroids(df, idCol, embCol, kCoarse, coarseIters)
-    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
-    def residual(v: Column, cell: Column): Column =
-      zip_with(v, element_at(centArr, cell + 1), (a, b) => a - b)
-    val base = df.select(col(idCol).cast("long").as("cand_id"),
-        col(embCol).cast("array<double>").as("__v"))
-      .withColumn("cell", assignExpr(cents, col("__v")))
-      .withColumn("__r", residual(col("__v"), col("cell")))
-    val cb = pqCodebooks(base, "cand_id", "__r", dim, m, ksub, iters)
-    val enc = base.select(col("cand_id"), col("cell"),
-      array((0 until m).map(s => assignExpr(cb(s),
-        slice(col("__r"), s * dsub + 1, dsub))): _*).as("codes"))
+    val model = ivfPqTrain(df, idCol, embCol, dim, kCoarse, coarseIters,
+      m, ksub, iters)
+    val enc = ivfPqEncode(df, idCol, embCol, model)
     val qd = df.where(queryFilter)
       .select(col(idCol).cast("long").as("q_id"),
-        col(embCol).cast("array<double>").as("__q"))
-    // probe selection: same argmin metric as assignment, ranked to nProbe
-    val cellScores = array(cents.zipWithIndex.map { case (cv, j) =>
+        col(embCol).cast("array<double>").as("q_emb"))
+    val fullVecs = df.select(col(idCol).cast("long").as("cand_id"),
+      col(embCol).cast("array<double>").as("cand_emb"))
+    ivfPqServe(qd, enc, fullVecs, model, nProbe, k, shortlist)
+  }
+
+  /** The frozen state an IVFADC index persists: coarse centroids (kCoarse ×
+    * dim) + per-subspace residual codebooks (m × ksub × dim/m) — kilobytes
+    * of metadata against a 100 TB code table, the exact split
+    * [[graft.pipeline.IndexStore]] writes to its meta files. */
+  final case class IvfPqModel(dim: Int, centroids: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]]) {
+    def kCoarse: Int = centroids.length
+    def m: Int = codebooks.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+  }
+
+  /** Train the IVFADC quantizers only (no codes, no serving): coarse
+    * [[kMeans]] centroids, then [[pqCodebooks]] on the residuals
+    * v − centroid(cell). Deterministic end to end (see [[ivfPqTopK]]);
+    * driver state is metadata-sized. */
+  def ivfPqTrain(df: DataFrame, idCol: String, embCol: String, dim: Int,
+                 kCoarse: Int, coarseIters: Int, m: Int, ksub: Int,
+                 iters: Int): IvfPqModel = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cents = kMeansCentroids(df, idCol, embCol, kCoarse, coarseIters)
+    val base = ivfPqResiduals(df, idCol, embCol, cents)
+    val cb = pqCodebooks(base, "cand_id", "__r", dim, m, ksub, iters)
+    IvfPqModel(dim, cents, cb)
+  }
+
+  /** (cand_id, __v, cell, __r): cell assignment + residual against the
+    * frozen centroids — pure map (centroids ride as array literals). */
+  private def ivfPqResiduals(df: DataFrame, idCol: String, embCol: String,
+                             cents: Array[Array[Double]]): DataFrame = {
+    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    df.select(col(idCol).cast("long").as("cand_id"),
+        col(embCol).cast("array<double>").as("__v"))
+      .withColumn("cell", assignExpr(cents, col("__v")))
+      .withColumn("__r",
+        zip_with(col("__v"), element_at(centArr, col("cell") + 1), (a, b) => a - b))
+  }
+
+  /** Encode vectors against a FROZEN model — map-only (centroid and codebook
+    * literals broadcast with the plan), the operation an incremental release
+    * append runs. Output (cand_id, cell, codes array<int>): the at-rest
+    * representation, m small ints per vector. */
+  def ivfPqEncode(df: DataFrame, idCol: String, embCol: String,
+                  model: IvfPqModel): DataFrame = {
+    val dsub = model.dim / model.m
+    ivfPqResiduals(df, idCol, embCol, model.centroids)
+      .select(col("cand_id"), col("cell"),
+        array((0 until model.m).map(s => assignExpr(model.codebooks(s),
+          slice(col("__r"), s * dsub + 1, dsub))): _*).as("codes"))
+  }
+
+  /** Probe selection: each query's `nProbe` nearest coarse cells by the same
+    * (‖c‖² − 2·q·c) metric as assignment, cell-ascending ties. Input
+    * queries(q_id long, q_emb array<double>); output (q_id, q_emb, cell). */
+  def ivfPqProbe(queries: DataFrame, model: IvfPqModel,
+                 nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= model.kCoarse,
+      s"nProbe=$nProbe must be in 1..kCoarse=${model.kCoarse}")
+    val cellScores = array(model.centroids.zipWithIndex.map { case (cv, j) =>
       var nsq = 0d; var i = 0
       while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
-      struct((lit(nsq) - lit(2d) * dot(col("__q"), array(cv.map(lit): _*))).as("d"),
+      struct((lit(nsq) - lit(2d) * dot(col("q_emb"), array(cv.map(lit): _*))).as("d"),
         lit(j).as("cell"))
     }: _*)
-    val probed = qd.select(col("q_id"), col("__q"),
-        explode(cellScores).as("cs"))
-      .select(col("q_id"), col("__q"),
+    queries.select(col("q_id"), col("q_emb"), explode(cellScores).as("cs"))
+      .select(col("q_id"), col("q_emb"),
         col("cs.d").as("__d"), col("cs.cell").as("cell"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cell").asc)))
       .where(col("__rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+  }
+
+  /** The query-only IVFADC serving path against a FROZEN model and an
+    * ALREADY-ENCODED code table — zero training jobs (what
+    * [[graft.pipeline.IndexStore.query]] runs against the persisted index;
+    * [[ivfPqTopK]] composes train + encode + this, so the two answers are
+    * identical by construction).
+    *
+    * Inputs: queries(q_id long, q_emb array<double>);
+    * enc(cand_id, cell, codes) from [[ivfPqEncode]] or the store;
+    * fullVecs(cand_id, cand_emb) for the exact rerank (only
+    * |queries| × shortlist ids are ever read from it, via broadcast joins).
+    *
+    * Plan shape: per-(query, probed-cell) residual lookup tables broadcast;
+    * ADC is an equi-join on the cell id so work scales with the probed
+    * population; both top-shortlist and top-k are bounded TopK aggregates
+    * with map-side partials. */
+  def ivfPqServe(queries: DataFrame, enc: DataFrame, fullVecs: DataFrame,
+                 model: IvfPqModel, nProbe: Int, k: Int,
+                 shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val dsub = model.dim / model.m
+    val centArr = array(model.centroids.map(cv => array(cv.map(lit): _*)): _*)
+    val probed = ivfPqProbe(queries, model, nProbe)
     // per-(query, probed cell) residual lookup tables
-    val parts = array((0 until m).map { s =>
+    val parts = array((0 until model.m).map { s =>
       val qs = slice(col("__qr"), s * dsub + 1, dsub)
-      array(cb(s).map(c =>
+      array(model.codebooks(s).map(c =>
         floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
     }: _*)
     val qtab = probed
-      .withColumn("__qr", residual(col("__q"), col("cell")))
+      .withColumn("__qr",
+        zip_with(col("q_emb"), element_at(centArr, col("cell") + 1), (a, b) => a - b))
       .select(col("q_id"), col("cell"), parts.as("__parts"))
     val short = enc.join(broadcast(qtab), Seq("cell"))
       .where(col("cand_id") =!= col("q_id"))
@@ -649,11 +721,9 @@ object Similarity {
         .as("tk"))
       .select(col("q_id"), explode(col("tk.items")).as("c"))
       .select(col("q_id"), col("c.id").as("cand_id"))
-    val cands = df.select(col(idCol).cast("long").as("cand_id"),
-      col(embCol).cast("array<double>").as("__c"))
-    cands.join(broadcast(short), Seq("cand_id"))
-      .join(broadcast(qd), Seq("q_id"))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 3))
+    fullVecs.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), 3))
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
       .select(col("q_id"), explode(col("tk.items")).as("c"))

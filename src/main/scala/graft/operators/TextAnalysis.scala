@@ -373,8 +373,9 @@ object TextAnalysis {
     * total order), and a pure-map string replace. Driver state is one row
     * per round — the k-means/PQ iterative-trainer idiom. Each round's table
     * is persisted and the previous unpersisted, so lineage stays flat. */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val (words, merges) = bpeLoop(df, textCol, rounds)
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int,
+               localThreshold: Long = LocalMergeThreshold): DataFrame = {
+    val (words, merges) = bpeLoop(df, textCol, rounds, localThreshold)
     words.unpersist()
     df.sparkSession.createDataFrame(merges).toDF("round", "pair", "pair_count")
   }
@@ -385,8 +386,9 @@ object TextAnalysis {
     * artifact a tokenizer ships: [[bpeTokenCounts]] applies it; callers can
     * persist it like frozen PQ codebooks and re-segment later releases
     * without retraining. Vocabulary-sized (distinct words, not tokens). */
-  def bpeVocab(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val (words, _) = bpeLoop(df, textCol, rounds)
+  def bpeVocab(df: DataFrame, textCol: String, rounds: Int,
+               localThreshold: Long = LocalMergeThreshold): DataFrame = {
+    val (words, _) = bpeLoop(df, textCol, rounds, localThreshold)
     // hand the caller an unpersisted, lineage-complete frame
     val out = words.select(col("word"), col("seg"))
     words.unpersist()
@@ -406,8 +408,10 @@ object TextAnalysis {
     * one doc-keyed aggregation. The corpus text is scanned twice total:
     * once into the distinct-word table, once to tokenize for counting. */
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
-                     rounds: Int): DataFrame =
-    bpeCountWithVocab(df, idCol, textCol, bpeVocab(df, textCol, rounds))
+                     rounds: Int,
+                     localThreshold: Long = LocalMergeThreshold): DataFrame =
+    bpeCountWithVocab(df, idCol, textCol,
+      bpeVocab(df, textCol, rounds, localThreshold))
 
   /** [[bpeTokenCounts]]'s application half against an ALREADY-TRAINED
     * vocabulary — the frozen-artifact serving path (the classifier-weights /
@@ -422,11 +426,39 @@ object TextAnalysis {
       .agg(sum(coalesce(size(split(col("seg"), "!")) - 1,
         length(col("word")))).as("n_bpe_tokens"))
 
+  /** Word-count ceiling under which the merge loop runs ON THE DRIVER
+    * (see [[bpeLoop]]). The word-frequency table is metadata-scale state —
+    * DISTINCT words, not tokens: a few million rows at web-corpus scale,
+    * the same class of driver state as k-means centroids or PQ codebooks —
+    * so below this bound the remaining merges are a local computation and
+    * the trainer stops paying 2 Spark jobs + a collect per merge. At 2M
+    * words × ~100 B that is ~200 MB of driver heap, well inside any real
+    * driver; above it the loop stays fully distributed. */
+  val LocalMergeThreshold: Long = 2L << 20
+
   /** The count → select-top-merge → re-segment loop shared by [[bpeTrain]],
     * [[bpeVocab]] and [[bpeTokenCounts]]. Returns the PERSISTED final word
-    * table (word, seg, freq) — caller unpersists — and the executed merges. */
-  private def bpeLoop(df: DataFrame, textCol: String,
-                      rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
+    * table (word, seg, freq) — caller unpersists — and the executed merges.
+    *
+    * Two execution paths with IDENTICAL trajectories (PropertiesSpec pins
+    * local ≡ distributed ≡ the symbol-list reference trainer):
+    *   - word count ≤ `localThreshold`: the corpus-sized pass (one scan
+    *     collapsing to the distinct-word table) runs in Spark, then the
+    *     table collects to the driver and ALL merge rounds run locally with
+    *     incrementally-maintained pair counts — O(affected words) per merge
+    *     after the initial count, no Spark jobs in the loop. This is what
+    *     lets the trainer reach realistic merge counts (10³–10⁵): at 32k
+    *     merges the distributed loop would be ~64k sequential
+    *     driver-coordinated jobs, a driver-orchestration bottleneck no
+    *     cluster size fixes, while the local loop is seconds of CPU over
+    *     metadata-sized state (the k-means/PQ "trainer state on the driver"
+    *     argument, applied to the loop itself).
+    *   - word count > threshold: each round = one pair aggregation + one
+    *     pure-map replace, exactly as before (the honest distributed path
+    *     when the vocabulary itself is too big to collect). */
+  private def bpeLoop(df: DataFrame, textCol: String, rounds: Int,
+                      localThreshold: Long = LocalMergeThreshold)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
     var words = df.select(explode(tokens(col(textCol))).as("word"))
       .where(length(col("word")) >= 2 &&
@@ -435,7 +467,16 @@ object TextAnalysis {
       .select(col("word"), regexp_replace(col("word"), "(.)", "!$1?").as("seg"),
         col("freq"))
       .persist()
-    words.count()
+    val nWords = words.count()
+    if (nWords <= localThreshold) {
+      val rows = words.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      words.unpersist()
+      val (segs, localMerges) = bpeLocalLoop(rows, rounds)
+      val out = df.sparkSession.createDataFrame(segs.toSeq)
+        .toDF("word", "seg", "freq")
+      return (out, localMerges)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -466,5 +507,97 @@ object TextAnalysis {
       }
     }
     (words, merges.toSeq)
+  }
+
+  /** A word's adjacent-pair occurrences in the distributed loop's exact
+    * spelling: split on '?' (trailing "" kept, matching Spark's split),
+    * symbols are the `!`-prefixed parts(0..L-2), pair j =
+    * parts(j) + "?" + parts(j+1) + "?" — one entry PER POSITION (overlapping
+    * repeats count per occurrence, as the pair aggregation does). */
+  private def segPairs(seg: String): Array[String] = {
+    val parts = seg.split("\\?", -1)
+    val len = parts.length
+    if (len < 3) Array.empty
+    else Array.tabulate(len - 2)(j => parts(j) + "?" + parts(j + 1) + "?")
+  }
+
+  /** Spark's string ORDER BY is unsigned UTF-8 byte order (UTF8String);
+    * the local top-1 tie-break must match it, not UTF-16 compareTo. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Driver-local merge loop over the COLLECTED word-frequency table — the
+    * trajectory is identical to the distributed loop (PropertiesSpec pins
+    * both against each other and the symbol-list reference trainer); what
+    * changes is the cost model: pair counts are maintained INCREMENTALLY
+    * (Sennrich's learn_bpe does the same), so after the O(words) initial
+    * count each merge costs O(words containing the merged pair), and 10³–10⁵
+    * merges are seconds of driver CPU instead of 2 Spark jobs each.
+    * Exposed `private[graft]` for the equivalence property tests. */
+  private[graft] def bpeLocalLoop(words: Array[(String, String, Long)],
+                                  rounds: Int)
+      : (Array[(String, String, Long)], Seq[(Int, String, Long)]) = {
+    import scala.collection.mutable
+    val n = words.length
+    val segArr = words.map(_._2)
+    val freqArr = words.map(_._3)
+    val pairCounts = mutable.HashMap.empty[String, Long]
+    val pairWords = mutable.HashMap.empty[String, mutable.Set[Int]]
+    // add (sign=1) or retract (sign=-1) word i's pair contributions
+    def account(i: Int, sign: Long): Unit = {
+      val ps = segPairs(segArr(i))
+      var j = 0
+      while (j < ps.length) {
+        val p = ps(j)
+        val c = pairCounts.getOrElse(p, 0L) + sign * freqArr(i)
+        if (c == 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+      if (sign < 0L) {
+        var j2 = 0
+        while (j2 < ps.length) {
+          pairWords.get(ps(j2)).foreach { s =>
+            s -= i; if (s.isEmpty) pairWords.remove(ps(j2))
+          }
+          j2 += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < n) { account(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    while (r <= rounds && pairCounts.nonEmpty) {
+      // top-1 by (count desc, pair asc in UTF-8 byte order) — the same total
+      // order as the distributed ORDER BY ... LIMIT 1
+      var bestPair: String = null
+      var bestCount = 0L
+      pairCounts.foreach { case (p, c) =>
+        if (bestPair == null || c > bestCount ||
+          (c == bestCount && utf8Compare(p, bestPair) < 0)) {
+          bestPair = p; bestCount = c
+        }
+      }
+      val merged = "!" + bestPair.replace("!", "").replace("?", "") + "?"
+      merges += ((r, bestPair, bestCount))
+      // only words actually containing the pair re-account; String.replace
+      // is literal leftmost non-overlapping — the same greedy merge order
+      // as the engines' replace()
+      val affected = pairWords.getOrElse(bestPair, mutable.Set.empty).toArray
+      var a = 0
+      while (a < affected.length) {
+        val w = affected(a)
+        account(w, -1L)
+        segArr(w) = segArr(w).replace(bestPair, merged)
+        account(w, 1L)
+        a += 1
+      }
+      r += 1
+    }
+    (Array.tabulate(n)(j => (words(j)._1, segArr(j), freqArr(j))),
+      merges.toSeq)
   }
 }

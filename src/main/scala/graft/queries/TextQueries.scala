@@ -390,6 +390,38 @@ object TextQueries {
       TextAnalysis.bpeTokenCounts(Tables.load(s, dir, "documents"),
         "doc_id", "text", rounds = 6)),
 
+    // The packing family budgeted in TRAINED-tokenizer tokens (closing the
+    // loop: q92/q94/q115 budget in whitespace tokens while q142 trains a
+    // real vocab): frozen 6-merge vocab → q143's per-doc BPE counts →
+    // q92's greedy pack / q94's source cap / q115's length-bucket batching
+    // consume those counts via the ...ByCount entry points. Oracles compose
+    // the q142 vocab CTE + q143 count CTE + the respective packing SQL.
+    "q147_bpe_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = TextAnalysis.bpeCountWithVocab(docs, "doc_id", "text",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+      graft.operators.CorpusOps.packSequencesByCount(counts, "doc_id",
+        "n_bpe_tokens", budgetTokens = 512, nShards = 4)
+    }),
+
+    "q148_bpe_cap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = TextAnalysis.bpeCountWithVocab(docs, "doc_id", "text",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+      graft.operators.CorpusOps.capSourceTokensByCount(
+          docs.select(col("doc_id"), col("source")).join(counts, Seq("doc_id")),
+          "doc_id", "source", "n_bpe_tokens", capTokens = 2000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    }),
+
+    "q149_bpe_batches" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = TextAnalysis.bpeCountWithVocab(docs, "doc_id", "text",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+      graft.operators.CorpusOps.lengthBucketBatchesByCount(counts, "doc_id",
+        "n_bpe_tokens", batchSize = 8, bounds = Seq(16, 32, 64, 128))
+    }),
+
     // The per-document curation scorecard: every verified curation signal
     // in ONE row per document — predicted language + consistency flag, the
     // shared milli-quantized quality score, exact-dup keeper flag, Bloom
@@ -664,13 +696,21 @@ object TextQueries {
     * counts adjacent symbol pairs weighted by word frequency, picks the
     * (count desc, pair asc) top-1, and re-segments with the same literal
     * `replace` the Spark side uses. SUM over BIGINT is HUGEINT in DuckDB,
-    * so pair_count re-casts to BIGINT in the final union. */
+    * so pair_count re-casts to BIGINT in the final union.
+    *
+    * Every CTE is `AS MATERIALIZED`: each w_r is referenced twice (p_{r+1}
+    * and w_{r+1}), so DuckDB's default inlining re-evaluates the chain
+    * 2^rounds times — measured 109.6 s → 0.1 s at sf0.001 for the 6-round
+    * chain once materialized. The round-exhaustion guard COALESCEs the
+    * scalar subqueries to '' (an empty needle makes replace a no-op,
+    * mirroring the Spark loop's early stop; a bare NULL would NULL every
+    * seg and silently fall back to per-character counts downstream). */
   private def bpeRoundCtes(rounds: Int): String = {
     // symbols are BRACKETED "!sym?" (both sentinels load-bearing — see
     // TextAnalysis.bpeTrain's scaladoc); splitting on '?' yields
     // '!'-prefixed symbols with a trailing "" element
     val init =
-      """WITH w0 AS (
+      """WITH w0 AS MATERIALIZED (
         |  SELECT word, regexp_replace(word, '(.)', '!\1?', 'g') AS seg,
         |         CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -678,7 +718,7 @@ object TextQueries {
         |  GROUP BY word
         |)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT pair, SUM(freq) AS pair_count FROM (
          |    SELECT unnest([l[i] || '?' || l[i+1] || '?'
          |                   FOR i IN generate_series(1, len(l) - 2)]) AS pair,
@@ -687,11 +727,16 @@ object TextQueries {
          |    WHERE len(l) >= 3
          |  ) GROUP BY pair
          |),
-         |b$r AS (SELECT pair, pair_count FROM p$r
+         |b$r AS MATERIALIZED (SELECT pair, pair_count FROM p$r
          |        ORDER BY pair_count DESC, pair LIMIT 1),
-         |w$r AS (SELECT word, replace(seg, (SELECT pair FROM b$r),
-         |                       (SELECT '!' || replace(replace(pair, '!', ''), '?', '') || '?'
-         |                        FROM b$r)) AS seg, freq
+         |w$r AS MATERIALIZED (SELECT word,
+         |               -- mirror the Spark loop's early stop: when a round
+         |               -- exhausts (b empty) the scalar subqueries are NULL
+         |               -- and replace(seg, NULL, NULL) would NULL every seg;
+         |               -- an empty needle makes replace a no-op instead
+         |               replace(seg, COALESCE((SELECT pair FROM b$r), ''),
+         |                 COALESCE((SELECT '!' || replace(replace(pair, '!', ''), '?', '') || '?'
+         |                           FROM b$r), '')) AS seg, freq
          |        FROM w${r - 1})""".stripMargin
     }
     (init +: roundCtes).mkString(",\n")
@@ -705,21 +750,88 @@ object TextQueries {
     bpeRoundCtes(rounds) + "\n" + union
   }
 
-  /** Apply the final round's vocabulary (w`rounds`): eligible words cost
-    * their symbol count, everything else one token per character. */
-  private def bpeTokensOracle(rounds: Int): String =
+  /** Apply the final round's vocabulary (w`rounds`) to per-document counts:
+    * eligible words cost their symbol count, everything else one token per
+    * character — `ntok(doc_id, n_bpe)`. Shared by the q143 count oracle and
+    * the q147–q149 tokenizer-budgeted packing oracles. */
+  private def bpeCountCtes(rounds: Int): String =
     bpeRoundCtes(rounds) +
       s""",
-         |toks AS (
+         |toks AS MATERIALIZED (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
          |),
-         |cnt AS (
+         |cnt AS MATERIALIZED (
          |  SELECT t.doc_id,
          |         COALESCE(len(string_split(v.seg, '!')) - 1, len(t.word)) AS c
          |  FROM toks t LEFT JOIN w$rounds v USING (word)
-         |)
-         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bpe_tokens
-         |FROM cnt GROUP BY doc_id""".stripMargin
+         |),
+         |ntok AS MATERIALIZED (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bpe
+         |  FROM cnt GROUP BY doc_id
+         |)""".stripMargin
+
+  private def bpeTokensOracle(rounds: Int): String =
+    bpeCountCtes(rounds) +
+      "\nSELECT doc_id, n_bpe AS n_bpe_tokens FROM ntok"
+
+  /** q92's greedy pack, budgeted in TRAINED-tokenizer tokens. */
+  private def bpePackOracle(rounds: Int): String =
+    bpeCountCtes(rounds) +
+      """,
+        |c2 AS (
+        |  SELECT doc_id, doc_id % 4 AS shard, n_bpe,
+        |         COALESCE(SUM(n_bpe) OVER (
+        |           PARTITION BY doc_id % 4 ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM ntok
+        |)
+        |SELECT doc_id, shard, CAST(n_bpe AS BIGINT) AS n_tokens,
+        |       CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+        |       CAST(cum_before % 512 AS BIGINT) AS "offset"
+        |FROM c2""".stripMargin
+
+  /** q94's source cap, budgeted in trained-tokenizer tokens. */
+  private def bpeCapOracle(rounds: Int): String =
+    bpeCountCtes(rounds) +
+      """,
+        |src AS (
+        |  SELECT d.doc_id, d.source, n.n_bpe AS n_tokens,
+        |         md5(CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d JOIN ntok n USING (doc_id)
+        |),
+        |capped AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM src
+        |)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM capped WHERE cum_tokens <= 2000""".stripMargin
+
+  /** q115's length-bucket batching, bucketed on trained-tokenizer counts. */
+  private def bpeBatchesOracle(rounds: Int): String =
+    bpeCountCtes(rounds) +
+      """,
+        |b AS (
+        |  SELECT doc_id, n_bpe AS n, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CASE WHEN n_bpe <= 16 THEN 16 WHEN n_bpe <= 32 THEN 32
+        |              WHEN n_bpe <= 64 THEN 64 WHEN n_bpe <= 128 THEN 128
+        |              ELSE 1073741824 END AS bucket
+        |  FROM ntok
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+        |  FROM b
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch,
+        |       COUNT(*) AS n_docs,
+        |       MAX(n) AS max_tokens,
+        |       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |       round(1 - CAST(SUM(n) AS DOUBLE) / CAST(MAX(n) * COUNT(*) AS DOUBLE), 4)
+        |         AS padding_frac
+        |FROM r GROUP BY 1, 2""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q85_chunk_docs" ->
@@ -1234,6 +1346,9 @@ object TextQueries {
     "q142_bpe_train" -> bpeTrainOracle(6),
 
     "q143_bpe_tokens" -> bpeTokensOracle(6),
+    "q147_bpe_pack" -> bpePackOracle(6),
+    "q148_bpe_cap" -> bpeCapOracle(6),
+    "q149_bpe_batches" -> bpeBatchesOracle(6),
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

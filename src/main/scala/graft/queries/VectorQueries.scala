@@ -107,6 +107,31 @@ object VectorQueries {
         dim = 64, kCoarse = 8, coarseIters = 4, nProbe = 2,
         m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
 
+    // Persisted-index serving (q145's index with the RIGHT lifecycle): build
+    // writes the trained IVFADC index to disk — coarse centroids + residual
+    // codebooks as kilobyte metadata, codes parquet-partitioned by
+    // (cell, release) — then the query path loads ONLY the frozen metadata,
+    // probes, prunes the code scan to the probed cells' directories (a
+    // literal partition filter), ADC-scores and exact-reranks: ZERO training
+    // jobs at query time. Same Python oracle as q145 — the frozen-index
+    // answer equals the in-job answer by construction (both run ivfPqServe
+    // on the same encode output; IndexStoreSpec pins disk round-trip,
+    // rebuild idempotence and append ≡ frozen-encode).
+    "q146_index_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
+      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      graft.pipeline.IndexStore.query(s, path, qd, fv,
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
     // OPQ-lite end to end: q136's power-iteration component reflects every
     // embedding onto the balanced direction (Householder, pure map), then
     // the q125 PQ pipeline runs over the rotated space. The reflection is

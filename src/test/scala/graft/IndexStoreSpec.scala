@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.pipeline.IndexStore
+import graft.sources.Tables
+
+/** The persisted IVFADC index: q146 verifies the frozen-disk SERVE answer
+  * against the shared q145 oracle; this spec proves the store lifecycle —
+  * model/codes disk round-trip, rebuild idempotence, map-only release
+  * append ≡ frozen-encode of the union, and the probed-cell partition
+  * pruning the (cell, release) layout exists for. */
+class IndexStoreSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private val isNew = col("vec_id") % 10 >= 8
+
+  private def queriesDf: DataFrame = emb.where(col("vec_id") % 50 === 0)
+    .select(col("vec_id").cast("long").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+
+  private def fullVecs: DataFrame = emb
+    .select(col("vec_id").cast("long").as("cand_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+
+  private def build(path: String, df: DataFrame, release: String = "r1"): Unit =
+    IndexStore.build(spark, path, df, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = release)
+
+  test("frozen-disk serve equals the in-job ivfPqTopK answer") {
+    val dir = Files.createTempDirectory("ivfadc_rt").toString + "/index"
+    build(dir, emb)
+    val served = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+    val inJob = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, dim = 64, kCoarse = 8, coarseIters = 4,
+      nProbe = 2, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)
+    assert(served.count() > 0, "fixture queries must return neighbors")
+    assert(served.exceptAll(inJob).isEmpty && inJob.exceptAll(served).isEmpty)
+  }
+
+  test("model round-trips through the meta files bit-for-bit") {
+    val dir = Files.createTempDirectory("ivfadc_model").toString + "/index"
+    val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3)
+    build(dir, emb)
+    val back = IndexStore.readModel(spark, dir)
+    assert(back.dim === model.dim)
+    assert(back.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    assert(back.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      === model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("rebuild is idempotent: run-twice leaves an identical index") {
+    val dir = Files.createTempDirectory("ivfadc_idem").toString + "/index"
+    build(dir, emb)
+    val once = IndexStore.readCodes(spark, dir)
+      .select("cand_id", "cell", "codes", "release").collect().toSet
+    build(dir, emb)
+    val twice = IndexStore.readCodes(spark, dir)
+      .select("cand_id", "cell", "codes", "release").collect().toSet
+    assert(twice === once, "rebuilding must replace, never duplicate")
+  }
+
+  test("release append is map-only frozen-encode and idempotent per release") {
+    val dir = Files.createTempDirectory("ivfadc_app").toString + "/index"
+    // seed index trains on the OLD slice only
+    build(dir, emb.where(!isNew))
+    val model = IndexStore.readModel(spark, dir)
+    IndexStore.append(spark, dir, emb.where(isNew), "vec_id", "embedding",
+      release = "r2")
+    // quantizers are untouched by the append
+    val after = IndexStore.readModel(spark, dir)
+    assert(after.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    // store codes == encoding the UNION against the same frozen model
+    // (append never retrains — the q124 + q127 composition)
+    val stored = IndexStore.readCodes(spark, dir)
+      .select("cand_id", "cell", "codes").collect().toSet
+    val expected = Similarity.ivfPqEncode(emb, "vec_id", "embedding", model)
+      .collect().toSet
+    assert(stored === expected)
+    // re-running the release replaces its partitions, never duplicates
+    IndexStore.append(spark, dir, emb.where(isNew), "vec_id", "embedding",
+      release = "r2")
+    assert(IndexStore.readCodes(spark, dir).count() === emb.count())
+  }
+
+  test("serve scans only the probed cells (partition-pruned)") {
+    val dir = Files.createTempDirectory("ivfadc_prune").toString + "/index"
+    build(dir, emb)
+    val model = IndexStore.readModel(spark, dir)
+    val oneQ = queriesDf.orderBy("q_id").limit(1)
+    val probed = Similarity.ivfPqProbe(oneQ, model, nProbe = 2)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.size === 2)
+    val plan = IndexStore.query(spark, dir, oneQ, fullVecs,
+        nProbe = 2, k = 5, shortlist = 100)
+      .queryExecution.executedPlan.toString
+    // the code scan must carry a literal cell partition filter — the layout's
+    // entire point: unprobed cells' directories are never read
+    assert(plan.contains("PartitionFilters") && probed.forall(c =>
+      plan.contains(c.toString)),
+      s"expected a partition filter on cells $probed in:\n$plan")
+    // and the filter excludes the unprobed cells: the pruned scan reads
+    // strictly fewer partitions than exist
+    val all = IndexStore.readCodes(spark, dir)
+      .select("cell").distinct().count()
+    assert(all > 2, "fixture must populate more cells than one query probes")
+  }
+}

@@ -379,12 +379,27 @@ class PropertiesSpec extends SparkSpec {
         Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
     forAllSeeded(corpusGen, 8) { wordList =>
       val docs = Seq((1L, wordList.mkString(" "))).toDF("doc_id", "text")
-      val got = graft.operators.TextAnalysis.bpeTrain(docs, "text", rounds = 5)
+      // BOTH execution paths must walk the reference trajectory: threshold 0
+      // forces the distributed loop, MaxValue the driver-local one
+      val dist = graft.operators.TextAnalysis.bpeTrain(docs, "text",
+          rounds = 5, localThreshold = 0L)
+        .orderBy("round").as[(Int, String, Long)].collect().toList
+      val local = graft.operators.TextAnalysis.bpeTrain(docs, "text",
+          rounds = 5, localThreshold = Long.MaxValue)
         .orderBy("round").as[(Int, String, Long)].collect().toList
       val freq = wordList
         .filter(w => w.length >= 2 && !w.contains("!") && !w.contains("?"))
         .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
-      assert(got === referenceMerges(freq, 5), s"words: $wordList")
+      val expect = referenceMerges(freq, 5)
+      assert(dist === expect, s"distributed path, words: $wordList")
+      assert(local === expect, s"local path, words: $wordList")
+      // ... and leave identical final segmentations (the tokenizer artifact)
+      val vd = graft.operators.TextAnalysis.bpeVocab(docs, "text",
+        rounds = 5, localThreshold = 0L).as[(String, String)].collect().toSet
+      val vl = graft.operators.TextAnalysis.bpeVocab(docs, "text",
+        rounds = 5, localThreshold = Long.MaxValue)
+        .as[(String, String)].collect().toSet
+      assert(vd === vl, s"vocab divergence, words: $wordList")
     }
   }
 

@@ -304,6 +304,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(vocab("aa") === "!aa?")
   }
 
+  test("bpeTrain reaches 1000+ merges through the driver-local loop") {
+    // the distributed loop is ~2 jobs + a collect PER MERGE — fine for the
+    // data axis, a driver-orchestration wall on the merge axis (32k merges
+    // = ~64k sequential jobs). Below LocalMergeThreshold the collapsed
+    // word-freq table collects and ALL rounds run locally with incremental
+    // pair counts; this pins that 1000 merges complete (seconds, zero
+    // per-round Spark jobs) and that the trajectory prefix matches the
+    // distributed path exactly.
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 800).map { _ =>
+      (0 until (4 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 1000)
+      .orderBy("round").as[(Int, String, Long)].collect().toList
+    assert(merges.size === 1000, "corpus supports ≥1000 merges")
+    assert(merges.map(_._1) === (1 to 1000).toList)
+    // counts are the at-selection frequencies of a greedy trainer: the
+    // selected count can never exceed the previous round's (the previous
+    // top-1 was maximal and merging only removes/splits pair occurrences
+    // without increasing any other pair's count)
+    assert(merges.sliding(2).forall { case List(a, b) => b._3 <= a._3; case _ => true })
+    // the first rounds must equal the distributed loop verbatim
+    val dist = TextAnalysis.bpeTrain(docs, "text", rounds = 5, localThreshold = 0L)
+      .orderBy("round").as[(Int, String, Long)].collect().toList
+    assert(merges.take(5) === dist)
+  }
+
   test("bpeTrain counts by word frequency: vocabulary-table loop ≡ occurrence counting") {
     // same corpus written as repeated occurrences vs distinct words with
     // multiplicity must select identical merges with identical counts

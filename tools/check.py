@@ -717,6 +717,9 @@ PY_ORACLES = {
     "q136_top_component": py_q136_top_component,
     "q144_opq_ann": py_q144_opq_ann,
     "q145_ivfpq_ann": py_q145_ivfpq_ann,
+    # the persisted-index serve: same corpus, same params, frozen-disk path —
+    # the answer is q145's by construction, so the oracle is shared verbatim
+    "q146_index_serve": py_q145_ivfpq_ann,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
@@ -729,10 +732,18 @@ PY_ORACLES = {
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # VerifySome dumps a SUBSET and records it in names.json; restrict every
+    # loop to that set so a partial gate can pass (a full Verify dump writes
+    # no names.json and checks everything, as before)
+    names_path = f"{out_dir}/names.json"
+    requested = set(json.load(open(names_path))) if os.path.exists(names_path) else None
+    if requested is not None:
+        oracle = {k: v for k, v in oracle.items() if k in requested}
     results = {}
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -753,6 +764,8 @@ def main(sf_dir, out_dir):
             results[name] = f"COMPARE-ERR {type(e).__name__}: {e}"
     # queries with a Python-side oracle (engine hashes DuckDB can't express)
     for name, fn in sorted(PY_ORACLES.items()):
+        if requested is not None and name not in requested:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             # a vanished dump must surface as a FAIL, not shrink the
