@@ -395,6 +395,20 @@ object TextAnalysis {
     out
   }
 
+  /** ONE training pass returning BOTH artifacts a tokenizer release ships —
+    * the merge table (round, pair, pair_count) and the final
+    * word→segmentation vocabulary — so a persisting caller
+    * ([[graft.pipeline.VocabStore.build]]) doesn't train twice. */
+  def bpeTrainAndVocab(df: DataFrame, textCol: String, rounds: Int,
+                       localThreshold: Long = LocalMergeThreshold)
+      : (DataFrame, DataFrame) = {
+    val (words, merges) = bpeLoop(df, textCol, rounds, localThreshold)
+    val vocab = words.select(col("word"), col("seg"))
+    words.unpersist()
+    (df.sparkSession.createDataFrame(merges).toDF("round", "pair", "pair_count"),
+      vocab)
+  }
+
   /** Per-document token count under the BPE vocabulary trained by
     * [[bpeTrain]]'s loop on this same corpus: eligible words cost their
     * merged-symbol count, ineligible words (1-char, or containing the

@@ -83,6 +83,35 @@ object IndexStore {
     Similarity.ivfPqServe(queries, enc, fullVecs, model, nProbe, k, shortlist)
   }
 
+  /** Retention vacuum: delete the code partitions of every release `keep`
+    * rejects — [[EavStore.vacuum]]'s contract on the (cell, release) layout
+    * (quantizer metadata is release-independent and stays). Returns the
+    * distinct dropped release names. A release append after a vacuum simply
+    * re-encodes that release map-only. */
+  def vacuum(spark: SparkSession, path: String,
+             keep: String => Boolean): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val dropped = for {
+        cell <- fs.listStatus(root).toSeq
+        if cell.isDirectory && cell.getPath.getName.startsWith("cell=")
+        rel <- fs.listStatus(cell.getPath).toSeq
+        if rel.isDirectory && rel.getPath.getName.startsWith("release=")
+        name = rel.getPath.getName.stripPrefix("release=")
+        if !keep(name)
+      } yield {
+        // fs.delete reports failure by RETURNING false, not throwing — a
+        // silently-failed delete must not be recorded as dropped
+        require(fs.delete(rel.getPath, true),
+          s"vacuum failed to delete ${rel.getPath}")
+        name
+      }
+      dropped.distinct
+    }
+  }
+
   /** The persisted code table, schema-normalized: (cand_id, cell int,
     * codes array<int>, release). */
   def readCodes(spark: SparkSession, path: String): DataFrame =

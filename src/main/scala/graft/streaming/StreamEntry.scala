@@ -226,6 +226,23 @@ object StreamEntry {
           .parquet(storePath)
       }
 
+  /** Streaming IVFADC index maintenance — the PERSISTED-STORE twin of
+    * [[encodeVectors]] (which writes raw PQ code rows): each micro-batch
+    * appends to an EXISTING [[graft.pipeline.IndexStore]] against its frozen
+    * quantizers, release = the micro-batch id — the same map-only
+    * cell-assign + residual-encode composition `IndexStore.append` runs in
+    * batch, so the serving index rolls forward in place while queries keep
+    * reading it. Dynamic partition overwrite makes a replayed micro-batch
+    * idempotent (the ingestDocs contract). The kilobyte model re-read per
+    * batch keeps the writer correct across an index rebuild mid-stream. */
+  def appendIndex(vecs: DataFrame,
+                  indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.IndexStore.append(batch.sparkSession, indexPath, batch,
+          "vec_id", "embedding", release = s"b$id")
+      }
+
   /** Frozen-vocabulary BPE token counting on a document stream — the
     * tokenizer's serving twin (the encodeVectors / scoreDocs idiom): each
     * micro-batch counts tokens under a vocabulary trained ONCE on a prior

@@ -90,6 +90,25 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.readCodes(spark, dir).count() === emb.count())
   }
 
+  test("vacuum drops exactly the rejected releases' code partitions") {
+    val dir = Files.createTempDirectory("ivfadc_vac").toString + "/index"
+    build(dir, emb.where(!isNew), release = "r1")
+    IndexStore.append(spark, dir, emb.where(isNew), "vec_id", "embedding",
+      release = "r2")
+    val model = IndexStore.readModel(spark, dir)
+    val dropped = IndexStore.vacuum(spark, dir, keep = _ == "r2")
+    assert(dropped === Seq("r1"))
+    val left = IndexStore.readCodes(spark, dir)
+    assert(left.select("release").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("r2"))
+    assert(left.count() === emb.where(isNew).count())
+    // quantizer metadata is release-independent and survives the vacuum
+    val after = IndexStore.readModel(spark, dir)
+    assert(after.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    // vacuuming everything currently kept is a no-op
+    assert(IndexStore.vacuum(spark, dir, keep = _ == "r2") === Seq.empty)
+  }
+
   test("serve scans only the probed cells (partition-pruned)") {
     val dir = Files.createTempDirectory("ivfadc_prune").toString + "/index"
     build(dir, emb)

@@ -275,6 +275,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === got.size.toLong)
   }
 
+  test("streaming index append grows the frozen IVFADC store to the batch answer") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isNew = col("vec_id") % 10 >= 8
+    val dir = Files.createTempDirectory("idxstream").toString
+    val store = s"$dir/index"
+    // seed index: trained and encoded on the OLD slice only (the q146 build)
+    graft.pipeline.IndexStore.build(spark, store, emb.where(!isNew),
+      "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
+      m = 16, ksub = 8, iters = 3, release = "r1")
+    val model = graft.pipeline.IndexStore.readModel(spark, store)
+    // the NEW slice arrives as two ordered micro-batches
+    val newHalf = emb.where(isNew)
+    newHalf.where(col("vec_id") % 20 < 10).coalesce(1).write.parquet(s"$dir/in/a")
+    newHalf.where(col("vec_id") % 20 >= 10).coalesce(1).write.parquet(s"$dir/in/b")
+    def part(sub: String) = new java.io.File(s"$dir/in/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    part("a").setLastModified(1_000_000_000_000L)
+    part("b").setLastModified(1_000_000_002_000L)
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.appendIndex(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"), store)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    spark.catalog.refreshByPath(s"$store/codes")
+    val stored = graft.pipeline.IndexStore.readCodes(spark, store)
+    // the grown store holds exactly the frozen-model encode of the UNION —
+    // streaming appends ≡ IndexStore.append ≡ the q124+q127 composition
+    val got = stored.select("cand_id", "cell", "codes").collect().toSet
+    val twin = graft.operators.Similarity
+      .ivfPqEncode(emb, "vec_id", "embedding", model).collect().toSet
+    assert(got === twin)
+    assert(stored.select("release").distinct().count() === 3) // r1 + b0 + b1
+    // replay converges: per-release dynamic overwrite, no duplicates
+    runOnceThrough()
+    spark.catalog.refreshByPath(s"$store/codes")
+    assert(graft.pipeline.IndexStore.readCodes(spark, store).count()
+      === emb.count())
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
