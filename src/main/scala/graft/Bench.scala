@@ -67,8 +67,10 @@ object Bench {
     val qsMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val artifact = if (passes > 1) "BENCH_STEADY.json" else "BENCH_FULL.json"
+    // "queries" stays present-but-empty so any parser expecting the key
+    // still binds; the per-query map itself lives only in the artifact file
     val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""queries":{},"n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""queries_md5":"$qsMd5","detail":"$artifact","sf":"$sfDir"}"""
     println(line)
     val full = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +

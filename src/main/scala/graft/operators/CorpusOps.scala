@@ -62,6 +62,46 @@ object CorpusOps {
         pmod(col("cum_before"), lit(budgetTokens.toLong)).as("offset"))
   }
 
+  /** Training-shard EMISSION: the concatenate-then-cut plan
+    * ([[packSequences]] labels documents with bins; this actually CUTS) —
+    * every document's real token sequence is sliced at its shard's
+    * token-budget boundaries, so reassembling a (shard, bin) cell's chunks
+    * yields exactly `budgetTokens` tokens of contiguous training data (the
+    * shard's final bin may be partial). Input rows carry an
+    * `array<string>` token column (e.g.
+    * [[TextAnalysis.bpeTokenizeWithVocab]]'s output); output is one row per
+    * (document, overlapped bin): (idCol, shard, bin, chunk), chunk =
+    * `sep`-joined tokens.
+    *
+    * Scale shape: one window over the shard key for the running offset
+    * (identical to [[packSequences]]), then the bin fan-out and slicing are
+    * PURE EXPRESSIONS — a document explodes into ceil(n/budget)+1 rows at
+    * most, and no token ever shuffles twice. */
+  def packTokenSlices(df: DataFrame, idCol: String, tokensCol: String,
+                      budgetTokens: Int, nShards: Int,
+                      sep: String = "\u0001"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val b = lit(budgetTokens.toLong)
+    val withShard = df.select(col(idCol), col(tokensCol).as("__tl"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"))
+    val before = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def fdiv(x: Column): Column = floor(x / b).cast("long")
+    val start = greatest(col("__b") * b - col("__o"), lit(0L))
+    val end = least(col("__n"), (col("__b") + 1) * b - col("__o"))
+    withShard
+      .withColumn("__n", size(col("__tl")).cast("long"))
+      .withColumn("__o",
+        coalesce(sum(col("__n")).over(before), lit(0L)))
+      .where(col("__n") > 0)
+      .withColumn("__b",
+        explode(sequence(fdiv(col("__o")), fdiv(col("__o") + col("__n") - 1))))
+      .select(col(idCol), col("shard"), col("__b").as("bin"),
+        concat_ws(sep, slice(col("__tl"), (start + 1).cast("int"),
+          (end - start).cast("int"))).as("chunk"))
+  }
+
   /** Stratified sampling with per-stratum keep rates (e.g. rebalancing a
     * language mix): a document survives iff its hash-uniform falls under its
     * stratum's rate. Growth-stable — adding documents never flips existing

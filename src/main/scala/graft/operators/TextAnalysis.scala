@@ -450,6 +450,35 @@ object TextAnalysis {
     * driver; above it the loop stays fully distributed. */
   val LocalMergeThreshold: Long = 2L << 20
 
+  /** Per-document token SEQUENCE under an already-trained vocabulary — the
+    * emission step a training-data pipeline actually ships (q143's counts
+    * are `size` of this): eligible words emit their merged symbols in order,
+    * out-of-vocabulary words fall back to one token per character (the
+    * byte-fallback convention), and the output preserves original word
+    * order. Returns (idCol, tokens array<string>).
+    *
+    * Scale shape: identical to [[bpeCountWithVocab]] — one word-keyed
+    * broadcast equi-join plus one doc-keyed aggregation; the
+    * order-restoring `array_sort` runs over ONE document's (position,
+    * tokens) pairs, bounded per document, never corpus-wide. */
+  def bpeTokenizeWithVocab(df: DataFrame, idCol: String, textCol: String,
+                           vocab: DataFrame): DataFrame = {
+    // "!a?!bc?" splits on '?' to ["!a", "!bc", ""]: keep 1..size-1, strip
+    // the leading '!' from each symbol
+    val parts = split(col("seg"), "\\?")
+    val segSyms = transform(slice(parts, lit(1), size(parts) - 1),
+      s => s.substr(lit(2), length(s) - 1))
+    val charToks = filter(split(col("word"), ""), t => length(t) > 0)
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "word")))
+      .join(vocab, Seq("word"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("seg").isNotNull, segSyms).otherwise(charToks).as("__toks"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__toks")))),
+        x => x.getField("__toks"))).as("tokens"))
+  }
+
   /** The count → select-top-merge → re-segment loop shared by [[bpeTrain]],
     * [[bpeVocab]] and [[bpeTokenCounts]]. Returns the PERSISTED final word
     * table (word, seg, freq) — caller unpersists — and the executed merges.

@@ -422,6 +422,30 @@ object TextQueries {
         "n_bpe_tokens", batchSize = 8, bounds = Seq(16, 32, 64, 128))
     }),
 
+    // Training-shard slices: the packing plan EXECUTED on real tokenizer
+    // output — q150's token sequences are cut at q147's bin boundaries, so
+    // each (shard, bin) reassembles to exactly 512 contiguous BPE tokens
+    // (final bin per shard partial). One row per (doc, overlapped bin).
+    "q151_bpe_shard_slices" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val seqs = TextAnalysis.bpeTokenizeWithVocab(docs, "doc_id", "text",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+      graft.operators.CorpusOps.packTokenSlices(seqs, "doc_id", "tokens",
+        budgetTokens = 512, nShards = 4)
+    }),
+
+    // Tokenizer EMISSION: the per-document token sequence itself (q143's
+    // counts are the length of this) — trained symbols in word order, OOV
+    // char fallback, serialized with a chr(1) separator for the compare.
+    // The oracle replays the vocab CTE and rebuilds each word's token list
+    // with DuckDB list comprehensions, string_agg'd in (word, symbol) order.
+    "q150_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.bpeTokenizeWithVocab(docs, "doc_id", "text",
+          TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+        .select(col("doc_id"), concat_ws("\u0001", col("tokens")).as("tokens"))
+    }),
+
     // The per-document curation scorecard: every verified curation signal
     // in ONE row per document — predicted language + consistency flag, the
     // shared milli-quantized quality score, exact-dup keeper flag, Bloom
@@ -808,6 +832,87 @@ object TextQueries {
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
         |       CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM capped WHERE cum_tokens <= 2000""".stripMargin
+
+  /** The tokenizer emission oracle: rebuild each word's token list with
+    * DuckDB list comprehensions against the vocab CTE (trained symbols for
+    * eligible words, per-character fallback otherwise), then string_agg in
+    * (word position, symbol position) order with a chr(1) separator —
+    * byte-identical to the Spark side's order-preserving flatten. */
+  private def bpeTokenizeOracle(rounds: Int): String =
+    bpeRoundCtes(rounds) +
+      s""",
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents
+         |),
+         |wt AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos,
+         |         CASE WHEN v.seg IS NOT NULL THEN
+         |           [substr(string_split(v.seg, '?')[i], 2)
+         |            FOR i IN generate_series(1, len(string_split(v.seg, '?')) - 1)]
+         |         ELSE
+         |           [substr(t.word, i, 1) FOR i IN generate_series(1, len(t.word))]
+         |         END AS tl
+         |  FROM toks t LEFT JOIN w$rounds v USING (word)
+         |),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, pos, unnest(tl) AS tok, generate_subscripts(tl, 1) AS tp
+         |  FROM wt
+         |)
+         |SELECT d.doc_id, COALESCE(x.tokens, '') AS tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, string_agg(tok, chr(1) ORDER BY pos, tp) AS tokens
+         |  FROM tok GROUP BY doc_id
+         |) x USING (doc_id)""".stripMargin
+
+  /** Training-shard slices: the tokenize chain aggregated back to one
+    * ordered token list per document, the q92 running-offset window over its
+    * lengths, then each list cut at bin boundaries with DuckDB list slicing
+    * — the same greatest/least arithmetic as the Spark side. */
+  private def bpeShardSlicesOracle(rounds: Int): String =
+    bpeRoundCtes(rounds) +
+      s""",
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents
+         |),
+         |wt AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos,
+         |         CASE WHEN v.seg IS NOT NULL THEN
+         |           [substr(string_split(v.seg, '?')[i], 2)
+         |            FOR i IN generate_series(1, len(string_split(v.seg, '?')) - 1)]
+         |         ELSE
+         |           [substr(t.word, i, 1) FOR i IN generate_series(1, len(t.word))]
+         |         END AS tl
+         |  FROM toks t LEFT JOIN w$rounds v USING (word)
+         |),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, pos, unnest(tl) AS tok, generate_subscripts(tl, 1) AS tp
+         |  FROM wt
+         |),
+         |agg AS MATERIALIZED (
+         |  SELECT doc_id, list(tok ORDER BY pos, tp) AS tl FROM tok GROUP BY doc_id
+         |),
+         |packed AS MATERIALIZED (
+         |  SELECT doc_id, doc_id % 4 AS shard, CAST(len(tl) AS BIGINT) AS n, tl,
+         |         CAST(COALESCE(SUM(len(tl)) OVER (
+         |           PARTITION BY doc_id % 4 ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM agg
+         |),
+         |binned AS (
+         |  SELECT doc_id, shard, n, tl, o,
+         |         unnest(generate_series(o // 512, (o + n - 1) // 512)) AS b
+         |  FROM packed
+         |)
+         |SELECT doc_id, shard, CAST(b AS BIGINT) AS bin,
+         |       array_to_string(
+         |         tl[CAST(greatest(b * 512 - o, 0) + 1 AS BIGINT) :
+         |            CAST(least(n, (b + 1) * 512 - o) AS BIGINT)],
+         |         chr(1)) AS chunk
+         |FROM binned""".stripMargin
 
   /** q115's length-bucket batching, bucketed on trained-tokenizer counts. */
   private def bpeBatchesOracle(rounds: Int): String =
@@ -1349,6 +1454,8 @@ object TextQueries {
     "q147_bpe_pack" -> bpePackOracle(6),
     "q148_bpe_cap" -> bpeCapOracle(6),
     "q149_bpe_batches" -> bpeBatchesOracle(6),
+    "q150_bpe_tokenize" -> bpeTokenizeOracle(6),
+    "q151_bpe_shard_slices" -> bpeShardSlicesOracle(6),
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

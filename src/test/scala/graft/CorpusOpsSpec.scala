@@ -35,6 +35,37 @@ class CorpusOpsSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("packTokenSlices: bins hold exactly the budget and reassemble the stream") {
+    // synthetic token lists with known sizes straddling several boundaries
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(40)).map(j => s"t${i}_$j")))
+    val df = rows.toDF("doc_id", "tokens")
+    val cut = CorpusOps.packTokenSlices(df, "doc_id", "tokens",
+      budgetTokens = 16, nShards = 4, sep = " ")
+      .as[(Long, Long, Long, String)].collect()
+    val byShard = rows.groupBy(_._1 % 4)
+    byShard.foreach { case (shard, docs) =>
+      val stream = docs.sortBy(_._1).flatMap(_._2)
+      // every non-final bin holds EXACTLY the budget; the final bin the rest
+      val binTokens = cut.filter(_._2 == shard).groupBy(_._3).toSeq.sortBy(_._1)
+        .map { case (bin, rs) =>
+          bin -> rs.sortBy(_._1).flatMap(_._4.split(" ")).toSeq }
+      assert(binTokens.map(_._1) === binTokens.indices.map(_.toLong))
+      binTokens.dropRight(1).foreach { case (_, ts) => assert(ts.size === 16) }
+      // reassembling (bin, doc) order yields the concatenated stream verbatim
+      assert(binTokens.flatMap(_._2) === stream)
+    }
+    // and the bin labels agree with packSequencesByCount's plan
+    val plan = CorpusOps.packSequencesByCount(
+        df.select(col("doc_id"), size(col("tokens")).as("n")), "doc_id", "n",
+        budgetTokens = 16, nShards = 4)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    cut.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.map(_._3).min === plan(doc), s"doc $doc starts in its plan bin")
+    }
+  }
+
   test("stratifiedSample: rates hold approximately and decisions are growth-stable") {
     val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.0), defaultRate = 0.2)

@@ -151,6 +151,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("tokenizer-budgeted packing: vocab broadcast join + ONE key-bounded window") {
+    // q147/q149 compose q143's count kernel with the packing windows: the
+    // vocab must still broadcast (never a shuffle of the token stream) and
+    // the only window is the pack's shard-/bucket-keyed running frame
+    Seq("q147_bpe_pack", "q149_bpe_batches").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$name: ${p.take(2000)}")
+      assert("Window".r.findAllIn(p).size === 1, s"$name: ${p.take(2000)}")
+    }
+  }
+
   test("BPE token counts: vocab broadcasts into the word join, one doc-keyed agg") {
     val p = plan("q143_bpe_tokens")
     // the trained vocabulary is vocabulary-sized state — it must reach the

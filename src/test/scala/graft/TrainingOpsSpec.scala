@@ -334,6 +334,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(merges.take(5) === dist)
   }
 
+  test("bpeTokenizeWithVocab emits trained symbols in order; counts are its length") {
+    // corpus from the hand-run test: after 6 rounds "aaab" → [aaab],
+    // "cd" → [cd]; OOV fallback char-splits anything untrained
+    val docs = Seq((1L, "aaab cd aaab"), (2L, "zz aaab")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeVocab(docs.where(col("doc_id") === 1), "text", rounds = 6)
+    val got = TextAnalysis.bpeTokenizeWithVocab(docs, "doc_id", "text", vocab)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("aaab", "cd", "aaab"))
+    assert(got(2L) === Seq("z", "z", "aaab")) // "zz" untrained → chars
+    // the emitted sequence IS the thing q143 counts
+    val counts = TextAnalysis.bpeCountWithVocab(docs, "doc_id", "text", vocab)
+      .as[(Long, Long)].collect().toMap
+    assert(got.view.mapValues(_.size.toLong).toMap === counts)
+  }
+
   test("bpeTrain counts by word frequency: vocabulary-table loop ≡ occurrence counting") {
     // same corpus written as repeated occurrences vs distinct words with
     // multiplicity must select identical merges with identical counts
