@@ -102,6 +102,51 @@ object CorpusOps {
           (end - start).cast("int"))).as("chunk"))
   }
 
+  /** Packed-bin BOUNDARY MANIFEST — the attention-mask sidecar every packed
+    * training shard needs: cross-document attention must be masked at the
+    * document seams inside each fixed-budget bin, and the trainer reads
+    * those seams from a manifest, not by re-tokenizing. One row per
+    * (shard, bin): how many documents the bin holds, how many tokens
+    * (== `budgetTokens` except each shard's final bin), and the ordered
+    * `doc:start:len` boundary list (start = token offset INSIDE the bin).
+    *
+    * Input is a per-document token-COUNT frame (e.g.
+    * [[TextAnalysis.bpeCountWithVocab]] output) — boundaries are pure
+    * arithmetic over counts, so no token text is read, let alone shuffled.
+    * Scale shape: the same single shard-keyed window as [[packSequences]]
+    * for the running offset, a pure-expression bin fan-out (a document
+    * overlaps ceil(n/budget)+1 bins at most), then one hash aggregation on
+    * (shard, bin); the per-bin sort is bounded by the documents in ONE bin
+    * (≤ budgetTokens since every document in it holds ≥1 token). */
+  def packBoundaryManifest(df: DataFrame, idCol: String, countCol: String,
+                           budgetTokens: Int, nShards: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val b = lit(budgetTokens.toLong)
+    val withShard = df.select(col(idCol).as("__id"),
+      col(countCol).cast("long").as("__n"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"))
+    val before = Window.partitionBy(col("shard")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def fdiv(x: Column): Column = floor(x / b).cast("long")
+    val start = greatest(col("__o") - col("__b") * b, lit(0L))
+    val len = least(col("__n"), (col("__b") + 1) * b - col("__o")) -
+      greatest(col("__b") * b - col("__o"), lit(0L))
+    withShard
+      .withColumn("__o", coalesce(sum(col("__n")).over(before), lit(0L)))
+      .where(col("__n") > 0)
+      .withColumn("__b",
+        explode(sequence(fdiv(col("__o")), fdiv(col("__o") + col("__n") - 1))))
+      .select(col("shard"), col("__b").as("bin"),
+        struct(start.as("s"), col("__id"), len.as("l")).as("__e"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e.l")).as("bin_tokens"),
+        array_join(transform(array_sort(collect_list(col("__e"))),
+          e => concat_ws(":", e.getField("__id"), e.getField("s"),
+            e.getField("l"))), ";").as("boundaries"))
+  }
+
   /** Stratified sampling with per-stratum keep rates (e.g. rebalancing a
     * language mix): a document survives iff its hash-uniform falls under its
     * stratum's rate. Growth-stable — adding documents never flips existing

@@ -749,6 +749,47 @@ object Similarity {
         x => x.getField("q")).as("q8"))
   }
 
+  /** Embedding-space eval-set decontamination (the vector twin of the q77
+    * n-gram / q114 Bloom passes): flag every CORPUS vector whose cosine with
+    * ANY eval-set vector reaches `threshold`, searching only IVF-probed
+    * cells instead of the full eval × corpus product. Returns one row per
+    * contaminated corpus vector — its best eval match (cosine desc, eval id
+    * asc) — i.e. the drop list a release build subtracts before training.
+    *
+    * Scale shape (the asymmetry is the whole design): the eval set is tiny
+    * and the corpus is 100 TB, so everything eval-sized is BROADCAST —
+    * coarse centroids (built from the corpus side only, so the index is
+    * eval-independent), then the (eval, probed cell) assignment table. The
+    * corpus streams through ONCE: an equi-join on its cell id against the
+    * broadcast assignment prunes candidates to probed cells, the rounded
+    * native dot scores each surviving pair, and the best-match pick is a
+    * hash aggregation (`max(struct(cosine, -eval_id))` — map-side partials,
+    * no window, no corpus-keyed sort). Cells the eval set never probes are
+    * never scored. */
+  def ivfDecontaminate(df: DataFrame, idCol: String, embCol: String,
+                       cellCol: String, evalFilter: Column,
+                       threshold: Double, nProbe: Int = 2): DataFrame = {
+    val corpus = df.where(!evalFilter)
+      .select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
+        col(embCol).as("__emb"))
+    val cent = cellCentroids(df.where(!evalFilter), embCol, cellCol)
+    val evals = df.where(evalFilter)
+      .select(col(idCol).as("eval_id"), col(embCol).as("e_emb"))
+    val assign = evals.crossJoin(broadcast(cent))
+      .withColumn("cscore", round(dot(col("e_emb"), col("cvec")), 3))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("eval_id")).orderBy(col("cscore").desc, col("cell").asc)))
+      .where(col("__rn") <= nProbe)
+      .select(col("eval_id"), col("e_emb"), col("cell"))
+    corpus.join(broadcast(assign), Seq("cell"))
+      .withColumn("cosine", round(dot(col("__emb"), col("e_emb")), 3))
+      .where(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("eval_id"),
+        col("m.cosine").as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
     * `threshold`, blocked by LSH bucket so the pair space never materializes
     * globally. */

@@ -479,6 +479,39 @@ object TextAnalysis {
         x => x.getField("__toks"))).as("tokens"))
   }
 
+  /** Tokenizer EVALUATION under a frozen vocabulary — the scorecard a team
+    * reads before committing to a tokenizer release: per `sourceCol`, word /
+    * token / character totals, how many words fell back to per-character
+    * splitting (no trained segmentation), and the two standard ratios as
+    * exact integer milli-units (fertility = tokens per word, compression =
+    * characters per token — both `x * 1000 div y`, so no float division can
+    * diverge between engines).
+    *
+    * Scale shape: the same single word-keyed broadcast join as
+    * [[bpeCountWithVocab]], then ONE hash aggregation keyed by source
+    * (map-side partials; source cardinality is tiny) plus a second
+    * kilobyte-sized per-source doc-count aggregate broadcast back on. */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, vocab: DataFrame): DataFrame = {
+    val perDoc = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val words = df.select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .withColumn("__c", coalesce(size(split(col("seg"), "!")) - 1,
+        length(col("word"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__c")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(when(col("seg").isNull, 1L).otherwise(0L)).as("n_fallback_words"))
+    words.join(broadcast(perDoc), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"), col("n_fallback_words"),
+        expr("div(n_tokens * 1000, n_words)").as("fertility_milli"),
+        expr("div(n_chars * 1000, n_tokens)").as("compression_milli"))
+  }
+
   /** The count → select-top-merge → re-segment loop shared by [[bpeTrain]],
     * [[bpeVocab]] and [[bpeTokenCounts]]. Returns the PERSISTED final word
     * table (word, seg, freq) — caller unpersists — and the executed merges.

@@ -446,6 +446,29 @@ object TextQueries {
         .select(col("doc_id"), concat_ws("\u0001", col("tokens")).as("tokens"))
     }),
 
+    // Packed-bin boundary manifest: the attention-mask sidecar for q151's
+    // shards — per (shard, bin), the ordered doc:start:len seam list (start
+    // = token offset inside the bin), doc count, and token total (512
+    // everywhere but each shard's final bin). Pure arithmetic over q143's
+    // counts: no token text is read, let alone shuffled.
+    "q153_pack_manifest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = TextAnalysis.bpeCountWithVocab(docs, "doc_id", "text",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+      graft.operators.CorpusOps.packBoundaryManifest(counts, "doc_id",
+        "n_bpe_tokens", budgetTokens = 512, nShards = 4)
+    }),
+
+    // Tokenizer evaluation scorecard: per source, word/token/char totals,
+    // per-character-fallback word count, and the standard fertility
+    // (tokens-per-word) and compression (chars-per-token) ratios as exact
+    // integer milli-units under the frozen 6-merge vocabulary.
+    "q154_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.tokenizerFertility(docs, "doc_id", "text", "source",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6))
+    }),
+
     // The per-document curation scorecard: every verified curation signal
     // in ONE row per document — predicted language + consistency flag, the
     // shared milli-quantized quality score, exact-dup keeper flag, Bloom
@@ -913,6 +936,71 @@ object TextQueries {
          |            CAST(least(n, (b + 1) * 512 - o) AS BIGINT)],
          |         chr(1)) AS chunk
          |FROM binned""".stripMargin
+
+  /** q153's boundary manifest: the count CTEs, the q92 running-offset
+    * window, the bin fan-out via generate_series, then one (shard, bin)
+    * aggregation with the seam list string_agg'd in within-bin start order
+    * — the same greatest/least arithmetic as the Spark side. */
+  private def bpeManifestOracle(rounds: Int): String =
+    bpeCountCtes(rounds) +
+      """,
+        |packed AS (
+        |  SELECT doc_id, doc_id % 4 AS shard, n_bpe AS n,
+        |         CAST(COALESCE(SUM(n_bpe) OVER (
+        |           PARTITION BY doc_id % 4 ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |  FROM ntok WHERE n_bpe > 0
+        |),
+        |binned AS (
+        |  SELECT doc_id, shard, n, o,
+        |         unnest(generate_series(o // 512, (o + n - 1) // 512)) AS b
+        |  FROM packed
+        |),
+        |seg AS (
+        |  SELECT shard, CAST(b AS BIGINT) AS bin, doc_id,
+        |         greatest(o - b * 512, 0) AS s,
+        |         least(n, (b + 1) * 512 - o) - greatest(b * 512 - o, 0) AS l
+        |  FROM binned
+        |)
+        |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(l) AS BIGINT) AS bin_tokens,
+        |       string_agg(doc_id || ':' || s || ':' || l, ';' ORDER BY s) AS boundaries
+        |FROM seg GROUP BY shard, bin""".stripMargin
+
+  /** q154's tokenizer scorecard: per-word costs against the vocab CTE
+    * (trained symbol count / per-character fallback), aggregated by source
+    * with exact integer milli-ratios (`x * 1000 // y` on BIGINT — the same
+    * integral division Spark's `div` performs, so no float can diverge). */
+  private def bpeFertilityOracle(rounds: Int): String =
+    bpeRoundCtes(rounds) +
+      s""",
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+         |  FROM documents
+         |),
+         |cnt AS MATERIALIZED (
+         |  SELECT t.source,
+         |         COALESCE(len(string_split(v.seg, '!')) - 1, len(t.word)) AS c,
+         |         len(t.word) AS ch,
+         |         CASE WHEN v.seg IS NULL THEN 1 ELSE 0 END AS fb
+         |  FROM toks t LEFT JOIN w$rounds v USING (word)
+         |),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(ch) AS BIGINT) AS n_chars,
+         |         CAST(SUM(fb) AS BIGINT) AS n_fallback_words
+         |  FROM cnt GROUP BY source
+         |),
+         |d AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT a.source, d.n_docs, a.n_words, a.n_tokens, a.n_chars,
+         |       a.n_fallback_words,
+         |       (a.n_tokens * 1000) // a.n_words AS fertility_milli,
+         |       (a.n_chars * 1000) // a.n_tokens AS compression_milli
+         |FROM agg a JOIN d USING (source)""".stripMargin
 
   /** q115's length-bucket batching, bucketed on trained-tokenizer counts. */
   private def bpeBatchesOracle(rounds: Int): String =
@@ -1456,6 +1544,8 @@ object TextQueries {
     "q149_bpe_batches" -> bpeBatchesOracle(6),
     "q150_bpe_tokenize" -> bpeTokenizeOracle(6),
     "q151_bpe_shard_slices" -> bpeShardSlicesOracle(6),
+    "q153_pack_manifest" -> bpeManifestOracle(6),
+    "q154_tokenizer_fertility" -> bpeFertilityOracle(6),
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -176,7 +176,18 @@ object VectorQueries {
     // Python-oracled (index-order IEEE replication, the q109 pattern).
     "q136_top_component" -> ((s, dir) =>
       Similarity.topComponentProjections(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, iters = 3))
+        "vec_id", "embedding", dim = 64, iters = 3)),
+
+    // Embedding-space eval-set decontamination: eval = vec_id % 50 == 0,
+    // corpus = the rest; a corpus vector is dropped when its cosine with any
+    // eval vector reaches 0.3, searched only inside the eval vectors'
+    // 2-probed IVF cells (label-cell centroids from the CORPUS side, q72's
+    // coarse quantizer). Output = the drop list with each vector's best eval
+    // match. The vector twin of q77/q114's n-gram decontamination.
+    "q152_embed_decontaminate" -> ((s, dir) =>
+      Similarity.ivfDecontaminate(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") % 50 === 0,
+        threshold = 0.3, nProbe = 2))
   )
 
   def oracles: Map[String, String] = Map(
@@ -294,6 +305,46 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM scores
         |) WHERE rn <= 3""".stripMargin,
+
+    "q152_embed_decontaminate" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+        |  FROM ex WHERE vec_id % 50 <> 0 GROUP BY 1, 2
+        |),
+        |qx AS (SELECT vec_id AS eval_id, v, i FROM ex WHERE vec_id % 50 = 0),
+        |ascore AS (
+        |  SELECT qx.eval_id, cent.label, round(SUM(CAST(qx.v AS DOUBLE) * cent.c), 3) AS cscore
+        |  FROM qx JOIN cent ON qx.i = cent.i GROUP BY 1, 2
+        |),
+        |assign AS (
+        |  SELECT eval_id, label FROM (
+        |    SELECT eval_id, label,
+        |           row_number() OVER (PARTITION BY eval_id ORDER BY cscore DESC, label) AS rn
+        |    FROM ascore
+        |  ) WHERE rn <= 2
+        |),
+        |pairs AS (
+        |  SELECT a.eval_id, e.vec_id
+        |  FROM assign a JOIN embeddings e ON e.label = a.label AND e.vec_id % 50 <> 0
+        |),
+        |scores AS (
+        |  SELECT p.vec_id, p.eval_id,
+        |         round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) AS cosine
+        |  FROM pairs p
+        |  JOIN ex qe ON qe.vec_id = p.eval_id
+        |  JOIN ex ce ON ce.vec_id = p.vec_id AND ce.i = qe.i
+        |  GROUP BY 1, 2
+        |  HAVING round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) >= 0.3
+        |)
+        |SELECT vec_id, eval_id, cosine FROM (
+        |  SELECT vec_id, eval_id, cosine,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+        |  FROM scores
+        |) WHERE rn = 1""".stripMargin,
 
     "q75_cosine_neardup" ->
       """WITH ex AS (

@@ -66,6 +66,44 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packBoundaryManifest: seams tile every bin and agree with packTokenSlices") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 40L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(40)).map(j => s"t${i}_$j")))
+    val df = rows.toDF("doc_id", "tokens")
+    val manifest = CorpusOps.packBoundaryManifest(
+        df.select(col("doc_id"), size(col("tokens")).as("n")), "doc_id", "n",
+        budgetTokens = 16, nShards = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val seams = manifest.map { case (shard, bin, nDocs, binToks, b) =>
+      val parts = b.split(";").map { s =>
+        val Array(doc, st, len) = s.split(":").map(_.toLong); (doc, st, len) }
+      ((shard, bin), (nDocs, binToks, parts))
+    }.toMap
+    // per bin: seams start at 0, are contiguous, and sum to bin_tokens;
+    // every bin but each shard's last holds exactly the budget
+    seams.foreach { case ((shard, bin), (nDocs, binToks, parts)) =>
+      assert(parts.length.toLong === nDocs)
+      assert(parts.head._2 === 0L, s"($shard,$bin) starts at 0")
+      parts.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) => assert(s2 === s1 + l1)
+        case _ =>
+      }
+      assert(parts.map(_._3).sum === binToks)
+      val lastBin = seams.keys.filter(_._1 === shard).map(_._2).max
+      if (bin != lastBin) assert(binToks === 16L, s"($shard,$bin) full")
+    }
+    // the manifest's (doc, bin, len) agrees with the actually-cut slices
+    val cut = CorpusOps.packTokenSlices(df, "doc_id", "tokens",
+        budgetTokens = 16, nShards = 4, sep = " ")
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (doc, shard, bin, chunk) =>
+        ((shard, bin, doc), chunk.split(" ").length.toLong) }.toMap
+    val fromManifest = seams.toSeq.flatMap { case ((shard, bin), (_, _, parts)) =>
+      parts.map { case (doc, _, len) => ((shard, bin, doc), len) } }.toMap
+    assert(fromManifest === cut)
+  }
+
   test("stratifiedSample: rates hold approximately and decisions are growth-stable") {
     val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.0), defaultRate = 0.2)

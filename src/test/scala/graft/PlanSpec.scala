@@ -163,6 +163,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embed decontaminate: corpus streams once through broadcast probes, no corpus window") {
+    val p = plan("q152_embed_decontaminate")
+    // the corpus side must meet the eval assignment as a broadcast equi-join
+    // on the cell id — never a sort-merge (that shuffles 100 TB of vectors)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // the only window is the eval-side probe rank, partitioned by eval_id
+    // (eval-set-sized, and group-limit-pushed); the best-match pick must be
+    // an aggregation with map-side partials, not a corpus-keyed window
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(2000))
+    assert("Window \\[[^\\]]*\\], \\[eval_id#\\d+".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    // the threshold filter rides the join so only surviving pairs reach the
+    // partial aggregate (its sort is over the drop list, not the corpus)
+    assert("partial_max".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
+
+  test("pack manifest: count kernel + ONE shard window, seams aggregate hash-keyed") {
+    val p = plan("q153_pack_manifest")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("tokenizer fertility: broadcast joins only, no window anywhere") {
+    val p = plan("q154_tokenizer_fertility")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("BPE token counts: vocab broadcasts into the word join, one doc-keyed agg") {
     val p = plan("q143_bpe_tokens")
     // the trained vocabulary is vocabulary-sized state — it must reach the

@@ -125,6 +125,54 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === List(2L))
   }
 
+  // ---- Embedding-space decontamination -------------------------------
+
+  test("ivfDecontaminate: planted duplicates flagged, unprobed cells pruned") {
+    // three unit-vector cells; corpus id 5 is an exact copy of eval 100 but
+    // lives in cell 2, whose centroid drifts to (0.5,0,0.5,0) — with
+    // nProbe=1 eval 100 probes only cell 0, so id 5 must NOT be flagged
+    // (the probe-pruning semantics), while the same-cell copy id 1 is.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),   // == eval 100, probed cell
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),   // cosine 0.9 with eval 100
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),   // == eval 101
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2),
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f), 2),   // copy in the UNPROBED cell
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // eval
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1)  // eval
+    ).toDF("vec_id", "embedding", "label")
+    def run(nProbe: Int) =
+      Similarity.ivfDecontaminate(vecs, "vec_id", "embedding", "label",
+          col("vec_id") >= 100, threshold = 0.9, nProbe = nProbe)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(1) === Set((1L, 100L, 1.0), (2L, 100L, 0.9), (3L, 101L, 1.0)))
+    // widening the probe to 2 cells reaches the misplaced copy
+    assert(run(2) === Set((1L, 100L, 1.0), (2L, 100L, 0.9), (3L, 101L, 1.0),
+      (5L, 100L, 1.0)))
+  }
+
+  // ---- Tokenizer fertility scorecard ---------------------------------
+
+  test("tokenizerFertility: hand-computed totals, fallback words, integer ratios") {
+    // rounds=1 merges the top pair "aa" (freq 3) only: aa → 1 token,
+    // bb/cc/yz stay 2, the length-1 word "x" is vocab-ineligible → fallback.
+    val docs = Seq(
+      (1L, "aa aa bb", "s1"),
+      (2L, "aa cc", "s2"),
+      (3L, "x yz", "s2")
+    ).toDF("doc_id", "text", "source")
+    val vocab = TextAnalysis.bpeVocab(docs, "text", rounds = 1)
+    val got = TextAnalysis.tokenizerFertility(docs, "doc_id", "text",
+        "source", vocab)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set(
+      // s1: words aa,aa,bb → 1+1+2 = 4 tokens, 6 chars
+      ("s1", 1L, 3L, 4L, 6L, 0L, 4000L / 3, 6000L / 4),
+      // s2: aa,cc,x,yz → 1+2+1+2 = 6 tokens, 7 chars, "x" falls back
+      ("s2", 2L, 4L, 6L, 7L, 1L, 6000L / 4, 7000L / 6)))
+  }
+
   // ---- BM25 ----------------------------------------------------------
 
   test("bm25: hand-computed scores on a three-doc corpus") {
