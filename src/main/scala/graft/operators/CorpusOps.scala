@@ -318,6 +318,49 @@ object CorpusOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Curriculum-ordered training shards: documents are bucketed into
+    * `phases` quantile phases of an INTEGER difficulty/quality score (phase
+    * 0 = lowest scores) and each shard's stream is phase-major — all
+    * phase-0 documents precede phase-1, deterministically shuffled inside a
+    * phase ([[deterministicShuffle]]'s md5 key). The data-ordering step of
+    * curriculum training, with no global sort anywhere.
+    *
+    * Phase boundaries come from the SCORE HISTOGRAM, not a corpus-wide rank:
+    * one map-side-combined aggregation bounded by score cardinality (the
+    * caller quantizes, e.g. a 0..1000 milli-score), collected to the driver
+    * (kilobytes — the k-means "trainer state" idiom) where boundary k is
+    * the smallest score whose cumulative count reaches ceil(n·k/phases).
+    * Phase assignment is then a pure literal expression; the only shuffle
+    * is the shard-keyed position window, identical to
+    * [[deterministicShuffle]]'s. */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: String,
+                       phases: Int, nShards: Int,
+                       seed: String = "curriculum"): DataFrame = {
+    require(phases > 0, s"phases must be positive, got $phases")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hist = df.groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("f"))
+      .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft(0L)(_ + _._2).tail
+    val boundaries = (1 until phases).map { k =>
+      val t = (n * k + phases - 1) / phases
+      hist(cum.indexWhere(_ >= t))._1
+    }
+    val phase = boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(scoreCol) > b, 1L).otherwise(0L)
+    }
+    val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    df.select(col(idCol), col(scoreCol), phase.as("phase"), key.as("__key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("phase"), col("__key"), col(idCol))))
+      .select(col(idCol), col(scoreCol), col("phase"), col("shard"), col("pos"))
+  }
+
   /** Length-bucketed batch packing (the padding-efficiency step of a
     * training dataloader): documents are routed to the smallest length
     * bucket that fits them (`bounds` ascending; anything longer lands in a

@@ -469,6 +469,19 @@ object TextQueries {
         TextAnalysis.bpeVocab(docs, "text", rounds = 6))
     }),
 
+    // Curriculum-ordered training shards: quality-milli quantile phases
+    // (histogram-derived boundaries — no corpus-wide rank), then q111's
+    // deterministic md5 shuffle made phase-major inside each shard. The
+    // "order the data easy-to-hard" step of curriculum training.
+    "q155_curriculum" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("q_milli",
+          round(TextAnalysis.qualityScore(col("text"), stopwords) * 1000d)
+            .cast("long"))
+      graft.operators.CorpusOps.curriculumShards(docs, "doc_id", "q_milli",
+        phases = 4, nShards = 8)
+    }),
+
     // The per-document curation scorecard: every verified curation signal
     // in ONE row per document — predicted language + consistency flag, the
     // shared milli-quantized quality score, exact-dup keeper flag, Bloom
@@ -1545,6 +1558,43 @@ object TextQueries {
     "q150_bpe_tokenize" -> bpeTokenizeOracle(6),
     "q151_bpe_shard_slices" -> bpeShardSlicesOracle(6),
     "q153_pack_manifest" -> bpeManifestOracle(6),
+
+    // q137's exact q_milli spelling → score histogram → cumulative
+    // boundaries at ceil(n·k/4) → phase = boundaries strictly below, then
+    // q111's md5 shard/key made phase-major for the in-shard position.
+    "q155_curriculum" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(round(round(least(CAST(n_tok AS DOUBLE), 100) / 100
+        |           * (1 - CAST(len(list_filter(t,
+        |                tok -> tok IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
+        |              / n_tok), 3) * 1000) AS BIGINT) AS q_milli
+        |  FROM d0
+        |),
+        |hist AS (SELECT q_milli AS s, CAST(COUNT(*) AS BIGINT) AS f FROM q GROUP BY 1),
+        |cum AS (SELECT s, SUM(f) OVER (ORDER BY s) AS c FROM hist),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+        |b AS (
+        |  SELECT k, min(s) AS bs
+        |  FROM (SELECT unnest(generate_series(1, 3)) AS k) ks, cum, n
+        |  WHERE cum.c >= (n.n * k + 3) // 4
+        |  GROUP BY k
+        |),
+        |ph AS (
+        |  SELECT q.doc_id, q.q_milli,
+        |         (SELECT COUNT(*) FROM b WHERE q.q_milli > b.bs) AS phase,
+        |         md5('curriculum|' || CAST(q.doc_id AS VARCHAR)) AS kk,
+        |         ('0x' || substr(md5('curriculum|' || CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM q
+        |)
+        |SELECT doc_id, q_milli, CAST(phase AS BIGINT) AS phase, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY phase, kk, doc_id) AS INT) AS pos
+        |FROM ph""".stripMargin,
     "q154_tokenizer_fertility" -> bpeFertilityOracle(6),
 
     "q129_bpe_merges" ->

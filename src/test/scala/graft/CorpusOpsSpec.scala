@@ -104,6 +104,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromManifest === cut)
   }
 
+  test("curriculumShards: quantile phases from the histogram, phase-major shard order") {
+    // 100 distinct scores 1..100, 4 phases → boundaries at 25/50/75 and
+    // exactly 25 docs per phase
+    val df = (1L to 100L).map(i => (i, i)).toSeq.toDF("doc_id", "score")
+    val out = CorpusOps.curriculumShards(df, "doc_id", "score",
+        phases = 4, nShards = 4)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.length === 100)
+    out.foreach { case (_, score, phase, _, _) =>
+      assert(phase === (score - 1) / 25, s"score $score phase $phase")
+    }
+    // in-shard positions are contiguous from 1 and phase-monotone
+    out.groupBy(_._4).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._5)
+      assert(byPos.map(_._5).toList === (1 to rows.length).toList)
+      val phasesInOrder = byPos.map(_._3)
+      assert(phasesInOrder === phasesInOrder.sorted)
+    }
+    // degenerate distribution: one score value → every boundary equals it,
+    // everything lands in phase 0
+    val flat = (1L to 10L).map(i => (i, 7L)).toSeq.toDF("doc_id", "score")
+    val flatOut = CorpusOps.curriculumShards(flat, "doc_id", "score",
+        phases = 4, nShards = 2)
+      .select("phase").as[Long].collect()
+    assert(flatOut.forall(_ === 0L))
+  }
+
   test("stratifiedSample: rates hold approximately and decisions are growth-stable") {
     val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.0), defaultRate = 0.2)

@@ -187,6 +187,17 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(2000))
   }
 
+  test("curriculum shards: literal phase boundaries, one shard-keyed window, no join") {
+    // boundaries are driver-collected trainer state riding as literals, so
+    // the served plan must contain NO join at all and exactly one window —
+    // the shard-keyed position rank (hash-balanced, never a global sort)
+    val p = plan("q155_curriculum")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(2000))
+    assert("Window \\[[^\\]]*\\], \\[shard#\\d+".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("tokenizer fertility: broadcast joins only, no window anywhere") {
     val p = plan("q154_tokenizer_fertility")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
