@@ -54,6 +54,22 @@ object ScaleProbe {
     "release_drift" -> (d => TextAnalysis.tokenDrift(d, "text",
       isNew = col("doc_id") % 10 >= 8, k = 20)),
     "source_manifest" -> (d => CorpusOps.sourceManifest(d, "doc_id", "source")),
+    // counts-only manifest: linear in documents, token volume never read
+    "pack_manifest" -> (d => CorpusOps.packBoundaryManifest(
+      d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n")),
+      "doc_id", "n", budgetTokens = 512, nShards = 4)),
+    // word-keyed broadcast join + source-keyed agg; the vocab trainer is
+    // vocabulary-sized (distinct words barely grow under copying)
+    "tokenizer_fertility" -> (d => TextAnalysis.tokenizerFertility(
+      d, "doc_id", "text", "source",
+      TextAnalysis.bpeVocab(d, "text", rounds = 6))),
+    // histogram boundaries are score-cardinality driver state; the timed
+    // work is one bounded aggregation + the shard-keyed position window
+    "curriculum" -> (d => CorpusOps.curriculumShards(
+      d.withColumn("q_milli",
+        round(TextAnalysis.qualityScore(col("text"),
+          Seq("the", "a", "of", "to", "in", "and")) * 1000d).cast("long")),
+      "doc_id", "q_milli", phases = 4, nShards = 8)),
     "incremental_dedup" -> (d => {
       val isNew = col("doc_id") % 10 >= 8
       graft.pipeline.SignatureStore.incrementalNearDups(d.where(isNew),
@@ -81,7 +97,14 @@ object ScaleProbe {
     "ivfpq_ann" -> (e => graft.operators.Similarity.ivfPqTopK(e, "vec_id",
       "embedding", col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
       dim = 64, kCoarse = 8, coarseIters = 4, nProbe = 2,
-      m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)))
+      m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)),
+    // eval set pinned to the original range; the copied corpus plants exact
+    // eval duplicates (cosine 1.0), so the TRUE drop list grows ~k× while
+    // cost tracks the probed cells' population — never eval × corpus
+    "embed_decontaminate" -> (e => graft.operators.Similarity
+      .ivfDecontaminate(e, "vec_id", "embedding", "label",
+        col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
+        threshold = 0.3, nProbe = 2)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -772,23 +772,46 @@ object Similarity {
     val corpus = df.where(!evalFilter)
       .select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
         col(embCol).as("__emb"))
-    val cent = cellCentroids(df.where(!evalFilter), embCol, cellCol)
-    val evals = df.where(evalFilter)
-      .select(col(idCol).as("eval_id"), col(embCol).as("e_emb"))
-    val assign = evals.crossJoin(broadcast(cent))
+    val probes = evalProbes(
+      df.where(evalFilter).select(col(idCol).as("eval_id"),
+        col(embCol).as("e_emb")),
+      cellCentroids(df.where(!evalFilter), embCol, cellCol), nProbe)
+    decontaminateWithProbes(corpus, "vec_id", "__emb", "cell",
+      probes, threshold)
+  }
+
+  /** The eval-side probe table for [[ivfDecontaminate]]: each eval vector's
+    * `nProbe` nearest coarse cells — (eval_id, e_emb, cell), eval-set-sized.
+    * Computed once against frozen centroids, it IS the persistable
+    * decontamination artifact a serving path broadcasts (the
+    * classifier-weights / PQ-codebooks idiom). */
+  def evalProbes(evals: DataFrame, centroids: DataFrame,
+                 nProbe: Int): DataFrame =
+    evals.crossJoin(broadcast(centroids))
       .withColumn("cscore", round(dot(col("e_emb"), col("cvec")), 3))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("eval_id")).orderBy(col("cscore").desc, col("cell").asc)))
       .where(col("__rn") <= nProbe)
       .select(col("eval_id"), col("e_emb"), col("cell"))
-    corpus.join(broadcast(assign), Seq("cell"))
+
+  /** [[ivfDecontaminate]]'s serving half against an ALREADY-COMPUTED probe
+    * table: the corpus (carrying its cell id) streams once through the
+    * broadcast cell-keyed equi-join, the threshold rides the join
+    * condition, and the best-match pick is a map-side-partial aggregation.
+    * `StreamEntry.decontaminate` runs exactly this per micro-batch. */
+  def decontaminateWithProbes(corpus: DataFrame, idCol: String,
+                              embCol: String, cellCol: String,
+                              probes: DataFrame,
+                              threshold: Double): DataFrame =
+    corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
+        col(embCol).as("__emb"))
+      .join(broadcast(probes), Seq("cell"))
       .withColumn("cosine", round(dot(col("__emb"), col("e_emb")), 3))
       .where(col("cosine") >= threshold)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("m"))
       .select(col("vec_id"), (-col("m.neg_id")).as("eval_id"),
         col("m.cosine").as("cosine"))
-  }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
     * `threshold`, blocked by LSH bucket so the pair space never materializes

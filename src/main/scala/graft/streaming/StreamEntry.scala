@@ -259,6 +259,23 @@ object StreamEntry {
           batch, "doc_id", "text", vocab), id)
       }
 
+  /** Embedding decontamination on a vector stream — q152's serving twin
+    * (the countTokens / scoreDocs idiom): each micro-batch of arriving
+    * corpus vectors is flagged against a FROZEN eval probe table
+    * ([[graft.operators.Similarity.evalProbes]], computed once against the
+    * frozen coarse centroids — the persistable kilobyte artifact), running
+    * the identical broadcast cell-join + threshold + best-match aggregation
+    * the batch path runs, so stream and batch drop lists are bit-equal. No
+    * streaming state, no watermark: a vector's verdict depends only on its
+    * own batch row and the static probes. */
+  def decontaminate(vecs: DataFrame, probes: DataFrame, threshold: Double,
+                    sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Similarity.decontaminateWithProbes(
+          batch, "vec_id", "embedding", "label", probes, threshold), id)
+      }
+
   /** Frozen-weight quality scoring on a document stream: ONE per-row
     * expression (`Classifier.scoreExpr`) — no join, no shuffle, no state —
     * so it runs identically on a stream or a batch frame. Batch twin:

@@ -216,6 +216,41 @@ class StreamingSpec extends SparkSpec {
     vocab.unpersist()
   }
 
+  test("frozen-probe decontamination streams per micro-batch and equals q152") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isEval = col("vec_id") % 50 === 0
+    // the frozen kilobyte artifact: eval probe table against corpus centroids
+    val probes = graft.operators.Similarity.evalProbes(
+      emb.where(isEval).select(col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb")),
+      graft.operators.Similarity.cellCentroids(emb.where(!isEval),
+        "embedding", "label"),
+      nProbe = 2).cache()
+    val dir = Files.createTempDirectory("decontstream").toString
+    val corpus = emb.where(!isEval)
+    corpus.where(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/in/a")
+    corpus.where(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/in/b")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    var batches = 0
+    val q = StreamEntry.decontaminate(
+      spark.readStream.schema(StreamEntry.embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      probes, threshold = 0.3,
+      sink = (df, _) => {
+        batches += 1
+        df.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getLong(1), r.getDouble(2)))
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(batches === 2)
+    val twin = SparkEntry.queries("q152_embed_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.toMap === twin)
+    assert(got.nonEmpty)
+    probes.unpersist()
+  }
+
   test("frozen-weight scoring streams map-only and equals the q134 batch twin") {
     val docs = Tables.load(spark, sf, "documents")
     val isNew = col("doc_id") % 10 >= 8
