@@ -730,6 +730,19 @@ object Similarity {
       .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
   }
 
+  /** Flip an (q_id, cand_id, score) match table into a decontamination DROP
+    * LIST: candidates at/above `threshold`, one row per corpus vector with
+    * its best eval match (score desc, eval id asc). The shared tail of
+    * [[decontaminateWithProbes]] (exact cell search) and
+    * [[graft.pipeline.IndexStore.decontaminate]] (ADC-shortlisted index
+    * search); a map-side-partial aggregation, never a corpus-keyed window. */
+  def dropListFromMatches(matches: DataFrame, threshold: Double): DataFrame =
+    matches.where(col("score") >= threshold)
+      .groupBy(col("cand_id"))
+      .agg(max(struct(col("score"), (-col("q_id")).as("neg_id"))).as("m"))
+      .select(col("cand_id").as("vec_id"), (-col("m.neg_id")).as("eval_id"),
+        col("m.score").as("cosine"))
+
   /** Int8 scalar quantization of an embedding column: per-dimension corpus
     * [min, max] → each component mapped to round((v-lo)/((hi-lo)/255)) in
     * 0..255 — 4× smaller at rest than float32, the standard first compression

@@ -83,6 +83,30 @@ object IndexStore {
     Similarity.ivfPqServe(queries, enc, fullVecs, model, nProbe, k, shortlist)
   }
 
+  /** Eval-set decontamination served FROM the frozen index — the 100 TB
+    * shape of q152: the corpus is never scanned; each eval vector probes its
+    * `nProbe` cells, ADC-scores only their persisted codes (partition-pruned
+    * scan), exact-reranks its top-`shortlist`, and every candidate at/above
+    * `threshold` joins the drop list with its best eval match. Shortlist-
+    * bounded by construction: a contaminated vector outside ALL of its eval
+    * matches' ADC top-`shortlist` is missed — size `shortlist` to the
+    * expected per-eval contamination count (the standard recall/cost dial
+    * every ADC serving path has). Zero training jobs; work scales with the
+    * probed population, exactly like [[query]]. */
+  def decontaminate(spark: SparkSession, path: String, evals: DataFrame,
+                    fullVecs: DataFrame, nProbe: Int, shortlist: Int,
+                    threshold: Double): DataFrame = {
+    val model = readModel(spark, path)
+    val probedCells = Similarity.ivfPqProbe(evals, model, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val enc = readCodes(spark, path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+    Similarity.dropListFromMatches(
+      Similarity.ivfPqServe(evals, enc, fullVecs, model, nProbe,
+        k = shortlist, shortlist = shortlist),
+      threshold)
+  }
+
   /** Retention vacuum: delete the code partitions of every release `keep`
     * rejects — [[EavStore.vacuum]]'s contract on the (cell, release) layout
     * (quantizer metadata is release-independent and stays). Returns the

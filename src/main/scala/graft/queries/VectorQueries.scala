@@ -178,6 +178,29 @@ object VectorQueries {
       Similarity.topComponentProjections(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, iters = 3)),
 
+    // Decontamination served FROM the persisted IVFADC index (the 100 TB
+    // shape of q152 — the corpus is never scanned): the index builds on the
+    // corpus side only, each eval vector probes 2 cells, ADC-scores their
+    // persisted codes (partition-pruned), exact-reranks its shortlist, and
+    // candidates at cosine >= 0.3 join the drop list with their best eval
+    // match. Python-oracled (corpus-only Lloyd's + ADC + rerank + flip).
+    "q156_index_decontaminate" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isEval = col("vec_id") % 50 === 0
+      val path = java.nio.file.Files.createTempDirectory("graft-decont").toString
+      graft.pipeline.IndexStore.build(s, path, emb.where(!isEval), "vec_id",
+        "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+        ksub = 8, iters = 3, release = "r1")
+      val evals = emb.where(isEval)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.where(!isEval)
+        .select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+      graft.pipeline.IndexStore.decontaminate(s, path, evals, fv,
+        nProbe = 2, shortlist = 100, threshold = 0.3)
+    }),
+
     // Embedding-space eval-set decontamination: eval = vec_id % 50 == 0,
     // corpus = the rest; a corpus vector is dropped when its cosine with any
     // eval vector reaches 0.3, searched only inside the eval vectors'

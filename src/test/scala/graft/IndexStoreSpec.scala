@@ -44,6 +44,37 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(inJob).isEmpty && inJob.exceptAll(served).isEmpty)
   }
 
+  test("frozen-store decontaminate equals the inline encode twin and finds planted dups") {
+    // corpus = non-eval vectors PLUS one planted exact copy of eval vector
+    // 0 under a fresh id — the copy must surface on the drop list at
+    // cosine 1.0 with eval 0 as its best match
+    val isEval = col("vec_id") % 50 === 0
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val planted = emb.where(col("vec_id") === 0)
+      .withColumn("vec_id", lit(maxId + 1))
+    val corpus = emb.where(!isEval).unionByName(planted)
+    val dir = Files.createTempDirectory("ivfadc_decont").toString + "/index"
+    build(dir, corpus)
+    val evals = emb.where(isEval)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    val fv = corpus.select(col("vec_id").cast("long").as("cand_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+    val served = IndexStore.decontaminate(spark, dir, evals, fv,
+      nProbe = 2, shortlist = 100, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // lifecycle parity: the same composition with in-job training/encoding
+    val model = Similarity.ivfPqTrain(corpus, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3)
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "embedding", model)
+    val inline = Similarity.dropListFromMatches(
+        Similarity.ivfPqServe(evals, enc, fv, model, nProbe = 2,
+          k = 100, shortlist = 100), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === inline)
+    assert(served.contains((maxId + 1, 0L, 1.0)), s"planted dup missing from $served")
+  }
+
   test("model round-trips through the meta files bit-for-bit") {
     val dir = Files.createTempDirectory("ivfadc_model").toString + "/index"
     val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding",

@@ -660,6 +660,90 @@ def py_q145_ivfpq_ann(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q156_index_decontaminate(con, spark_df, oracle):
+    """Index-served decontamination: the q145 IVFADC sequence trained and
+    encoded on the CORPUS side only (vec_id % 50 != 0), each eval vector
+    (% 50 == 0) probing 2 cells, integer-ADC shortlist of 100, 3-dp exact
+    rerank, threshold 0.3, then the flip — per corpus vector its best eval
+    match (cosine desc, eval id asc)."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    kc, citers, nprobe = 8, 4, 2
+    m, ksub, iters, shortlist, thr = 16, 8, 3, 100, 0.3
+    dsub = dim // m
+    cidx = [i for i, vid in enumerate(ids) if vid % 50 != 0]
+    cids = [ids[i] for i in cidx]
+    cvecs = [vecs[i] for i in cidx]
+    cents, assign = _lloyd(cvecs, kc, citers)
+    resid = [[v[i] - cents[c][i] for i in range(dim)]
+             for v, c in zip(cvecs, assign)]
+    cbs = []
+    codes = [[0] * m for _ in cids]
+    for s in range(m):
+        scents, sassign = _lloyd([r[s * dsub:(s + 1) * dsub] for r in resid],
+                                 ksub, iters)
+        cbs.append(scents)
+        for ri, j in enumerate(sassign):
+            codes[ri][s] = j
+    idx_of = {vid: i for i, vid in enumerate(cids)}
+    by_cell = {}
+    for i, c in enumerate(assign):
+        by_cell.setdefault(c, []).append(i)
+    hits = []
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        qv = vecs[qi]
+        cs = []
+        for j, cv in enumerate(cents):
+            nsq = 0.0
+            for x in cv:
+                nsq += x * x
+            d = 0.0
+            for i in range(dim):
+                d += qv[i] * cv[i]
+            cs.append((nsq - 2.0 * d, j))
+        cs.sort(key=lambda t: (t[0], t[1]))
+        scored = []
+        for _, cell in cs[:nprobe]:
+            qr = [qv[i] - cents[cell][i] for i in range(dim)]
+            parts = []
+            for s in range(m):
+                qs = qr[s * dsub:(s + 1) * dsub]
+                row = []
+                for c in cbs[s]:
+                    acc = 0.0
+                    for i in range(dsub):
+                        acc += qs[i] * c[i]
+                    row.append(math.floor(acc * 1e6 + 0.5))
+                parts.append(row)
+            for ci in by_cell.get(cell, []):
+                sc = 0
+                for s in range(m):
+                    sc += parts[s][codes[ci][s]]
+                scored.append((sc, cids[ci]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for _, cid in scored[:shortlist]:
+            cv2 = cvecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += qv[i] * cv2[i]
+            sc = _spark_round(acc, 3)
+            if sc >= thr:
+                hits.append((cid, qid, sc))
+    best = {}
+    for cid, qid, sc in hits:
+        cur = best.get(cid)
+        # best match = cosine desc, eval id asc (max(struct(cosine, -qid)))
+        if cur is None or (sc, -qid) > (cur[1], -cur[0]):
+            best[cid] = (qid, sc)
+    exp = pd.DataFrame(
+        [(cid, q, s) for cid, (q, s) in sorted(best.items())],
+        columns=["vec_id", "eval_id", "cosine"])
+    return spark_df, exp
+
+
 def py_q136_top_component(con, spark_df, oracle):
     """Power-iteration top component (Similarity.topComponentProjections,
     dim=64, iters=3) — see _power_component for the IEEE sequence."""
@@ -720,6 +804,7 @@ PY_ORACLES = {
     # the persisted-index serve: same corpus, same params, frozen-disk path —
     # the answer is q145's by construction, so the oracle is shared verbatim
     "q146_index_serve": py_q145_ivfpq_ann,
+    "q156_index_decontaminate": py_q156_index_decontaminate,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
