@@ -816,15 +816,56 @@ object Similarity {
                               embCol: String, cellCol: String,
                               probes: DataFrame,
                               threshold: Double): DataFrame =
+    contaminationPairs(corpus, idCol, embCol, cellCol, probes, threshold)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("eval_id"),
+        col("m.cosine").as("cosine"))
+
+  /** The (corpus, eval) contamination pair stage both views share: cell-
+    * keyed broadcast join, rounded native dot, threshold riding the join —
+    * only surviving pairs ever shuffle. */
+  private def contaminationPairs(corpus: DataFrame, idCol: String,
+                                 embCol: String, cellCol: String,
+                                 probes: DataFrame,
+                                 threshold: Double): DataFrame =
     corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
         col(embCol).as("__emb"))
       .join(broadcast(probes), Seq("cell"))
       .withColumn("cosine", round(dot(col("__emb"), col("e_emb")), 3))
       .where(col("cosine") >= threshold)
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg_id")).as("eval_id"),
-        col("m.cosine").as("cosine"))
+
+  /** The EVAL-side view of [[ivfDecontaminate]] — the report an eval-set
+    * owner reads: per eval vector, how many corpus vectors sit at/above the
+    * threshold in its probed cells, and its worst offender (cosine desc,
+    * corpus id asc). Evals with a clean neighborhood report zero with a
+    * null offender, so the report always has one row per eval vector.
+    *
+    * Same scale shape as the drop list — the eval-side aggregation groups
+    * the surviving pairs by eval_id (eval-set-sized output) and the
+    * zero-row completion is a broadcast-able left join from the tiny eval
+    * frame. */
+  def contaminationReport(df: DataFrame, idCol: String, embCol: String,
+                          cellCol: String, evalFilter: Column,
+                          threshold: Double, nProbe: Int = 2): DataFrame = {
+    val corpus = df.where(!evalFilter)
+      .select(col(cellCol).as("cell"), col(idCol).as("vec_id"),
+        col(embCol).as("__emb"))
+    val evals = df.where(evalFilter)
+      .select(col(idCol).as("eval_id"), col(embCol).as("e_emb"))
+    val probes = evalProbes(evals,
+      cellCentroids(df.where(!evalFilter), embCol, cellCol), nProbe)
+    val perEval = contaminationPairs(corpus, "vec_id", "__emb", "cell",
+        probes, threshold)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(struct(col("cosine"), (-col("vec_id")).as("neg_id"))).as("m"))
+    evals.select(col("eval_id")).join(broadcast(perEval), Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (-col("m.neg_id")).as("top_vec_id"),
+        col("m.cosine").as("max_cosine"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
     * `threshold`, blocked by LSH bucket so the pair space never materializes

@@ -178,6 +178,15 @@ object VectorQueries {
       Similarity.topComponentProjections(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, iters = 3)),
 
+    // The EVAL-side contamination report (q152's other view): one row per
+    // eval vector — how many corpus vectors sit at cosine >= 0.3 in its
+    // probed cells, and its worst offender. Zero-match evals report 0 with
+    // a null offender, so the eval owner sees the full set.
+    "q157_contamination_report" -> ((s, dir) =>
+      Similarity.contaminationReport(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") % 50 === 0,
+        threshold = 0.3, nProbe = 2)),
+
     // Decontamination served FROM the persisted IVFADC index (the 100 TB
     // shape of q152 — the corpus is never scanned): the index builds on the
     // corpus side only, each eval vector probes 2 cells, ADC-scores their
@@ -368,6 +377,52 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
         |  FROM scores
         |) WHERE rn = 1""".stripMargin,
+
+    "q157_contamination_report" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+        |  FROM ex WHERE vec_id % 50 <> 0 GROUP BY 1, 2
+        |),
+        |qx AS (SELECT vec_id AS eval_id, v, i FROM ex WHERE vec_id % 50 = 0),
+        |ascore AS (
+        |  SELECT qx.eval_id, cent.label, round(SUM(CAST(qx.v AS DOUBLE) * cent.c), 3) AS cscore
+        |  FROM qx JOIN cent ON qx.i = cent.i GROUP BY 1, 2
+        |),
+        |assign AS (
+        |  SELECT eval_id, label FROM (
+        |    SELECT eval_id, label,
+        |           row_number() OVER (PARTITION BY eval_id ORDER BY cscore DESC, label) AS rn
+        |    FROM ascore
+        |  ) WHERE rn <= 2
+        |),
+        |pairs AS (
+        |  SELECT a.eval_id, e.vec_id
+        |  FROM assign a JOIN embeddings e ON e.label = a.label AND e.vec_id % 50 <> 0
+        |),
+        |scores AS (
+        |  SELECT p.vec_id, p.eval_id,
+        |         round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) AS cosine
+        |  FROM pairs p
+        |  JOIN ex qe ON qe.vec_id = p.eval_id
+        |  JOIN ex ce ON ce.vec_id = p.vec_id AND ce.i = qe.i
+        |  GROUP BY 1, 2
+        |  HAVING round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) >= 0.3
+        |),
+        |r AS (
+        |  SELECT eval_id, vec_id, cosine,
+        |         CAST(COUNT(*) OVER (PARTITION BY eval_id) AS BIGINT) AS n_contaminated,
+        |         row_number() OVER (PARTITION BY eval_id ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM scores
+        |),
+        |ev AS (SELECT vec_id AS eval_id FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT ev.eval_id,
+        |       COALESCE(r1.n_contaminated, 0) AS n_contaminated,
+        |       r1.vec_id AS top_vec_id, r1.cosine AS max_cosine
+        |FROM ev LEFT JOIN (SELECT * FROM r WHERE rn = 1) r1 USING (eval_id)""".stripMargin,
 
     "q75_cosine_neardup" ->
       """WITH ex AS (

@@ -180,6 +180,14 @@ class PlanSpec extends SparkSpec {
     assert("partial_max".r.findAllIn(p).nonEmpty, p.take(2000))
   }
 
+  test("contamination report: broadcast joins throughout, eval-keyed probe window only") {
+    val p = plan("q157_contamination_report")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(2000))
+    assert("Window \\[[^\\]]*\\], \\[eval_id#\\d+".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("pack manifest: count kernel + ONE shard window, seams aggregate hash-keyed") {
     val p = plan("q153_pack_manifest")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -151,6 +151,30 @@ class TrainingOpsSpec extends SparkSpec {
       (5L, 100L, 1.0)))
   }
 
+  test("contaminationReport: per-eval counts, worst offender, zero-match completion") {
+    // same geometry as the ivfDecontaminate test: eval 100 sees ids 1
+    // (cosine 1.0) and 2 (0.9) in its probed cells at nProbe=2 plus the
+    // misplaced copy id 5; eval 101 sees id 3; a third eval far from
+    // everything reports zero with a null offender
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2),
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f), 2),
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (102L, Array(0.0f, 0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.contaminationReport(vecs, "vec_id", "embedding",
+        "label", col("vec_id") >= 100, threshold = 0.9, nProbe = 2)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(got === Set(
+      (100L, 3L, Some(1L), Some(1.0)), // ids 1, 5 at 1.0 (tie -> lowest id), 2 at 0.9
+      (101L, 1L, Some(3L), Some(1.0)),
+      (102L, 0L, None, None)))
+  }
+
   // ---- Tokenizer fertility scorecard ---------------------------------
 
   test("tokenizerFertility: hand-computed totals, fallback words, integer ratios") {
