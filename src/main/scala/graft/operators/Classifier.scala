@@ -155,6 +155,41 @@ object Classifier {
     arr
   }
 
+  /** Calibration report for the trained quality filter — the check a team
+    * runs BEFORE trusting classifier margins as keep/drop thresholds
+    * (q131/q134's missing audit): train on the old slice, score the new
+    * slice, map margins through the softsign link to p ∈ [0, 1], bucket p
+    * into `bins` fixed-width bins, and report per bin how often the label
+    * was actually positive. A calibrated filter has pos_rate ≈ mean p per
+    * bin; the report is where over/under-confidence shows up.
+    *
+    * Scale shape: scoring is [[scoreExpr]]'s single per-row expression (no
+    * join, no shuffle), so the whole report is ONE hash aggregation keyed
+    * by bin (≤ `bins` rows out, map-side partials). Ratios are exact
+    * integer milli-units (`x * 1000 div n`) — no float division. */
+  def calibrationReport(docs: DataFrame, idCol: String, textCol: String,
+                        label: Column, isNew: Column, d: Int, iters: Int,
+                        lr: Double, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val w = denseWeights(
+      trainWeights(docs.where(!isNew), idCol, textCol, label, d, iters, lr), d)
+    val m = col("margin_micro").cast("double") / lit(1e6)
+    val p = lit(0.5) + lit(0.5) * (m / (lit(1d) + abs(m)))
+    docs.where(isNew)
+      .select(col(idCol), scoreExpr(col(textCol), w).as("margin_micro"),
+        label.cast("long").as("y"))
+      .withColumn("__p", p)
+      .withColumn("bin",
+        least(floor(col("__p") * bins).cast("long"), lit(bins - 1L)))
+      .withColumn("__pm", floor(col("__p") * 1000).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("__pm")).as("__sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("div(n_pos * 1000, n)").as("pos_rate_milli"),
+        expr("div(__sp, n)").as("mean_p_milli"))
+  }
+
   /** Frozen-weight scoring as ONE per-row expression — no join, no shuffle,
     * no state: the serving/streaming path (stream twin:
     * `StreamEntry.scoreDocs`). Exactly equals the trained margins: the

@@ -571,6 +571,16 @@ object TextQueries {
         .withColumn("pred", col("margin_micro") > 0)
     }),
 
+    // Classifier calibration report (the audit before trusting q131/q134
+    // margins as keep/drop thresholds): train on the old slice, score the
+    // new, softsign-map margins to p, bucket p into 10 fixed bins, and
+    // compare actual positive rate to mean predicted p per bin — all
+    // integer milli-units, one bin-keyed aggregation.
+    "q158_calibration" -> ((s, dir) =>
+      Classifier.calibrationReport(Tables.load(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", col("doc_id") % 10 >= 8,
+        d = 256, iters = 2, lr = 0.5)),
+
     // Per-source dataset card (the summary table a corpus release ships
     // with): docs, token volume, mean quality score, language share, exact
     // duplicate rate — ONE map-side-combined aggregate over the corpus
@@ -765,6 +775,64 @@ object TextQueries {
     * scalar subqueries to '' (an empty needle makes replace a no-op,
     * mirroring the Spark loop's early stop; a bare NULL would NULL every
     * seg and silently fall back to per-character counts downstream). */
+  /** The q134 serve chain (old-slice training unrolled to 2 iterations,
+    * new-slice margins as `mf`) — shared by the q134 oracle and q158's
+    * calibration tail. */
+  private val classifierServeCtes: String =
+    """WITH old AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM old),
+        |feat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2
+        |),
+        |lbl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM old),
+        |nn AS (SELECT COUNT(*) AS n FROM old),
+        |g1 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((0.5 - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w1 AS (
+        |  SELECT idx,
+        |         0 - CAST(round(0.5 * gsum / n) AS BIGINT) AS w_int
+        |  FROM g1, nn
+        |),
+        |m2 AS (
+        |  SELECT doc_id, SUM(cnt * w_int) AS margin_micro
+        |  FROM feat JOIN w1 USING (idx) GROUP BY 1
+        |),
+        |p2 AS (
+        |  SELECT doc_id, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
+        |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE) / 1e6 AS m FROM m2)
+        |),
+        |g2 AS (
+        |  SELECT idx,
+        |         SUM(CAST(round((p - y) * cnt * 1e6) AS BIGINT)) AS gsum
+        |  FROM feat JOIN p2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1
+        |),
+        |w2 AS (
+        |  SELECT w1.idx,
+        |         w_int - CAST(round(0.5 * g2.gsum / n) AS BIGINT) AS w_int
+        |  FROM w1 JOIN g2 ON w1.idx = g2.idx, nn
+        |),
+        |newtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 >= 8
+        |),
+        |newfeat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM newtoks GROUP BY 1, 2
+        |),
+        |mf AS (
+        |  SELECT doc_id, CAST(SUM(cnt * w_int) AS BIGINT) AS margin_micro
+        |  FROM newfeat JOIN w2 USING (idx) GROUP BY 1
+        |)
+        |""".stripMargin.stripSuffix("\n")
+
   private def bpeRoundCtes(rounds: Int): String = {
     // symbols are BRACKETED "!sym?" (both sentinels load-bearing — see
     // TextAnalysis.bpeTrain's scaladoc); splitting on '?' yields
@@ -1776,64 +1844,39 @@ object TextQueries {
     // q131's training CTEs restricted to the old slice, then the new slice
     // scored against w2. Unseen-feature docs still get a (zero-margin) row
     // via the LEFT JOIN, matching the expression path's additive-zero.
-    "q134_classifier_serve" ->
-      """WITH old AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM old),
-        |feat AS (
-        |  SELECT doc_id,
-        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
-        |         CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM toks GROUP BY 1, 2
-        |),
-        |lbl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM old),
-        |nn AS (SELECT COUNT(*) AS n FROM old),
-        |g1 AS (
-        |  SELECT idx,
-        |         SUM(CAST(round((0.5 - y) * cnt * 1e6) AS BIGINT)) AS gsum
-        |  FROM feat JOIN lbl USING (doc_id) GROUP BY 1
-        |),
-        |w1 AS (
-        |  SELECT idx,
-        |         0 - CAST(round(0.5 * gsum / n) AS BIGINT) AS w_int
-        |  FROM g1, nn
-        |),
-        |m2 AS (
-        |  SELECT doc_id, SUM(cnt * w_int) AS margin_micro
-        |  FROM feat JOIN w1 USING (idx) GROUP BY 1
-        |),
-        |p2 AS (
-        |  SELECT doc_id, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
-        |  FROM (SELECT doc_id, CAST(margin_micro AS DOUBLE) / 1e6 AS m FROM m2)
-        |),
-        |g2 AS (
-        |  SELECT idx,
-        |         SUM(CAST(round((p - y) * cnt * 1e6) AS BIGINT)) AS gsum
-        |  FROM feat JOIN p2 USING (doc_id) JOIN lbl USING (doc_id) GROUP BY 1
-        |),
-        |w2 AS (
-        |  SELECT w1.idx,
-        |         w_int - CAST(round(0.5 * g2.gsum / n) AS BIGINT) AS w_int
-        |  FROM w1 JOIN g2 ON w1.idx = g2.idx, nn
-        |),
-        |newtoks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents WHERE doc_id % 10 >= 8
-        |),
-        |newfeat AS (
-        |  SELECT doc_id,
-        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS idx,
-        |         CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM newtoks GROUP BY 1, 2
-        |),
-        |mf AS (
-        |  SELECT doc_id, CAST(SUM(cnt * w_int) AS BIGINT) AS margin_micro
-        |  FROM newfeat JOIN w2 USING (idx) GROUP BY 1
-        |)
+    "q134_classifier_serve" -> (classifierServeCtes +
+      """
         |SELECT d.doc_id,
         |       COALESCE(mf.margin_micro, 0) AS margin_micro,
         |       COALESCE(mf.margin_micro, 0) > 0 AS pred
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
-        |LEFT JOIN mf USING (doc_id)""".stripMargin,
+        |LEFT JOIN mf USING (doc_id)""".stripMargin),
+
+    // q134's serve chain + softsign link + fixed-width p bins, all-integer
+    // milli ratios via `//` (Spark `div`).
+    "q158_calibration" -> (classifierServeCtes +
+      """,
+        |sv AS (
+        |  SELECT d.doc_id, COALESCE(mf.margin_micro, 0) AS mm,
+        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 8) d
+        |  LEFT JOIN mf USING (doc_id)
+        |),
+        |pp AS (
+        |  SELECT doc_id, y, 0.5 + 0.5 * (m / (1 + abs(m))) AS p
+        |  FROM (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1e6 AS m FROM sv)
+        |),
+        |bb AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y,
+        |         CAST(floor(p * 1000) AS BIGINT) AS pm
+        |  FROM pp
+        |)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(y) AS BIGINT) AS n_pos,
+        |       (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_milli,
+        |       CAST(SUM(pm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_p_milli
+        |FROM bb GROUP BY bin""".stripMargin),
+
 
     // The unrolled twin of Classifier.trainScore (iters = 2, d = 256,
     // lr = 0.5): iteration 1 starts from zero weights, so p = 0.5 exactly;

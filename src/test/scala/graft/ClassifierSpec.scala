@@ -39,6 +39,33 @@ class ClassifierSpec extends SparkSpec {
     assert(margins(1) === margins(7))
   }
 
+  test("calibrationReport matches an independent recompute from served margins") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    val got = Classifier.calibrationReport(docs, "doc_id", "text",
+        col("lang") === "en", isNew, d = 256, iters = 2, lr = 0.5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // independent recompute: q134's served margins + labels, bucketed in
+    // plain Scala with the same softsign/floor arithmetic
+    val margins = SparkEntry.queries("q134_classifier_serve")(spark, sf)
+      .select("doc_id", "margin_micro").as[(Long, Long)].collect().toMap
+    val labels = docs.where(isNew).select(col("doc_id"),
+        (col("lang") === "en").cast("long"))
+      .as[(Long, Long)].collect()
+    val expected = labels.map { case (id, y) =>
+      val m = margins(id).toDouble / 1e6
+      val p = 0.5 + 0.5 * (m / (1d + math.abs(m)))
+      val bin = math.min(math.floor(p * 10).toLong, 9L)
+      (bin, y, math.floor(p * 1000).toLong)
+    }.groupBy(_._1).map { case (bin, rows) =>
+      val n = rows.length.toLong
+      val nPos = rows.map(_._2).sum
+      (bin, n, nPos, nPos * 1000 / n, rows.map(_._3).sum / n)
+    }.toSet
+    assert(got === expected)
+    assert(got.map(_._2).sum === labels.length.toLong)
+  }
+
   test("parameters fail fast") {
     intercept[IllegalArgumentException] {
       Classifier.trainScore(corpus, "doc_id", "text", col("gold") === 1, d = 0)
