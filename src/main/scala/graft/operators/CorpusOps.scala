@@ -361,6 +361,35 @@ object CorpusOps {
       .select(col(idCol), col(scoreCol), col("phase"), col("shard"), col("pos"))
   }
 
+  /** Multi-epoch training order: [[deterministicShuffle]] run once per
+    * epoch with an epoch-derived seed, so every epoch sees the corpus in a
+    * different — but individually reproducible — order (the "reshuffle
+    * between epochs" contract of a training dataloader). One row per
+    * (epoch, document): (idCol, epoch, shard, pos).
+    *
+    * Scale shape: the epoch fan-out is a pure `explode` of a literal
+    * sequence (rows grow `epochs`×, nothing reshuffles per epoch
+    * separately); the only shuffle is ONE window keyed by (epoch, shard) —
+    * hash-balanced exactly like the single-epoch shuffle, `epochs` ×
+    * `nShards` independent sort groups. */
+  def epochOrders(df: DataFrame, idCol: String, nShards: Int,
+                  epochs: Int, seed: String = "epoch"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val key = md5(concat_ws("|", lit(seed), col("epoch").cast("string"),
+      col(idCol).cast("string")))
+    df.select(col(idCol),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("__key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__key"), col(idCol))))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"))
+  }
+
   /** Length-bucketed batch packing (the padding-efficiency step of a
     * training dataloader): documents are routed to the smallest length
     * bucket that fits them (`bounds` ascending; anything longer lands in a

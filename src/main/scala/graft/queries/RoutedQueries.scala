@@ -149,6 +149,13 @@ object RoutedQueries {
       CorpusOps.deterministicShuffle(Tables.load(s, dir, "documents"),
         "doc_id", nShards = 8)),
 
+    // Multi-epoch training order: q111's deterministic shuffle re-keyed per
+    // epoch (the dataloader's "reshuffle between epochs"), 3 epochs x 8
+    // shards — every epoch an independent reproducible permutation.
+    "q159_epoch_orders" -> ((s, dir) =>
+      CorpusOps.epochOrders(Tables.load(s, dir, "documents"),
+        "doc_id", nShards = 8, epochs = 3)),
+
     // Shard export manifest: per q111-shard doc count, token volume, and an
     // order-independent XOR membership checksum — the integrity artifact a
     // release ships so any re-materialized shard verifies by folding the
@@ -472,6 +479,21 @@ object RoutedQueries {
         |)
         |SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |            AS INT) AS pos
+        |FROM t""".stripMargin,
+
+    "q159_epoch_orders" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, 2)) AS epoch FROM documents
+        |),
+        |t AS (
+        |  SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |         md5('epoch|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS k,
+        |         ('0x' || substr(md5('epoch|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |  FROM e
+        |)
+        |SELECT doc_id, epoch, shard,
+        |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id)
         |            AS INT) AS pos
         |FROM t""".stripMargin,
 

@@ -104,6 +104,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromManifest === cut)
   }
 
+  test("epochOrders: one row per (epoch, doc), contiguous positions, epochs permute independently") {
+    val out = CorpusOps.epochOrders(docs, "doc_id", nShards = 4, epochs = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    val nDocs = docs.count()
+    assert(out.length.toLong === nDocs * 3)
+    // every doc exactly once per epoch
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._1).distinct.length.toLong === nDocs)
+    }
+    // in-shard positions contiguous from 1
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toList === (1 to rows.length).toList)
+    }
+    // epochs are genuinely different permutations: the (shard, pos)
+    // placement of documents differs between epoch 0 and epoch 1
+    val place = out.groupBy(_._2).map { case (e, rows) =>
+      e -> rows.map(r => r._1 -> (r._3, r._4)).toMap
+    }
+    assert(place(0L) !== place(1L))
+    // and each epoch is reproducible: re-running yields identical rows
+    val again = CorpusOps.epochOrders(docs, "doc_id", nShards = 4, epochs = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.sortBy(r => (r._2, r._3, r._4)).toSeq ===
+      again.sortBy(r => (r._2, r._3, r._4)).toSeq)
+  }
+
   test("curriculumShards: quantile phases from the histogram, phase-major shard order") {
     // 100 distinct scores 1..100, 4 phases → boundaries at 25/50/75 and
     // exactly 25 docs per phase

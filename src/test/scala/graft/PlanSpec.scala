@@ -206,6 +206,14 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("epoch orders: pure explode fan-out, one (epoch, shard)-keyed window, no join") {
+    val p = plan("q159_epoch_orders")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(2000))
+    assert("Window \\[[^\\]]*\\], \\[epoch#\\d+L?, shard#\\d+".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("tokenizer fertility: broadcast joins only, no window anywhere") {
     val p = plan("q154_tokenizer_fertility")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
