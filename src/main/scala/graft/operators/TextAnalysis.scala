@@ -512,6 +512,39 @@ object TextAnalysis {
         expr("div(n_chars * 1000, n_tokens)").as("compression_milli"))
   }
 
+  /** Zipf coverage curve of a trained vocabulary — for each k in `ks`, what
+    * fraction of the corpus's emitted token MASS the k most frequent
+    * symbols cover (milli-units). The other half of the tokenizer
+    * scorecard: [[tokenizerFertility]] says how many tokens a corpus costs;
+    * this says how concentrated they are — a flat curve means the vocab is
+    * wasted on rare symbols.
+    *
+    * Scale shape: one tokenize + symbol-keyed aggregation (map-side
+    * partials; output is vocabulary-bounded), then each k takes an ordered
+    * top-k SLICE (`TakeOrderedAndProject` — per-partition heaps, never a
+    * global sort or an unpartitioned window) and reduces it to one row;
+    * the union is |ks| rows joined against the kilobyte totals. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val freqs = bpeTokenizeWithVocab(df, idCol, textCol, vocab)
+      .select(explode(col("tokens")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .cache()
+    val totals = freqs.agg(sum(col("f")).as("total_tokens"),
+      count(lit(1)).as("n_symbols"))
+    ks.map { k =>
+        freqs.orderBy(col("f").desc, col("tok").asc).limit(k)
+          .agg(coalesce(sum(col("f")), lit(0L)).as("topk_tokens"))
+          .withColumn("k", lit(k.toLong))
+      }
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n_symbols"), col("total_tokens"),
+        col("topk_tokens"),
+        expr("div(topk_tokens * 1000, total_tokens)").as("covered_milli"))
+  }
+
   /** The count → select-top-merge → re-segment loop shared by [[bpeTrain]],
     * [[bpeVocab]] and [[bpeTokenCounts]]. Returns the PERSISTED final word
     * table (word, seg, freq) — caller unpersists — and the executed merges.

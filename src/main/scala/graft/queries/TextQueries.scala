@@ -571,6 +571,15 @@ object TextQueries {
         .withColumn("pred", col("margin_micro") > 0)
     }),
 
+    // Vocabulary Zipf-coverage curve (q154's concentration half): for
+    // k in {10, 100, 1000}, the milli-fraction of emitted token mass the k
+    // most frequent symbols cover under the frozen 6-merge vocab.
+    "q160_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+        TextAnalysis.bpeVocab(docs, "text", rounds = 6), ks = Seq(10, 100, 1000))
+    }),
+
     // Classifier calibration report (the audit before trusting q131/q134
     // margins as keep/drop thresholds): train on the old slice, score the
     // new, softsign-map margins to p, bucket p into 10 fixed bins, and
@@ -969,6 +978,45 @@ object TextQueries {
          |  SELECT doc_id, string_agg(tok, chr(1) ORDER BY pos, tp) AS tokens
          |  FROM tok GROUP BY doc_id
          |) x USING (doc_id)""".stripMargin
+
+  /** q160's coverage curve: the tokenize chain's symbol histogram, a global
+    * frequency rank (oracle-side only — the Spark plan takes ordered
+    * slices, never a global window), and per-k mass sums via an
+    * inequality left join, with `//` integer milli-units. */
+  private def bpeCoverageOracle(rounds: Int): String =
+    bpeRoundCtes(rounds) +
+      s""",
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents
+         |),
+         |wt AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos,
+         |         CASE WHEN v.seg IS NOT NULL THEN
+         |           [substr(string_split(v.seg, '?')[i], 2)
+         |            FOR i IN generate_series(1, len(string_split(v.seg, '?')) - 1)]
+         |         ELSE
+         |           [substr(t.word, i, 1) FOR i IN generate_series(1, len(t.word))]
+         |         END AS tl
+         |  FROM toks t LEFT JOIN w$rounds v USING (word)
+         |),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, pos, unnest(tl) AS tok FROM wt
+         |),
+         |f AS (SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(f) AS BIGINT) AS total_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_symbols
+         |  FROM f
+         |),
+         |r AS (SELECT t, f, row_number() OVER (ORDER BY f DESC, t) AS rn FROM f),
+         |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+         |SELECT CAST(ks.k AS BIGINT) AS k, tot.n_symbols, tot.total_tokens,
+         |       CAST(COALESCE(SUM(r.f), 0) AS BIGINT) AS topk_tokens,
+         |       (CAST(COALESCE(SUM(r.f), 0) AS BIGINT) * 1000) // tot.total_tokens AS covered_milli
+         |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rn <= ks.k
+         |GROUP BY ks.k, tot.n_symbols, tot.total_tokens""".stripMargin
 
   /** Training-shard slices: the tokenize chain aggregated back to one
     * ordered token list per document, the q92 running-offset window over its
@@ -1664,6 +1712,7 @@ object TextQueries {
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY phase, kk, doc_id) AS INT) AS pos
         |FROM ph""".stripMargin,
     "q154_tokenizer_fertility" -> bpeFertilityOracle(6),
+    "q160_vocab_coverage" -> bpeCoverageOracle(6),
 
     "q129_bpe_merges" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
