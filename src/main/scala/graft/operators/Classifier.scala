@@ -190,6 +190,58 @@ object Classifier {
         expr("div(__sp, n)").as("mean_p_milli"))
   }
 
+  /** Precision/recall sweep over keep/drop margin thresholds — the curve a
+    * team reads to CHOOSE the cut-point that [[calibrationReport]] audits:
+    * train on the old slice, score the new, and for each candidate
+    * threshold t report the confusion counts and P/R/F1 (milli-units) of
+    * the rule `keep ⇔ margin > t` (the strict `>` matches q134's
+    * `pred = margin > 0` at t = 0).
+    *
+    * Scale shape: scoring is [[scoreExpr]]'s per-row expression, and the
+    * corpus collapses in ONE hash aggregation keyed by `bin` = how many
+    * thresholds sit strictly below the margin (≤ |T|+1 rows out, map-side
+    * partials). `margin > t_i ⇔ bin ≥ i` for ascending thresholds, so every
+    * per-threshold count is a sum over the kilobyte histogram — the
+    * broadcast inequality join touches |T|·(|T|+1) rows, never the corpus.
+    * No per-threshold pass, no window, no second shuffle. */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                     label: Column, isNew: Column, d: Int, iters: Int,
+                     lr: Double, thresholdsMicro: Seq[Long]): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "thresholdsMicro must be non-empty")
+    require(thresholdsMicro == thresholdsMicro.distinct.sorted,
+      s"thresholds must be ascending and distinct: $thresholdsMicro")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = denseWeights(
+      trainWeights(docs.where(!isNew), idCol, textCol, label, d, iters, lr), d)
+    val tLit = array(thresholdsMicro.map(lit): _*)
+    val hist = docs.where(isNew)
+      .select(scoreExpr(col(textCol), w).as("m"), label.cast("long").as("y"))
+      .withColumn("bin", size(filter(tLit, t => t < col("m"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val totals = hist.agg(sum(col("n")).as("n_all"),
+      sum(col("n_pos")).as("p_all"))
+    val th = thresholdsMicro.zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }.toDF("i", "threshold_micro")
+    broadcast(th)
+      .join(hist, col("bin") >= col("i"), "left")
+      .groupBy(col("threshold_micro"))
+      .agg(coalesce(sum(col("n_pos")), lit(0L)).as("tp"),
+        coalesce(sum(col("n")), lit(0L)).as("__pp"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold_micro"), col("tp"),
+        (col("__pp") - col("tp")).as("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        (col("n_all") - col("__pp") - col("p_all") + col("tp")).as("tn"),
+        when(col("__pp") > 0, expr("div(tp * 1000, __pp)"))
+          .as("precision_milli"),
+        when(col("p_all") > 0, expr("div(tp * 1000, p_all)"))
+          .as("recall_milli"),
+        when(col("__pp") + col("p_all") > 0,
+          expr("div(tp * 2000, __pp + p_all)")).as("f1_milli"))
+  }
+
   /** Frozen-weight scoring as ONE per-row expression — no join, no shuffle,
     * no state: the serving/streaming path (stream twin:
     * `StreamEntry.scoreDocs`). Exactly equals the trained margins: the

@@ -590,6 +590,15 @@ object TextQueries {
         "doc_id", "text", col("lang") === "en", col("doc_id") % 10 >= 8,
         d = 256, iters = 2, lr = 0.5)),
 
+    // Threshold sweep (the choosing half of q158's audit): P/R/F1 of
+    // `keep ⇔ margin > t` on the held-out slice for five candidate
+    // micro-margin cut-points.
+    "q161_threshold_sweep" -> ((s, dir) =>
+      Classifier.thresholdSweep(Tables.load(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", col("doc_id") % 10 >= 8,
+        d = 256, iters = 2, lr = 0.5,
+        thresholdsMicro = Seq(-2000000L, -500000L, 0L, 500000L, 2000000L))),
+
     // Per-source dataset card (the summary table a corpus release ships
     // with): docs, token volume, mean quality score, language share, exact
     // duplicate rate — ONE map-side-combined aggregate over the corpus
@@ -1925,6 +1934,37 @@ object TextQueries {
         |       (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_milli,
         |       CAST(SUM(pm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_p_milli
         |FROM bb GROUP BY bin""".stripMargin),
+
+    // q134's serve chain + per-threshold confusion counts. The oracle takes
+    // the direct |slice|×|T| cross join (fine at oracle scale); the Spark
+    // plan collapses to a histogram first — identical integer arithmetic.
+    "q161_threshold_sweep" -> (classifierServeCtes +
+      """,
+        |sv AS (
+        |  SELECT d.doc_id, COALESCE(mf.margin_micro, 0) AS mm,
+        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 8) d
+        |  LEFT JOIN mf USING (doc_id)
+        |),
+        |th AS (SELECT unnest([-2000000, -500000, 0, 500000, 2000000]) AS t),
+        |ag AS (
+        |  SELECT th.t,
+        |         CAST(SUM(CASE WHEN sv.mm > th.t THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+        |         CAST(SUM(CASE WHEN sv.mm > th.t AND sv.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM th CROSS JOIN sv GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(y) AS BIGINT) AS p_all,
+        |         CAST(COUNT(*) AS BIGINT) AS n_all
+        |  FROM sv
+        |)
+        |SELECT CAST(t AS BIGINT) AS threshold_micro, tp,
+        |       pp - tp AS fp, p_all - tp AS fn,
+        |       n_all - pp - p_all + tp AS tn,
+        |       CASE WHEN pp > 0 THEN (tp * 1000) // pp END AS precision_milli,
+        |       CASE WHEN p_all > 0 THEN (tp * 1000) // p_all END AS recall_milli,
+        |       CASE WHEN pp + p_all > 0 THEN (tp * 2000) // (pp + p_all) END AS f1_milli
+        |FROM ag CROSS JOIN tot""".stripMargin),
 
 
     // The unrolled twin of Classifier.trainScore (iters = 2, d = 256,

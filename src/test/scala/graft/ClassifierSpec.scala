@@ -66,9 +66,59 @@ class ClassifierSpec extends SparkSpec {
     assert(got.map(_._2).sum === labels.length.toLong)
   }
 
+  test("thresholdSweep matches an independent recompute from served margins") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    val ts = Seq(-2000000L, -500000L, 0L, 500000L, 2000000L)
+    val got = Classifier.thresholdSweep(docs, "doc_id", "text",
+        col("lang") === "en", isNew, d = 256, iters = 2, lr = 0.5, ts)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    // independent recompute: q134's served margins + labels, one direct
+    // pass per threshold in plain Scala
+    val margins = SparkEntry.queries("q134_classifier_serve")(spark, sf)
+      .select("doc_id", "margin_micro").as[(Long, Long)].collect().toMap
+    val labels = docs.where(isNew).select(col("doc_id"),
+        (col("lang") === "en").cast("long"))
+      .as[(Long, Long)].collect()
+    val pAll = labels.map(_._2).sum
+    val nAll = labels.length.toLong
+    val expected = ts.map { t =>
+      val kept = labels.filter { case (id, _) => margins(id) > t }
+      val tp = kept.map(_._2).sum
+      val pp = kept.length.toLong
+      (t, tp, pp - tp, pAll - tp, nAll - pp - pAll + tp,
+        if (pp > 0) Some(tp * 1000 / pp) else None,
+        if (pAll > 0) Some(tp * 1000 / pAll) else None,
+        if (pp + pAll > 0) Some(tp * 2000 / (pp + pAll)) else None)
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("thresholdSweep at t = 0 agrees with the serve rule, and extremes pin") {
+    val ts = Seq(-1000000000L, 0L, 1000000000L)
+    // hold out docs 2, 4, 6 (one positive, two negative) so both P and N
+    // are non-empty in the scored slice
+    val rows = Classifier.thresholdSweep(corpus, "doc_id", "text",
+        col("gold") === 1, col("doc_id") % 2 === 0, d = 64, iters = 2,
+        lr = 0.5, ts)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // far-left threshold keeps everything: recall 1000, tn = 0
+    assert(rows(-1000000000L)._7 === Some(1000L))
+    assert(rows(-1000000000L)._5 === 0L)
+    // far-right threshold keeps nothing: tp = 0, precision undefined
+    assert(rows(1000000000L)._2 === 0L)
+    assert(rows(1000000000L)._6 === None)
+  }
+
   test("parameters fail fast") {
     intercept[IllegalArgumentException] {
       Classifier.trainScore(corpus, "doc_id", "text", col("gold") === 1, d = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.thresholdSweep(corpus, "doc_id", "text", col("gold") === 1,
+        col("doc_id") >= 4, d = 64, iters = 2, lr = 0.5, Seq(5L, 1L))
     }
     intercept[IllegalArgumentException] {
       Classifier.trainScore(corpus, "doc_id", "text", col("gold") === 1,
