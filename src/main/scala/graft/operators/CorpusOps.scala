@@ -497,6 +497,77 @@ object CorpusOps {
           .as("manifest"))
   }
 
+  /** Token-budget mixture plan — exact water-filling allocation of a
+    * training-token budget across sources (the data-budgeting step behind
+    * published mixture tuning à la The Pile / DoReMi: target weights say
+    * how the budget SHOULD split; per-source supply and an epoch cap say
+    * how it CAN). Each source brings `available` tokens (aggregated from
+    * `countCol`) and may be consumed at most `maxEpochsMilli/1000` times
+    * over, so its hard cap is `div(available · maxEpochsMilli, 1000)`.
+    * The budget — `div(Σ available · budgetPermille, 1000)` — is split
+    * proportionally to `weights`; a source whose proportional share
+    * exceeds its cap is frozen at the cap and its surplus re-flows to the
+    * others, recursively (standard water-filling). Sources missing from
+    * `weights` get weight 0 and allocation 0 but still report supply.
+    *
+    * Determinism/exactness: the classic solve sorts by cap/weight and
+    * decides cap-outs by an EXACT cross-multiplied prefix test (no
+    * division, so no rounding in the decision); allocations and the sort
+    * key use floor division on non-negative integers, which Scala `/`,
+    * Spark `div` and DuckDB `//` all agree on. Keep Σ weights ≤ ~10³ so
+    * `cap · Σw` stays inside a long at 100 TB supplies (the sort key is
+    * widened to BigInt / HUGEINT where it can't).
+    *
+    * Scale shape: the corpus collapses in ONE source-keyed aggregation
+    * (map-side partials); the solve runs on the |sources|-row result as
+    * driver trainer-state — the k-means/curriculum idiom: metadata-sized
+    * state, never corpus data, on the driver. Output is |sources| rows. */
+  def mixturePlan(df: DataFrame, sourceCol: String, countCol: String,
+                  weights: Map[String, Long], budgetPermille: Long,
+                  maxEpochsMilli: Long): DataFrame = {
+    require(budgetPermille > 0, s"budgetPermille must be positive, got $budgetPermille")
+    require(maxEpochsMilli > 0, s"maxEpochsMilli must be positive, got $maxEpochsMilli")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(countCol).cast("long")).as("available_tokens"))
+      .as[(String, Long)].collect()
+    val budget = avail.map(_._2).sum * budgetPermille / 1000
+    final case class Src(source: String, a: Long, w: Long, cap: Long)
+    val rows = avail.map { case (s, a) =>
+      Src(s, a, weights.getOrElse(s, 0L), a * maxEpochsMilli / 1000)
+    }
+    val pos = rows.filter(_.w > 0)
+      .sortBy(r => (BigInt(r.cap) * 1000000 / r.w, r.source))
+    val totalW = pos.map(_.w).sum
+    // prefix walk in ratio order: source p caps iff, with everything before
+    // it capped, its proportional share of the remaining budget would
+    // reach its cap — tested exactly via cross-multiplication
+    val capped = scala.collection.mutable.LinkedHashSet.empty[String]
+    var cPre = 0L; var wPre = 0L; var prefix = true
+    pos.foreach { r =>
+      if (prefix &&
+          BigInt(r.cap) * (totalW - wPre) <= BigInt(r.w) * (budget - cPre)) {
+        capped += r.source; cPre += r.cap
+      } else prefix = false
+      wPre += r.w
+    }
+    val wK = pos.filterNot(r => capped(r.source)).map(_.w).sum
+    val bRem = budget - cPre
+    val out = rows.toSeq.map { r =>
+      val alloc =
+        if (r.w == 0L) 0L
+        else if (capped(r.source)) r.cap
+        else if (wK == 0L) 0L
+        else (BigInt(r.w) * bRem / wK).toLong
+      (r.source, r.a, r.w, r.cap, r.w > 0L && capped(r.source), alloc,
+        if (r.a > 0L) Some(alloc * 1000 / r.a) else None)
+    }
+    out.toDF("source", "available_tokens", "weight", "cap_tokens", "capped",
+      "allocated_tokens", "epochs_milli")
+  }
+
   /** Shard-level export manifest with an order-independent membership
     * checksum: per shard (the q111 md5 assignment), the doc count, token
     * volume, and the XOR of a 60-bit md5-derived hash per member id. XOR

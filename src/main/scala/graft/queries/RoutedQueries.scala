@@ -14,6 +14,16 @@ import graft.sources.Tables
   */
 object RoutedQueries {
 
+  /** q162's target mixture weights (policy config): src0..src19 →
+    * 10 + (i·37) mod 90, spread over [10, 99] so proportional shares vary
+    * ~10× and some sources hit the epoch cap. One formula feeds both the
+    * Spark map and the oracle's VALUES list. */
+  private val mixtureWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (10L + (i * 37) % 90)).toMap
+
+  private val mixtureWeightValues: String =
+    (0 until 20).map(i => s"('src$i', ${10 + (i * 37) % 90})").mkString(", ")
+
   /** Chunk fixture for q88: lineitem days pivoted into per-category wide
     * chunks. `l_returnflag` picks the route — 'A' → "cases" (direct
     * pipeline), 'N' → vaccinations-by-vaccination-date @ MSOA (msoa-lite
@@ -155,6 +165,18 @@ object RoutedQueries {
     "q159_epoch_orders" -> ((s, dir) =>
       CorpusOps.epochOrders(Tables.load(s, dir, "documents"),
         "doc_id", nShards = 8, epochs = 3)),
+
+    // Token-budget mixture plan: water-fill 60% of the corpus's token
+    // supply across sources proportionally to target weights, with a
+    // 1.0-epoch per-source cap; capped sources' surplus re-flows. The
+    // |sources|-row solve is driver trainer-state; the corpus collapses in
+    // one source-keyed aggregation.
+    "q162_mixture_plan" -> ((s, dir) =>
+      CorpusOps.mixturePlan(
+        Tables.load(s, dir, "documents").select(col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n")),
+        "source", "n", weights = mixtureWeights,
+        budgetPermille = 600, maxEpochsMilli = 1000)),
 
     // Shard export manifest: per q111-shard doc count, token volume, and an
     // order-independent XOR membership checksum — the integrity artifact a
@@ -496,6 +518,61 @@ object RoutedQueries {
         |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id)
         |            AS INT) AS pos
         |FROM t""".stripMargin,
+
+    "q162_mixture_plan" ->
+      s"""WITH counts AS (
+         |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+         |  FROM documents GROUP BY 1
+         |),
+         |wts(source, w) AS (VALUES $mixtureWeightValues),
+         |base AS (
+         |  SELECT c.source, c.a, CAST(COALESCE(wts.w, 0) AS BIGINT) AS w,
+         |         (c.a * 1000) // 1000 AS cap
+         |  FROM counts c LEFT JOIN wts USING (source)
+         |),
+         |tot AS (SELECT (CAST(SUM(a) AS BIGINT) * 600) // 1000 AS b FROM base),
+         |pos AS (
+         |  SELECT source, a, w, cap,
+         |         row_number() OVER (
+         |           ORDER BY (CAST(cap AS HUGEINT) * 1000000) // w, source) AS rn
+         |  FROM base WHERE w > 0
+         |),
+         |pre AS (
+         |  SELECT pos.*, tot.b,
+         |         COALESCE(SUM(cap) OVER (ORDER BY rn
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_pre,
+         |         COALESCE(SUM(w) OVER (ORDER BY rn
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_pre,
+         |         SUM(w) OVER () AS w_tot
+         |  FROM pos CROSS JOIN tot
+         |),
+         |pfx AS (
+         |  SELECT *, bool_and(CAST(cap AS HUGEINT) * (w_tot - w_pre)
+         |                     <= CAST(w AS HUGEINT) * (b - c_pre))
+         |              OVER (ORDER BY rn) AS capped
+         |  FROM pre
+         |),
+         |fin AS (
+         |  SELECT COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS c_k,
+         |         COALESCE(SUM(CASE WHEN NOT capped THEN w END), 0) AS w_k
+         |  FROM pfx
+         |),
+         |alloc AS (
+         |  SELECT b2.source, b2.a, b2.w, b2.cap,
+         |         COALESCE(p.capped, FALSE) AS capped,
+         |         CAST(CASE WHEN b2.w = 0 THEN 0
+         |              WHEN COALESCE(p.capped, FALSE) THEN b2.cap
+         |              WHEN f.w_k = 0 THEN 0
+         |              ELSE (CAST(b2.w AS HUGEINT) * (t.b - f.c_k)) // f.w_k
+         |              END AS BIGINT) AS alloc
+         |  FROM base b2
+         |  LEFT JOIN pfx p USING (source)
+         |  CROSS JOIN fin f CROSS JOIN tot t
+         |)
+         |SELECT source, a AS available_tokens, w AS weight, cap AS cap_tokens,
+         |       capped, alloc AS allocated_tokens,
+         |       CASE WHEN a > 0 THEN (alloc * 1000) // a END AS epochs_milli
+         |FROM alloc""".stripMargin,
 
     "q122_source_manifest" ->
       """SELECT source,

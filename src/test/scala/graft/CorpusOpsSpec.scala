@@ -341,4 +341,44 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(again === got)
   }
+
+  test("mixturePlan: caps bind, surplus re-flows, invariants hold") {
+    // supplies: a=100, b=100, c=1000, zero-weight z=50, budget 60% of 1250
+    // = 750, cap 1.0 epoch. Proportional shares at w=(10,10,5): a,b get 300
+    // each — both cap at 100; c gets the re-flowed remainder.
+    val perDoc = Seq(("a", 100L), ("b", 100L), ("c", 1000L), ("z", 50L))
+      .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) }
+      .toDF("source", "n")
+    val got = CorpusOps.mixturePlan(perDoc, "source", "n",
+        weights = Map("a" -> 10L, "b" -> 10L, "c" -> 5L),
+        budgetPermille = 600, maxEpochsMilli = 1000)
+      .as[(String, Long, Long, Long, Boolean, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") === ("a", 100L, 10L, 100L, true, 100L, Some(1000L)))
+    assert(got("b") === ("b", 100L, 10L, 100L, true, 100L, Some(1000L)))
+    // c takes the remaining 550 uncapped (5/5 of the leftover weight)
+    assert(got("c") === ("c", 1000L, 5L, 1000L, false, 550L, Some(550L)))
+    assert(got("z") === ("z", 50L, 0L, 50L, false, 0L, Some(0L)))
+    // invariants: nothing over cap, total within budget
+    got.values.foreach(r => assert(r._6 <= r._4))
+    assert(got.values.map(_._6).sum <= 750L)
+  }
+
+  test("mixturePlan: no caps -> pure proportional split; all-capped is supply-bound") {
+    val perDoc = Seq(("a", 300L), ("b", 300L)).toDF("source", "n")
+    val free = CorpusOps.mixturePlan(perDoc, "source", "n",
+        weights = Map("a" -> 3L, "b" -> 1L),
+        budgetPermille = 500, maxEpochsMilli = 2000)
+      .as[(String, Long, Long, Long, Boolean, Long, Option[Long])]
+      .collect().map(r => r._1 -> r._6).toMap
+    // budget 300, no cap binds (caps are 600): a gets 225, b gets 75
+    assert(free === Map("a" -> 225L, "b" -> 75L))
+    // epoch cap below every proportional share: everything capped at supply
+    val tight = CorpusOps.mixturePlan(perDoc, "source", "n",
+        weights = Map("a" -> 3L, "b" -> 1L),
+        budgetPermille = 1000, maxEpochsMilli = 100)
+      .as[(String, Long, Long, Long, Boolean, Long, Option[Long])]
+      .collect()
+    tight.foreach { r => assert(r._5); assert(r._6 === r._4) }
+  }
 }
