@@ -197,6 +197,51 @@ object Similarity {
       .select("q_id", "cand_id", "score")
   }
 
+  /** k-NN graph over the whole corpus — every vector's top-k cosine
+    * neighbors restricted to its `nProbe` nearest IVF cells, with edges
+    * flagged `mutual` when they appear in both directions. The graph is the
+    * substrate for graph-based curation (SemDeDup-style cluster pruning,
+    * connected-component dedup, kNN-density filtering); the mutual flag is
+    * the standard symmetrization choice (mutual-kNN graphs drop hub edges).
+    *
+    * Differs from [[ivfTopK]] in ONE structural way: the query side is the
+    * ENTIRE corpus, so the (node, probed-cell) assignment is corpus-sized
+    * and must NOT be broadcast — the candidate step is a plain hash
+    * equi-join on the cell id, and per-node work stays bounded by the
+    * probed cells' population. The top-k window partitions by src node
+    * (cell-bounded, never corpus-wide); mutuality is a self left-join on
+    * the (src, dst) edge key — edge-count-sized, k·n rows. At 100 TB the
+    * embedding payload rides the cell shuffle nProbe times; the PQ-coded
+    * variant (q125/q145's ADC) is the at-rest-compressed alternative. */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, cellCol: String,
+               k: Int, nProbe: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val cent = cellCentroids(df, embCol, cellCol)
+    val assign = df.select(col(idCol).as("src_id"), col(embCol).as("src_emb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cscore", round(dot(col("src_emb"), col("cvec")), 3))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("cscore").desc, col("cell").asc)))
+      .where(col("__rn") <= nProbe)
+      .select(col("src_id"), col("src_emb"), col("cell"))
+    val cands = df.select(col(cellCol).as("cell"), col(idCol).as("dst_id"),
+      col(embCol).as("dst_emb"))
+    val edges = cands.join(assign, Seq("cell"))
+      .where(col("dst_id") =!= col("src_id"))
+      .withColumn("score", round(dot(col("src_emb"), col("dst_emb")), 3))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("score").desc, col("dst_id").asc))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("score"), col("rank"))
+    val rev = edges.select(col("dst_id").as("src_id"),
+      col("src_id").as("dst_id"), lit(1).as("__m"))
+    edges.join(rev, Seq("src_id", "dst_id"), "left")
+      .select(col("src_id"), col("dst_id"), col("score"), col("rank"),
+        col("__m").isNotNull.as("mutual"))
+  }
+
   /** Distributed Lloyd's k-means over an embedding column, bit-reproducible
     * on any cluster layout — the trainer that produces the coarse quantizer
     * [[ivfTopK]] probes.

@@ -32,6 +32,14 @@ object VectorQueries {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3)),
 
+    // Corpus-wide mutual-kNN graph: every vector's top-3 neighbors inside
+    // its 2 probed IVF cells, edges flagged mutual when reciprocated — the
+    // substrate for graph-based curation. q72 with the query side = the
+    // whole corpus (assignment NOT broadcast).
+    "q163_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 3)),
+
     // Embedding-cosine near-duplicate pairs, exact within label blocks
     // (the LSH-blocked variant is q49; this is the verifiable exact core)
     "q75_cosine_neardup" -> ((s, dir) => {
@@ -337,6 +345,52 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM scores
         |) WHERE rn <= 3""".stripMargin,
+
+    // q72's probe/rerank chain with the query side widened to every vector,
+    // plus the reciprocal-edge left join for the mutual flag.
+    "q163_knn_graph" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+        |  FROM ex GROUP BY 1, 2
+        |),
+        |ascore AS (
+        |  SELECT ex.vec_id AS src_id, cent.label, round(SUM(CAST(ex.v AS DOUBLE) * cent.c), 3) AS cscore
+        |  FROM ex JOIN cent ON ex.i = cent.i GROUP BY 1, 2
+        |),
+        |assign AS (
+        |  SELECT src_id, label FROM (
+        |    SELECT src_id, label,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY cscore DESC, label) AS rn
+        |    FROM ascore
+        |  ) WHERE rn <= 2
+        |),
+        |pairs AS (
+        |  SELECT a.src_id, e.vec_id AS dst_id
+        |  FROM assign a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.src_id
+        |),
+        |scores AS (
+        |  SELECT p.src_id, p.dst_id,
+        |         round(SUM(CAST(se.v AS DOUBLE) * CAST(de.v AS DOUBLE)), 3) AS score
+        |  FROM pairs p
+        |  JOIN ex se ON se.vec_id = p.src_id
+        |  JOIN ex de ON de.vec_id = p.dst_id AND de.i = se.i
+        |  GROUP BY 1, 2
+        |),
+        |edges AS (
+        |  SELECT src_id, dst_id, score, CAST(rn AS BIGINT) AS rank FROM (
+        |    SELECT src_id, dst_id, score,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY score DESC, dst_id) AS rn
+        |    FROM scores
+        |  ) WHERE rn <= 3
+        |)
+        |SELECT e.src_id, e.dst_id, e.score, e.rank,
+        |       r.src_id IS NOT NULL AS mutual
+        |FROM edges e
+        |LEFT JOIN edges r ON r.src_id = e.dst_id AND r.dst_id = e.src_id""".stripMargin,
 
     "q152_embed_decontaminate" ->
       """WITH ex AS (

@@ -125,6 +125,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === List(2L))
   }
 
+  test("knnGraph: clusters close mutually, a hub-chaser's edges are one-way") {
+    // two tight clusters (labels = cells) plus an outlier in label 0 whose
+    // nearest neighbors are cluster A, but whom nobody ranks back
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.98f, 0.15f, 0.0f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.1f, 0.99f, 0.0f, 0.0f), 1),
+      (6L, Array(0.15f, 0.98f, 0.0f, 0.0f), 1),
+      (7L, Array(0.2f, 0.0f, 0.98f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val edges = Similarity.knnGraph(vecs, "vec_id", "embedding", "label",
+        k = 2, nProbe = 2)
+      .select("src_id", "dst_id", "rank", "mutual")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(edges.length === 14) // 7 nodes x k=2
+    val bySrc = edges.groupBy(_._1)
+    // every node emits ranks 1..2
+    bySrc.values.foreach(es => assert(es.map(_._3).sorted.toList === List(1L, 2L)))
+    // cluster members pick each other, all mutual
+    for (src <- Seq(1L, 2L, 3L))
+      assert(bySrc(src).map(_._2).toSet.subsetOf(Set(1L, 2L, 3L) - src))
+    for (src <- Seq(4L, 5L, 6L))
+      assert(bySrc(src).map(_._2).toSet.subsetOf(Set(4L, 5L, 6L) - src))
+    edges.filter(e => e._1 <= 6L).foreach(e => assert(e._4, s"edge $e"))
+    // the outlier chases cluster A; nothing points back
+    assert(bySrc(7L).sortBy(_._3).map(_._2).toList === List(1L, 2L))
+    bySrc(7L).foreach(e => assert(!e._4, s"edge $e"))
+    // mutual flag is exactly reciprocal membership
+    val pairSet = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach(e => assert(e._4 === pairSet.contains((e._2, e._1))))
+  }
+
   // ---- Embedding-space decontamination -------------------------------
 
   test("ivfDecontaminate: planted duplicates flagged, unprobed cells pruned") {
