@@ -497,6 +497,55 @@ object CorpusOps {
           .as("manifest"))
   }
 
+  /** Packing-efficiency sweep — the report a team reads to CHOOSE the
+    * context length before committing to a [[packSequencesByCount]] /
+    * [[packTokenSlices]] layout: for each candidate token budget, how many
+    * fixed-budget bins the concatenate-then-cut plan produces, the padding
+    * slack (only each shard's final bin is partial under this packing
+    * style), the fill rate, and how many documents get cut across bin
+    * boundaries (each cut is a mid-document attention seam — the
+    * cross-document masking cost q153's manifest encodes).
+    *
+    * Scale shape: the shard-keyed running offset is budget-INDEPENDENT, so
+    * ONE window pass (identical to [[packSequencesByCount]]) serves every
+    * candidate; each budget then needs only pure per-row arithmetic — the
+    * |budgets|× explode is a map-side fan-out feeding a |budgets|-key hash
+    * aggregation (map-side partials), plus a shard-totals aggregate for
+    * bin counts. No per-budget pass over the corpus, no second shuffle. */
+  def packEfficiencySweep(df: DataFrame, idCol: String, countCol: String,
+                          budgets: Seq[Int], nShards: Int): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      s"budgets must be positive: $budgets")
+    require(budgets == budgets.distinct, s"budgets must be distinct: $budgets")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val withShard = df.select(col(idCol), col(countCol).cast("long").as("n"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"))
+    val before = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = withShard
+      .withColumn("o", coalesce(sum(col("n")).over(before), lit(0L)))
+      .where(col("n") > 0)
+    val bArr = array(budgets.map(b => lit(b.toLong)): _*)
+    val perDoc = base.select(col("n"), col("o"), explode(bArr).as("budget"))
+      .withColumn("cuts",
+        expr("div(o + n - 1, budget) - div(o, budget)"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        sum((col("cuts") > 0).cast("long")).as("n_cut_docs"),
+        sum(col("cuts")).as("n_cuts"))
+    val bins = base.groupBy(col("shard")).agg(sum(col("n")).as("st"))
+      .select(col("st"), explode(bArr).as("budget"))
+      .groupBy(col("budget"))
+      .agg(sum(expr("div(st + budget - 1, budget)")).as("n_bins"))
+    perDoc.join(broadcast(bins), Seq("budget"))
+      .select(col("budget"), col("n_docs"), col("total_tokens"),
+        col("n_bins"),
+        (col("n_bins") * col("budget") - col("total_tokens"))
+          .as("padded_tokens"),
+        expr("div(total_tokens * 1000, n_bins * budget)").as("fill_milli"),
+        col("n_cut_docs"), col("n_cuts"))
+  }
+
   /** Token-budget mixture plan — exact water-filling allocation of a
     * training-token budget across sources (the data-budgeting step behind
     * published mixture tuning à la The Pile / DoReMi: target weights say

@@ -178,6 +178,16 @@ object RoutedQueries {
         "source", "n", weights = mixtureWeights,
         budgetPermille = 600, maxEpochsMilli = 1000)),
 
+    // Packing-efficiency sweep: for candidate context lengths 128/256/512,
+    // the bin count, padding slack, fill rate and mid-document cut count of
+    // q92's concatenate-then-cut layout — one shared offset window, per-
+    // budget arithmetic only.
+    "q164_pack_efficiency" -> ((s, dir) =>
+      CorpusOps.packEfficiencySweep(
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n")),
+        "doc_id", "n", budgets = Seq(128, 256, 512), nShards = 4)),
+
     // Shard export manifest: per q111-shard doc count, token volume, and an
     // order-independent XOR membership checksum — the integrity artifact a
     // release ships so any re-materialized shard verifies by folding the
@@ -518,6 +528,43 @@ object RoutedQueries {
         |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id)
         |            AS INT) AS pos
         |FROM t""".stripMargin,
+
+    // q92's running-offset spine (budget-independent), then per-budget
+    // integer arithmetic: cuts per doc, ceil-bins per shard.
+    "q164_pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         doc_id % 4 AS shard
+        |  FROM documents
+        |),
+        |o AS (
+        |  SELECT *, COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |  FROM d
+        |),
+        |b AS (SELECT CAST(unnest([128, 256, 512]) AS BIGINT) AS budget),
+        |pd AS (
+        |  SELECT budget, n,
+        |         ((o + n - 1) // budget) - (o // budget) AS cuts
+        |  FROM o CROSS JOIN b WHERE n > 0
+        |),
+        |agg AS (
+        |  SELECT budget, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(CASE WHEN cuts > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_docs,
+        |         CAST(SUM(cuts) AS BIGINT) AS n_cuts
+        |  FROM pd GROUP BY 1
+        |),
+        |st AS (SELECT shard, SUM(n) AS st FROM o WHERE n > 0 GROUP BY 1),
+        |bins AS (
+        |  SELECT budget, CAST(SUM((st + budget - 1) // budget) AS BIGINT) AS n_bins
+        |  FROM st CROSS JOIN b GROUP BY 1
+        |)
+        |SELECT a.budget, a.n_docs, a.total_tokens, bins.n_bins,
+        |       bins.n_bins * a.budget - a.total_tokens AS padded_tokens,
+        |       (a.total_tokens * 1000) // (bins.n_bins * a.budget) AS fill_milli,
+        |       a.n_cut_docs, a.n_cuts
+        |FROM agg a JOIN bins USING (budget)""".stripMargin,
 
     "q162_mixture_plan" ->
       s"""WITH counts AS (

@@ -342,6 +342,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("packEfficiencySweep: agrees with the real packTokenSlices layout") {
+    val counts = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("n"))
+    val sweep = CorpusOps.packEfficiencySweep(counts, "doc_id", "n",
+        budgets = Seq(64, 256), nShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    for (b <- Seq(64, 256)) {
+      // independent recount from the emitted slices: bins per shard and
+      // docs overlapping more than one bin
+      val slices = CorpusOps.packTokenSlices(
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("tl")),
+        "doc_id", "tl", budgetTokens = b, nShards = 4)
+      val nBins = slices.select("shard", "bin").distinct().count()
+      val cutDocs = slices.groupBy("doc_id").count().where(col("count") > 1).count()
+      val (_, nDocs, total, gotBins, padded, fill, gotCut, _) = sweep(b.toLong)
+      assert(gotBins === nBins, s"budget $b bins")
+      assert(gotCut === cutDocs, s"budget $b cuts")
+      assert(nDocs === docs.count())
+      assert(padded === gotBins * b - total)
+      assert(fill === total * 1000 / (gotBins * b))
+    }
+  }
+
   test("mixturePlan: caps bind, surplus re-flows, invariants hold") {
     // supplies: a=100, b=100, c=1000, zero-weight z=50, budget 60% of 1250
     // = 750, cap 1.0 epoch. Proportional shares at w=(10,10,5): a,b get 300
