@@ -514,6 +514,31 @@ object Dedup {
       .where(col("n_overlaps") >= minOverlaps)
   }
 
+  /** Leakage-safe train/valid split: assign the split by near-duplicate
+    * CLUSTER, not by document. A per-document hash split leaks — a pair of
+    * near-duplicates can straddle train and valid, and the model is then
+    * evaluated on (a lightly edited copy of) its own training data. Here
+    * every document inherits its [[connectedComponents]] cluster root
+    * (singletons root at themselves) and the
+    * [[TextAnalysis.deterministicSplit]] hash is taken on the ROOT id, so a
+    * whole near-dup cluster lands on one side by construction.
+    *
+    * Scale shape: exactly [[minhashNearDups]] + pointer-jump components
+    * (both carried verified, banded/bounded — never all-pairs) plus ONE
+    * map-side hash expression on the root; the join back to documents is
+    * the same left equi-join q87 uses. */
+  def clusterSplit(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, validPermille: Int = 102): DataFrame = {
+    val comp = connectedComponents(
+      minhashNearDups(df, idCol, textCol, threshold), "a_id", "b_id")
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
+      .select(col(idCol), col("cluster_id"),
+        graft.operators.TextAnalysis.deterministicSplit(col("cluster_id"),
+          validPermille).as("split"))
+  }
+
   /** SimHash-64 of a token multiset: each token's 64-bit hash votes ±1 per bit
     * position; the fingerprint sets bit j where the vote sum is positive.
     * Built as 64 conditional sums over exploded tokens — one shuffle on the id. */

@@ -93,6 +93,13 @@ object MiscQueries {
     // Near-dup CLUSTERS: connected components over the verified MinHash
     // pairs, one canonical keeper (min id) per component, singletons kept —
     // the step that turns pairwise dedup into an actual corpus dedup.
+    // Leakage-safe split: q84's hash split taken on the near-dup CLUSTER
+    // root instead of the doc id, so no near-duplicate pair straddles
+    // train/valid (q87's components + one map-side expression).
+    "q166_cluster_split" -> ((s, dir) =>
+      Dedup.clusterSplit(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)),
+
     "q87_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
@@ -523,6 +530,45 @@ object MiscQueries {
         |JOIN documents db ON db.doc_id = b_id
         |WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
         |      <= 0.02 * greatest(len(da.text), len(db.text))""".stripMargin,
+
+    // q87's recursive-CTE cluster chain + q84's split CASE on the root id
+    "q166_cluster_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id,
+        |       CASE WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 2) < '1a'
+        |            THEN 'valid' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
 
     "q87_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -32,6 +32,29 @@ object VectorQueries {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3)),
 
+    // ANN recall audit: q72's IVF top-3 measured against q48's brute-force
+    // ground truth, per query — the quality dial (nProbe/k) a serving team
+    // reads before trusting the cell-pruned path. Both sides are the
+    // verified operators; the audit is one edge-keyed left join.
+    "q165_ann_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isQ = col("vec_id") % 50 === 0
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+          isQ, k = 3)
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      val bf = Similarity.bruteForceTopK(
+        emb.where(isQ).select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb")),
+        emb.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
+        k = 3)
+      bf.join(ivf, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k_true"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(col("q_id"), col("k_true"), col("n_hits"),
+          expr("div(n_hits * 1000, k_true)").as("recall_milli"))
+    }),
+
     // Corpus-wide mutual-kNN graph: every vector's top-3 neighbors inside
     // its 2 probed IVF cells, edges flagged mutual when reciprocated — the
     // substrate for graph-based curation. q72 with the query side = the
@@ -345,6 +368,69 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM scores
         |) WHERE rn <= 3""".stripMargin,
+
+    // q48's brute-force chain (k=3) and q72's IVF chain composed, joined on
+    // the (q_id, cand_id) edge.
+    "q165_ann_recall" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |bdots AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |         round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS score
+        |  FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |),
+        |bf AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM bdots
+        |  ) WHERE rn <= 3
+        |),
+        |cent AS (
+        |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+        |  FROM ex GROUP BY 1, 2
+        |),
+        |qx AS (SELECT vec_id AS q_id, v, i FROM ex WHERE vec_id % 50 = 0),
+        |ascore AS (
+        |  SELECT qx.q_id, cent.label, round(SUM(CAST(qx.v AS DOUBLE) * cent.c), 3) AS cscore
+        |  FROM qx JOIN cent ON qx.i = cent.i GROUP BY 1, 2
+        |),
+        |assign AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS rn
+        |    FROM ascore
+        |  ) WHERE rn <= 2
+        |),
+        |ipairs AS (
+        |  SELECT a.q_id, e.vec_id AS cand_id
+        |  FROM assign a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.q_id
+        |),
+        |iscores AS (
+        |  SELECT p.q_id, p.cand_id,
+        |         round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) AS score
+        |  FROM ipairs p
+        |  JOIN ex qe ON qe.vec_id = p.q_id
+        |  JOIN ex ce ON ce.vec_id = p.cand_id AND ce.i = qe.i
+        |  GROUP BY 1, 2
+        |),
+        |ivf AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM iscores
+        |  ) WHERE rn <= 3
+        |)
+        |SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k_true,
+        |       CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       (CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |         // CAST(COUNT(*) AS BIGINT) AS recall_milli
+        |FROM bf b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.cand_id = b.cand_id
+        |GROUP BY 1""".stripMargin,
 
     // q72's probe/rerank chain with the query side widened to every vector,
     // plus the reciprocal-edge left join for the mutual flag.

@@ -236,4 +236,33 @@ class DedupSpec extends SparkSpec {
       .select("cand_id").as[Long].collect()
     assert(top === Seq(1L))
   }
+
+  test("clusterSplit: near-dup clusters never straddle the split boundary") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Dedup.clusterSplit(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, String)].collect()
+    assert(got.length === docs.count())
+    // no cluster appears with two different splits
+    val byCluster = got.groupBy(_._2)
+    byCluster.values.foreach { rows =>
+      assert(rows.map(_._3).toSet.size === 1, s"cluster ${rows.head._2} leaks")
+    }
+    // the split is the md5 rule on the ROOT id, not the doc id
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    got.foreach { case (_, root, split) =>
+      val expect = if (md5hex(root.toString).substring(0, 2) < "1a") "valid"
+        else "train"
+      assert(split === expect)
+    }
+    // roots agree with the carried-verified component labeling
+    val comp = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
+        "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, root, _) =>
+      assert(root === comp.getOrElse(id, id))
+    }
+  }
 }
