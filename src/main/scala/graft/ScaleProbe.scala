@@ -76,7 +76,28 @@ object ScaleProbe {
         "doc_id", "text",
         graft.pipeline.SignatureStore.signatures(d.where(!isNew), "doc_id", "text"),
         d, threshold = 0.5)
-    }))
+    }),
+    // scoring is per-row; the sweep itself is a |T|+1-bin histogram agg
+    "threshold_sweep" -> (d => graft.operators.Classifier.thresholdSweep(
+      d, "doc_id", "text", col("lang") === "en", col("doc_id") % 10 >= 8,
+      256, iters = 2, lr = 0.5,
+      thresholdsMicro = Seq(-2000000L, -500000L, 0L, 500000L, 2000000L))),
+    // one source-keyed agg; the water-filling solve is |sources|-row driver
+    // state, so time should track the aggregation alone
+    "mixture_plan" -> (d => CorpusOps.mixturePlan(
+      d.select(col("source"), TextAnalysis.tokenCount(col("text")).as("n")),
+      "source", "n",
+      weights = (0 until 20).map(i => s"src$i" -> (10L + (i * 37) % 90)).toMap,
+      budgetPermille = 600, maxEpochsMilli = 1000)),
+    // one shared offset window + |budgets|x map-side fan-out
+    "pack_efficiency" -> (d => CorpusOps.packEfficiencySweep(
+      d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n")),
+      "doc_id", "n", budgets = Seq(128, 256, 512), nShards = 4)),
+    // OUTPUT-BOUND under copying like minhash_pairs: the k x duplicated
+    // corpus has ~k^2 more true near-dup pairs feeding the component step,
+    // so read time ratio against the pair count, not the row count
+    "cluster_split" -> (d => Dedup.clusterSplit(
+      d, "doc_id", "text", threshold = 0.5)))
 
   /** Embedding-side probes. The query set is pinned to the ORIGINAL id range
     * on both runs (`vec_id <= origMax`) so the measurement isolates how cost
@@ -104,7 +125,32 @@ object ScaleProbe {
     "embed_decontaminate" -> (e => graft.operators.Similarity
       .ivfDecontaminate(e, "vec_id", "embedding", "label",
         col("vec_id") % 50 === 0 && col("vec_id") <= origMax,
-        threshold = 0.3, nProbe = 2)))
+        threshold = 0.3, nProbe = 2)),
+    // kNN graph under the documented scaling discipline: CELL COUNT grows
+    // with the corpus (each id-offset copy gets its own 10 cells via the
+    // copy index), so per-node candidate work stays flat while nodes grow
+    // k× — with FIXED cells the per-node population would grow k× and the
+    // graph cost k²× (the dial IndexStore's kCoarse exists to turn)
+    "knn_graph" -> (e => graft.operators.Similarity.knnGraph(
+      e.withColumn("cell",
+        col("label") + floor(col("vec_id") / lit(origMax + 1)).cast("long") * 10),
+      "vec_id", "embedding", "cell", k = 3)),
+    // query set pinned to the original range; brute-force ground truth is a
+    // broadcast-queries linear scan, so time tracks the candidate corpus
+    "ann_recall" -> { e =>
+      val isQ = col("vec_id") % 50 === 0 && col("vec_id") <= origMax
+      val ivf = graft.operators.Similarity.ivfTopK(e, "vec_id", "embedding",
+          "label", isQ, k = 3)
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      graft.operators.Similarity.bruteForceTopK(
+          e.where(isQ).select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          e.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
+          k = 3)
+        .join(ivf, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k_true"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+    })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

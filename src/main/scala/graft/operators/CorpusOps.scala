@@ -617,6 +617,45 @@ object CorpusOps {
       "allocated_tokens", "epochs_milli")
   }
 
+  /** Epoch-quota materialization — turn [[mixturePlan]]'s per-source token
+    * ALLOCATIONS into a per-document replication plan: a source allocated
+    * `alloc` tokens against `avail` available is consumed
+    * `full = div(alloc, avail)` complete times, plus a partial pass of
+    * `alloc − full·avail` tokens filled by the same stable hash-ordered
+    * greedy prefix [[capSourceTokens]] uses (so the partial membership is
+    * growth-stable and engine-deterministic). Output per document: its
+    * source's full-pass count, whether it makes the partial pass, and the
+    * resulting copy count — the exact materialization of "source consumed
+    * 2.3× over" that an epoch-building job executes.
+    *
+    * Scale shape: ONE source-keyed aggregation feeds the |sources|-row
+    * water-filling solve (driver trainer-state, as [[mixturePlan]]); the
+    * plan broadcast-joins back to documents and the partial-pass prefix is
+    * the one source-keyed cumulative window [[capSourceTokensByCount]]
+    * already carries. No extra shuffle beyond that window. */
+  def epochQuotas(df: DataFrame, idCol: String, sourceCol: String,
+                  countCol: String, weights: Map[String, Long],
+                  budgetPermille: Long, maxEpochsMilli: Long): DataFrame = {
+    val plan = mixturePlan(df.select(col(sourceCol), col(countCol)),
+        sourceCol, countCol, weights, budgetPermille, maxEpochsMilli)
+      .select(col("source").as(sourceCol), col("available_tokens"),
+        col("allocated_tokens"))
+      .withColumn("n_full_copies",
+        expr("div(allocated_tokens, available_tokens)"))
+      .withColumn("__rem",
+        col("allocated_tokens") - col("n_full_copies") * col("available_tokens"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(sourceCol), col(countCol).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(plan), Seq(sourceCol))
+      .withColumn("in_partial", col("__cum") <= col("__rem"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("n_full_copies"), col("in_partial"),
+        (col("n_full_copies") + col("in_partial").cast("long")).as("n_copies"))
+  }
+
   /** Shard-level export manifest with an order-independent membership
     * checksum: per shard (the q111 md5 assignment), the doc count, token
     * volume, and the XOR of a 60-bit md5-derived hash per member id. XOR

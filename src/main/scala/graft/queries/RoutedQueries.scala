@@ -24,6 +24,60 @@ object RoutedQueries {
   private val mixtureWeightValues: String =
     (0 until 20).map(i => s"('src$i', ${10 + (i * 37) % 90})").mkString(", ")
 
+  /** Shared oracle CTE chain for q162/q167: per-source supply, weights,
+    * caps, budget, and the window-based water-filling solve ending in the
+    * `alloc` CTE (source, a, w, cap, capped, alloc). */
+  private def mixtureAllocCtes: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+       |  FROM documents GROUP BY 1
+       |),
+       |wts(source, w) AS (VALUES $mixtureWeightValues),
+       |base AS (
+       |  SELECT c.source, c.a, CAST(COALESCE(wts.w, 0) AS BIGINT) AS w,
+       |         (c.a * 1000) // 1000 AS cap
+       |  FROM counts c LEFT JOIN wts USING (source)
+       |),
+       |tot AS (SELECT (CAST(SUM(a) AS BIGINT) * 600) // 1000 AS b FROM base),
+       |pos AS (
+       |  SELECT source, a, w, cap,
+       |         row_number() OVER (
+       |           ORDER BY (CAST(cap AS HUGEINT) * 1000000) // w, source) AS rn
+       |  FROM base WHERE w > 0
+       |),
+       |pre AS (
+       |  SELECT pos.*, tot.b,
+       |         COALESCE(SUM(cap) OVER (ORDER BY rn
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_pre,
+       |         COALESCE(SUM(w) OVER (ORDER BY rn
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_pre,
+       |         SUM(w) OVER () AS w_tot
+       |  FROM pos CROSS JOIN tot
+       |),
+       |pfx AS (
+       |  SELECT *, bool_and(CAST(cap AS HUGEINT) * (w_tot - w_pre)
+       |                     <= CAST(w AS HUGEINT) * (b - c_pre))
+       |              OVER (ORDER BY rn) AS capped
+       |  FROM pre
+       |),
+       |fin AS (
+       |  SELECT COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS c_k,
+       |         COALESCE(SUM(CASE WHEN NOT capped THEN w END), 0) AS w_k
+       |  FROM pfx
+       |),
+       |alloc AS (
+       |  SELECT b2.source, b2.a, b2.w, b2.cap,
+       |         COALESCE(p.capped, FALSE) AS capped,
+       |         CAST(CASE WHEN b2.w = 0 THEN 0
+       |              WHEN COALESCE(p.capped, FALSE) THEN b2.cap
+       |              WHEN f.w_k = 0 THEN 0
+       |              ELSE (CAST(b2.w AS HUGEINT) * (t.b - f.c_k)) // f.w_k
+       |              END AS BIGINT) AS alloc
+       |  FROM base b2
+       |  LEFT JOIN pfx p USING (source)
+       |  CROSS JOIN fin f CROSS JOIN tot t
+       |)""".stripMargin
+
   /** Chunk fixture for q88: lineitem days pivoted into per-category wide
     * chunks. `l_returnflag` picks the route — 'A' → "cases" (direct
     * pipeline), 'N' → vaccinations-by-vaccination-date @ MSOA (msoa-lite
@@ -176,6 +230,16 @@ object RoutedQueries {
         Tables.load(s, dir, "documents").select(col("source"),
           graft.operators.TextAnalysis.tokenCount(col("text")).as("n")),
         "source", "n", weights = mixtureWeights,
+        budgetPermille = 600, maxEpochsMilli = 1000)),
+
+    // Epoch-quota materialization: q162's allocations as per-doc copy
+    // counts — full passes plus a hash-ordered partial-pass prefix (the
+    // exact "source consumed 2.3x over" an epoch-building job executes).
+    "q167_epoch_quotas" -> ((s, dir) =>
+      CorpusOps.epochQuotas(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n")),
+        "doc_id", "source", "n", weights = mixtureWeights,
         budgetPermille = 600, maxEpochsMilli = 1000)),
 
     // Packing-efficiency sweep: for candidate context lengths 128/256/512,
@@ -566,60 +630,36 @@ object RoutedQueries {
         |       a.n_cut_docs, a.n_cuts
         |FROM agg a JOIN bins USING (budget)""".stripMargin,
 
-    "q162_mixture_plan" ->
-      s"""WITH counts AS (
-         |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
-         |  FROM documents GROUP BY 1
-         |),
-         |wts(source, w) AS (VALUES $mixtureWeightValues),
-         |base AS (
-         |  SELECT c.source, c.a, CAST(COALESCE(wts.w, 0) AS BIGINT) AS w,
-         |         (c.a * 1000) // 1000 AS cap
-         |  FROM counts c LEFT JOIN wts USING (source)
-         |),
-         |tot AS (SELECT (CAST(SUM(a) AS BIGINT) * 600) // 1000 AS b FROM base),
-         |pos AS (
-         |  SELECT source, a, w, cap,
-         |         row_number() OVER (
-         |           ORDER BY (CAST(cap AS HUGEINT) * 1000000) // w, source) AS rn
-         |  FROM base WHERE w > 0
-         |),
-         |pre AS (
-         |  SELECT pos.*, tot.b,
-         |         COALESCE(SUM(cap) OVER (ORDER BY rn
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_pre,
-         |         COALESCE(SUM(w) OVER (ORDER BY rn
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_pre,
-         |         SUM(w) OVER () AS w_tot
-         |  FROM pos CROSS JOIN tot
-         |),
-         |pfx AS (
-         |  SELECT *, bool_and(CAST(cap AS HUGEINT) * (w_tot - w_pre)
-         |                     <= CAST(w AS HUGEINT) * (b - c_pre))
-         |              OVER (ORDER BY rn) AS capped
-         |  FROM pre
-         |),
-         |fin AS (
-         |  SELECT COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS c_k,
-         |         COALESCE(SUM(CASE WHEN NOT capped THEN w END), 0) AS w_k
-         |  FROM pfx
-         |),
-         |alloc AS (
-         |  SELECT b2.source, b2.a, b2.w, b2.cap,
-         |         COALESCE(p.capped, FALSE) AS capped,
-         |         CAST(CASE WHEN b2.w = 0 THEN 0
-         |              WHEN COALESCE(p.capped, FALSE) THEN b2.cap
-         |              WHEN f.w_k = 0 THEN 0
-         |              ELSE (CAST(b2.w AS HUGEINT) * (t.b - f.c_k)) // f.w_k
-         |              END AS BIGINT) AS alloc
-         |  FROM base b2
-         |  LEFT JOIN pfx p USING (source)
-         |  CROSS JOIN fin f CROSS JOIN tot t
-         |)
-         |SELECT source, a AS available_tokens, w AS weight, cap AS cap_tokens,
-         |       capped, alloc AS allocated_tokens,
-         |       CASE WHEN a > 0 THEN (alloc * 1000) // a END AS epochs_milli
-         |FROM alloc""".stripMargin,
+    "q162_mixture_plan" -> (mixtureAllocCtes +
+      """
+        |SELECT source, a AS available_tokens, w AS weight, cap AS cap_tokens,
+        |       capped, alloc AS allocated_tokens,
+        |       CASE WHEN a > 0 THEN (alloc * 1000) // a END AS epochs_milli
+        |FROM alloc""".stripMargin),
+
+    // the q162 alloc chain + full/partial split: full passes = alloc // a,
+    // the remainder filled by the q94 hash-ordered greedy prefix
+    "q167_epoch_quotas" -> (mixtureAllocCtes +
+      """,
+        |q AS (
+        |  SELECT source, a AS avail, alloc,
+        |         alloc // a AS n_full_copies,
+        |         alloc - (alloc // a) * a AS rem
+        |  FROM alloc WHERE a > 0
+        |),
+        |d2 AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents
+        |)
+        |SELECT d2.doc_id, d2.source, d2.n_tokens, q.n_full_copies,
+        |       d2.cum <= q.rem AS in_partial,
+        |       q.n_full_copies + CASE WHEN d2.cum <= q.rem THEN 1 ELSE 0 END AS n_copies
+        |FROM d2 JOIN q USING (source)""".stripMargin),
 
     "q122_source_manifest" ->
       """SELECT source,

@@ -389,6 +389,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.map(_._6).sum <= 750L)
   }
 
+  test("epochQuotas: full passes + maximal partial prefix, zero-weight gets nothing") {
+    val perDoc = Seq(
+      (1L, "a", 40L), (2L, "a", 60L),          // a: 100 tokens
+      (3L, "b", 100L),                          // b: 100
+      (4L, "c", 400L), (5L, "c", 600L),         // c: 1000
+      (6L, "z", 50L))                           // z: zero weight
+      .toDF("doc_id", "source", "n")
+    val got = CorpusOps.epochQuotas(perDoc, "doc_id", "source", "n",
+        weights = Map("a" -> 10L, "b" -> 10L, "c" -> 5L),
+        budgetPermille = 600, maxEpochsMilli = 1000)
+      .as[(Long, String, Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // from the mixturePlan fixture: a,b cap at 100 (1 full pass, rem 0);
+    // c gets 550 of 1000 -> 0 full passes, partial prefix of <= 550 tokens
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(got(id)._4 === 1L); assert(!got(id)._5); assert(got(id)._6 === 1L)
+    }
+    // hash order puts doc 4 (md5 "4" = a8..) before doc 5 (e4..): the
+    // greedy prefix takes doc 4 (cum 400 <= 550) and stops at doc 5
+    // (cum 1000) — capSourceTokens' cumulative semantics, not a knapsack
+    assert(got(4L)._5 && got(4L)._6 === 1L)
+    assert(!got(5L)._5 && got(5L)._6 === 0L)
+    assert(got(6L)._4 === 0L); assert(!got(6L)._5); assert(got(6L)._6 === 0L)
+  }
+
   test("mixturePlan: no caps -> pure proportional split; all-capped is supply-bound") {
     val perDoc = Seq(("a", 300L), ("b", 300L)).toDF("source", "n")
     val free = CorpusOps.mixturePlan(perDoc, "source", "n",
