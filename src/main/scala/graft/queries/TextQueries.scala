@@ -590,6 +590,36 @@ object TextQueries {
         "doc_id", "text", col("lang") === "en", col("doc_id") % 10 >= 8,
         d = 256, iters = 2, lr = 0.5)),
 
+    // Multi-signal quality ensemble (the FineWeb-style keep gate): for the
+    // incoming slice, combine the heuristic quality score, the trained
+    // classifier's softsign probability and the vs-old-releases gram
+    // novelty into one fixed-weight integer score; keep at >= 700 milli.
+    // All three signals are carried-verified; the ensemble is exact
+    // integer arithmetic on their milli units.
+    "q168_quality_ensemble" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      val w = Classifier.denseWeights(
+        Classifier.trainWeights(docs.where(!isNew), "doc_id", "text",
+          col("lang") === "en", d = 256, iters = 2, lr = 0.5), 256)
+      val m = col("margin_micro").cast("double") / lit(1e6)
+      val p = lit(0.5) + lit(0.5) * (m / (lit(1d) + abs(m)))
+      val scored = docs.where(isNew).select(col("doc_id"),
+          Classifier.scoreExpr(col("text"), w).as("margin_micro"),
+          round(TextAnalysis.qualityScore(col("text"), stopwords) * 1000d)
+            .cast("long").as("q_milli"))
+        .withColumn("p_milli", floor(p * 1000).cast("long"))
+      val nov = TextAnalysis.gramNovelty(docs, "doc_id", "text", n = 8,
+          isNew = isNew)
+        .select(col("doc_id"), col("novelty_permille"))
+      scored.join(nov, Seq("doc_id"))
+        .withColumn("ensemble_milli",
+          expr("div(3 * q_milli + 4 * p_milli + 3 * novelty_permille, 10)"))
+        .select(col("doc_id"), col("q_milli"), col("p_milli"),
+          col("novelty_permille"), col("ensemble_milli"),
+          (col("ensemble_milli") >= 700).as("keep"))
+    }),
+
     // Threshold sweep (the choosing half of q158's audit): P/R/F1 of
     // `keep ⇔ margin > t` on the held-out slice for five candidate
     // micro-margin cut-points.
@@ -1934,6 +1964,57 @@ object TextQueries {
         |       (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_milli,
         |       CAST(SUM(pm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_p_milli
         |FROM bb GROUP BY bin""".stripMargin),
+
+    // q134's serve chain for p, q155's q_milli spelling, q132's novelty
+    // chain, joined per doc and combined with the same integer weights.
+    "q168_quality_ensemble" -> (classifierServeCtes +
+      """,
+        |sv AS (
+        |  SELECT d.doc_id, COALESCE(mf.margin_micro, 0) AS mm
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        |  LEFT JOIN mf USING (doc_id)
+        |),
+        |pm AS (
+        |  SELECT doc_id,
+        |         CAST(floor((0.5 + 0.5 * (m / (1 + abs(m)))) * 1000) AS BIGINT) AS p_milli
+        |  FROM (SELECT doc_id, CAST(mm AS DOUBLE) / 1e6 AS m FROM sv)
+        |),
+        |d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE doc_id % 10 >= 8
+        |),
+        |qm AS (
+        |  SELECT doc_id,
+        |         CAST(round(round(least(CAST(n_tok AS DOUBLE), 100) / 100
+        |           * (1 - CAST(len(list_filter(t,
+        |                tok -> tok IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)
+        |              / n_tok), 3) * 1000) AS BIGINT) AS q_milli
+        |  FROM d0
+        |),
+        |atoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ash AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |    END)) AS gram
+        |  FROM atoks
+        |),
+        |oldg AS (SELECT DISTINCT gram FROM ash WHERE doc_id % 10 < 8),
+        |newsh AS (SELECT doc_id, gram FROM ash WHERE doc_id % 10 >= 8),
+        |nv AS (
+        |  SELECT n.doc_id,
+        |         CAST((SUM(CASE WHEN o.gram IS NULL THEN 1 ELSE 0 END) * 1000)
+        |              // COUNT(*) AS BIGINT) AS novelty_permille
+        |  FROM newsh n LEFT JOIN oldg o ON n.gram = o.gram
+        |  GROUP BY 1
+        |)
+        |SELECT qm.doc_id, qm.q_milli, pm.p_milli, nv.novelty_permille,
+        |       (3 * qm.q_milli + 4 * pm.p_milli + 3 * nv.novelty_permille) // 10
+        |         AS ensemble_milli,
+        |       (3 * qm.q_milli + 4 * pm.p_milli + 3 * nv.novelty_permille) // 10 >= 700
+        |         AS keep
+        |FROM qm JOIN pm USING (doc_id) JOIN nv USING (doc_id)""".stripMargin),
 
     // q134's serve chain + per-threshold confusion counts. The oracle takes
     // the direct |slice|×|T| cross join (fine at oracle scale); the Spark
