@@ -197,6 +197,39 @@ object Similarity {
       .select("q_id", "cand_id", "score")
   }
 
+  /** Embedding-space drift monitor — the vector twin of the token-drift
+    * report (q135): per cell, the cosine between the OLD slice's centroid
+    * and the NEW slice's centroid. A release whose embeddings move (model
+    * retrained, domain shift, pipeline bug) shows up as cells whose
+    * centroids rotate away from 1.0 before any downstream metric does.
+    *
+    * Determinism: centroid components are rounded to 4 dp (the
+    * [[cellCentroids]] idiom) before the 64-term cosine, which is rounded
+    * to 3 dp — the same absorb-the-summation-order discipline every
+    * centroid/score query here carries.
+    *
+    * Scale shape: ONE (cell, dim)-keyed aggregation with conditional
+    * old/new averages (map-side partials), then a cell-keyed reduce over
+    * `dim` rows — output is |cells| rows, nothing corpus-sized past the
+    * first aggregation. */
+  def embeddingDrift(df: DataFrame, embCol: String, cellCol: String,
+                     isNew: Column): DataFrame = {
+    val ex = df.select(col(cellCol).as("cell"), isNew.as("__new"),
+      posexplode(col(embCol)).as(Seq("i", "v")))
+    ex.groupBy(col("cell"), col("i"))
+      .agg(
+        round(avg(when(!col("__new"), col("v").cast("double"))), 4).as("co"),
+        round(avg(when(col("__new"), col("v").cast("double"))), 4).as("cn"),
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("__no"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("__nn"))
+      .groupBy(col("cell"))
+      .agg(
+        max(col("__no")).as("n_old"), max(col("__nn")).as("n_new"),
+        round(sum(col("co") * col("cn")) /
+          (sqrt(sum(col("co") * col("co"))) * sqrt(sum(col("cn") * col("cn")))),
+          3).as("centroid_cos"))
+  }
+
   /** k-NN graph over the whole corpus — every vector's top-k cosine
     * neighbors restricted to its `nProbe` nearest IVF cells, with edges
     * flagged `mutual` when they appear in both directions. The graph is the

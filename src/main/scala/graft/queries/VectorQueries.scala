@@ -32,6 +32,13 @@ object VectorQueries {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3)),
 
+    // Embedding drift monitor (the vector twin of q135's token drift): per
+    // label cell, cosine between the old slice's centroid and the new
+    // slice's — distribution shift shows up as cells rotating off 1.0.
+    "q169_embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables.load(s, dir, "embeddings"),
+        "embedding", "label", isNew = col("vec_id") % 10 >= 8)),
+
     // ANN recall audit: q72's IVF top-3 measured against q48's brute-force
     // ground truth, per query — the quality dial (nProbe/k) a serving team
     // reads before trusting the cell-pruned path. Both sides are the
@@ -368,6 +375,27 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM scores
         |) WHERE rn <= 3""".stripMargin,
+
+    // conditional per-dim centroid averages (4 dp), then the 64-term cosine
+    // (3 dp) per cell — same rounding discipline as the q72 cent chain.
+    "q169_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, vec_id % 10 >= 8 AS isnew,
+        |         unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT label AS cell, i,
+        |         round(avg(CASE WHEN NOT isnew THEN CAST(v AS DOUBLE) END), 4) AS co,
+        |         round(avg(CASE WHEN isnew THEN CAST(v AS DOUBLE) END), 4) AS cn,
+        |         CAST(SUM(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS BIGINT) AS no,
+        |         CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM ex GROUP BY 1, 2
+        |)
+        |SELECT cell, MAX(no) AS n_old, MAX(nn) AS n_new,
+        |       round(SUM(co * cn) / (sqrt(SUM(co * co)) * sqrt(SUM(cn * cn))), 3)
+        |         AS centroid_cos
+        |FROM cent GROUP BY cell""".stripMargin,
 
     // q48's brute-force chain (k=3) and q72's IVF chain composed, joined on
     // the (q_id, cand_id) edge.

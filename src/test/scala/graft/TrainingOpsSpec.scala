@@ -125,6 +125,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === List(2L))
   }
 
+  test("embeddingDrift: identical slices read 1.0, a rotated new slice drops") {
+    // cell A: new slice == old slice direction -> cos 1.0
+    // cell B: new slice rotated 90 degrees -> cos 0.0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "A"), (1L, Array(1.0f, 0.0f), "A"),
+      (8L, Array(1.0f, 0.0f), "A"), (9L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(0.0f, 1.0f), "B"), (3L, Array(0.0f, 1.0f), "B"),
+      (18L, Array(1.0f, 0.0f), "B"), (19L, Array(1.0f, 0.0f), "B")
+    ).toDF("vec_id", "embedding", "cell")
+    val got = Similarity.embeddingDrift(vecs, "embedding", "cell",
+        isNew = col("vec_id") % 10 >= 8)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") === ("A", 2L, 2L, 1.0))
+    assert(got("B") === ("B", 2L, 2L, 0.0))
+  }
+
   test("knnGraph: clusters close mutually, a hub-chaser's edges are one-way") {
     // two tight clusters (labels = cells) plus an outlier in label 0 whose
     // nearest neighbors are cluster A, but whom nobody ranks back
