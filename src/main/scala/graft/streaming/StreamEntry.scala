@@ -276,6 +276,47 @@ object StreamEntry {
           batch, "vec_id", "embedding", "label", probes, threshold), id)
       }
 
+  /** Multi-signal admission gate as a plain frame transform — q168's shared
+    * batch/stream code path: heuristic quality (per-row), frozen-weight
+    * classifier softsign p (per-row), novelty against the FROZEN gram store
+    * (one hashed-gram equi-join), combined with q168's exact integer
+    * weights. Works identically on a micro-batch or a batch frame; the
+    * only state is the static (weights, store) pair, trained/persisted on
+    * prior releases. */
+  def gateDocs(docs: DataFrame, weights: Array[Long], store: DataFrame,
+               stopwords: Seq[String], threshold: Long): DataFrame = {
+    val m = col("margin_micro").cast("double") / lit(1e6)
+    val p = lit(0.5) + lit(0.5) * (m / (lit(1d) + abs(m)))
+    val scored = docs.select(col("doc_id"),
+        graft.operators.Classifier.scoreExpr(col("text"), weights)
+          .as("margin_micro"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text"), stopwords)
+          * 1000d).cast("long").as("q_milli"))
+      .withColumn("p_milli", floor(p * 1000).cast("long"))
+    val nov = graft.pipeline.GramStore.noveltyAgainst(docs, "doc_id", "text",
+        store)
+      .select(col("doc_id"), col("novelty_permille"))
+    scored.join(nov, Seq("doc_id"))
+      .withColumn("ensemble_milli",
+        expr("div(3 * q_milli + 4 * p_milli + 3 * novelty_permille, 10)"))
+      .select(col("doc_id"), col("q_milli"), col("p_milli"),
+        col("novelty_permille"), col("ensemble_milli"),
+        (col("ensemble_milli") >= threshold).as("keep"))
+  }
+
+  /** [[gateDocs]] on a document stream — the admission gate a release
+    * pipeline runs as documents arrive (the countTokens / decontaminate
+    * idiom): foreachBatch makes each micro-batch a plain frame, so stream
+    * and batch share the one gate code path and decisions are bit-equal
+    * given the same frozen weights and gram store. */
+  def admitDocs(docs: DataFrame, weights: Array[Long], store: DataFrame,
+                stopwords: Seq[String], threshold: Long,
+                sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(gateDocs(batch, weights, store, stopwords, threshold), id)
+      }
+
   /** Frozen-weight quality scoring on a document stream: ONE per-row
     * expression (`Classifier.scoreExpr`) — no join, no shuffle, no state —
     * so it runs identically on a stream or a batch frame. Batch twin:

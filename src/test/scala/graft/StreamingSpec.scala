@@ -274,6 +274,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming admission gate equals the q168 ensemble batch twin") {
+    val docs = Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    // the frozen serving state: weights trained and grams collected ONCE
+    // on the prior release
+    val dense = graft.operators.Classifier.denseWeights(
+      graft.operators.Classifier.trainWeights(docs.where(!isNew),
+        "doc_id", "text", col("lang") === "en", d = 256, iters = 2, lr = 0.5),
+      256)
+    val store = graft.pipeline.GramStore.grams(docs.where(!isNew), "text")
+      .cache()
+    val stop = Seq("the", "a", "of", "to", "in", "and")
+    val dir = Files.createTempDirectory("gatestream").toString
+    val newDocs = docs.where(isNew)
+    newDocs.where(col("doc_id") % 20 < 10).coalesce(1).write.parquet(s"$dir/in/a")
+    newDocs.where(col("doc_id") % 20 >= 10).coalesce(1).write.parquet(s"$dir/in/b")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long, Boolean)]
+    var batches = 0
+    val q = StreamEntry.admitDocs(
+      spark.readStream.schema(StreamEntry.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      dense, store, stop, threshold = 700L,
+      sink = (df, _) => {
+        batches += 1
+        df.collect().foreach(r => got(r.getLong(0)) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5)))
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(batches === 2)
+    val twin = SparkEntry.queries("q168_quality_ensemble")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got.toMap === twin)
+    assert(got.nonEmpty)
+    store.unpersist()
+  }
+
   test("streaming PQ encoding equals the q127 batch twin and is restart-idempotent") {
     val emb = Tables.load(spark, sf, "embeddings")
     val isNew = col("vec_id") % 10 >= 8
