@@ -808,6 +808,59 @@ object Similarity {
       .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
   }
 
+  /** [[ivfPqServe]] with a CORPUS-SIZED query side — the batch-ADC shape a
+    * kNN-GRAPH build over the frozen index needs: every vector queries the
+    * index, so the per-(query, probed cell) residual lookup tables are a
+    * corpus-sized frame and must NOT be broadcast. Three structural changes
+    * from the serving path, same arithmetic and determinism:
+    *
+    *   - the ADC pass is a plain hash equi-join on the cell id (work =
+    *     Σ_cell probing-nodes × resident codes — the graph's inherent
+    *     cost; cells are the pruning unit exactly as in serving);
+    *   - the shortlist rerank joins shuffle on their ids instead of
+    *     broadcasting (|nodes| × shortlist rows);
+    *   - output carries the in-list `rank` (TopK emits in (score desc, id
+    *     asc) order) so the edge list is a complete graph artifact.
+    *
+    * Input `nodes`: (q_id long, q_emb array<double>) — typically every
+    * encoded vector. */
+  def ivfPqGraphEdges(nodes: DataFrame, enc: DataFrame, fullVecs: DataFrame,
+                      model: IvfPqModel, nProbe: Int, k: Int,
+                      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val dsub = model.dim / model.m
+    val centArr = array(model.centroids.map(cv => array(cv.map(lit): _*)): _*)
+    val probed = ivfPqProbe(nodes, model, nProbe)
+    val parts = array((0 until model.m).map { s =>
+      val qs = slice(col("__qr"), s * dsub + 1, dsub)
+      array(model.codebooks(s).map(c =>
+        floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
+    }: _*)
+    val qtab = probed
+      .withColumn("__qr",
+        zip_with(col("q_emb"), element_at(centArr, col("cell") + 1), (a, b) => a - b))
+      .select(col("q_id"), col("cell"), parts.as("__parts"))
+    val short = enc.join(qtab, Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("__parts"), (c, p) => element_at(p, c + 1)),
+        lit(0L), (acc, x) => acc + x).cast("double"))
+      .where(col("adc").isNotNull && col("cand_id").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(shortlist)(col("adc"), col("cand_id"))
+        .as("tk"))
+      .select(col("q_id"), explode(col("tk.items")).as("c"))
+      .select(col("q_id"), col("c.id").as("cand_id"))
+    fullVecs.join(short, Seq("cand_id"))
+      .join(nodes, Seq("q_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), 3))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk.items")).as(Seq("p", "c")))
+      .select(col("q_id").as("src_id"), col("c.id").as("dst_id"),
+        col("c.score").as("score"), (col("p") + 1).cast("long").as("rank"))
+  }
+
   /** Flip an (q_id, cand_id, score) match table into a decontamination DROP
     * LIST: candidates at/above `threshold`, one row per corpus vector with
     * its best eval match (score desc, eval id asc). The shared tail of

@@ -107,6 +107,29 @@ object IndexStore {
       threshold)
   }
 
+  /** Mutual-kNN graph served FROM the frozen index — the 100 TB shape of
+    * the graph build: every encoded vector probes its cells, ADC-scores
+    * only resident codes, exact-reranks its shortlist, and edges carry the
+    * in-list rank plus the reciprocity flag. Unlike [[query]], the query
+    * side IS the corpus: no literal cell-pruning win exists (every cell is
+    * probed by someone) and nothing query-sided may broadcast — the ADC
+    * pass is the plain cell-keyed equi-join of
+    * [[graft.operators.Similarity.ivfPqGraphEdges]]. Zero training jobs;
+    * work = Σ_cell probing-nodes × resident codes, the graph's inherent
+    * cost under the frozen quantizer. */
+  def knnGraph(spark: SparkSession, path: String, nodes: DataFrame,
+               fullVecs: DataFrame, nProbe: Int, k: Int,
+               shortlist: Int): DataFrame = {
+    val model = readModel(spark, path)
+    val edges = Similarity.ivfPqGraphEdges(nodes, readCodes(spark, path),
+      fullVecs, model, nProbe, k, shortlist)
+    val rev = edges.select(col("dst_id").as("src_id"),
+      col("src_id").as("dst_id"), lit(1).as("__m"))
+    edges.join(rev, Seq("src_id", "dst_id"), "left")
+      .select(col("src_id"), col("dst_id"), col("score"), col("rank"),
+        col("__m").isNotNull.as("mutual"))
+  }
+
   /** Retention vacuum: delete the code partitions of every release `keep`
     * rejects — [[EavStore.vacuum]]'s contract on the (cell, release) layout
     * (quantizer metadata is release-independent and stays). Returns the

@@ -32,6 +32,26 @@ object VectorQueries {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", col("vec_id") % 50 === 0, k = 3)),
 
+    // Mutual-kNN graph served from the frozen IVFADC store (q163's learned-
+    // quantizer, index-lifecycle sibling): build once, then every encoded
+    // vector probes its cells, ADC-shortlists and exact-reranks — the
+    // corpus-sized query side shuffles (nothing broadcasts). Python oracle
+    // replays the q145 train/encode/probe/ADC/rerank sequence for all nodes
+    // plus the reciprocal-edge flag.
+    "q170_index_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-knn").toString
+      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      graft.pipeline.IndexStore.knnGraph(s, path,
+        emb.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb")),
+        emb.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb")),
+        nProbe = 2, k = 3, shortlist = 50)
+    }),
+
     // Embedding drift monitor (the vector twin of q135's token drift): per
     // label cell, cosine between the old slice's centroid and the new
     // slice's — distribution shift shows up as cells rotating off 1.0.

@@ -44,6 +44,34 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(inJob).isEmpty && inJob.exceptAll(served).isEmpty)
   }
 
+  test("frozen-store kNN graph equals the inline-encode twin; mutual is reciprocal membership") {
+    val dir = Files.createTempDirectory("ivfadc_knn").toString + "/index"
+    build(dir, emb)
+    val nodes = emb.select(col("vec_id").cast("long").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val served = IndexStore.knnGraph(spark, dir, nodes, fullVecs,
+      nProbe = 2, k = 3, shortlist = 50).cache()
+    // inline twin: same train/encode on the same corpus, same graph pass
+    val model = Similarity.ivfPqTrain(emb, "vec_id", "embedding", dim = 64,
+      kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3)
+    val inline = Similarity.ivfPqGraphEdges(nodes,
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", model), fullVecs,
+      model, nProbe = 2, k = 3, shortlist = 50)
+    val servedEdges = served.select("src_id", "dst_id", "score", "rank")
+    assert(servedEdges.exceptAll(inline).isEmpty &&
+      inline.exceptAll(servedEdges).isEmpty)
+    // mutual flag is exactly reciprocal membership; ranks are 1..deg
+    val rows = served.select("src_id", "dst_id", "rank", "mutual")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val eset = rows.map(r => (r._1, r._2)).toSet
+    rows.foreach(r => assert(r._4 === eset.contains((r._2, r._1))))
+    rows.groupBy(_._1).values.foreach { es =>
+      assert(es.map(_._3).sorted.toList === (1L to es.length).toList)
+    }
+    served.unpersist()
+  }
+
   test("frozen-store decontaminate equals the inline encode twin and finds planted dups") {
     // corpus = non-eval vectors PLUS one planted exact copy of eval vector
     // 0 under a fresh id — the copy must surface on the drop list at

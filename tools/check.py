@@ -744,6 +744,84 @@ def py_q156_index_decontaminate(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q170_index_knn(con, spark_df, oracle):
+    """Index-served mutual-kNN graph: the q145/q146 IVFADC sequence (full
+    corpus trained + encoded, kc=8, citers=4, m=16, ksub=8, iters=3), with
+    EVERY vector as a query — 2-cell probe, integer ADC shortlist of 50,
+    3-dp exact rerank to top-3 with in-list rank, then the reciprocity
+    flag from the edge set itself."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    kc, citers, nprobe = 8, 4, 2
+    m, ksub, iters, k, shortlist = 16, 8, 3, 3, 50
+    dsub = dim // m
+    cents, assign = _lloyd(vecs, kc, citers)
+    resid = [[v[i] - cents[c][i] for i in range(dim)]
+             for v, c in zip(vecs, assign)]
+    cbs = []
+    codes = [[0] * m for _ in ids]
+    for s in range(m):
+        scents, sassign = _lloyd([r[s * dsub:(s + 1) * dsub] for r in resid],
+                                 ksub, iters)
+        cbs.append(scents)
+        for ri, j in enumerate(sassign):
+            codes[ri][s] = j
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    by_cell = {}
+    for i, c in enumerate(assign):
+        by_cell.setdefault(c, []).append(i)
+    edges = []
+    for qi, qid in enumerate(ids):
+        cs = []
+        for j, cv in enumerate(cents):
+            nsq = 0.0
+            for x in cv:
+                nsq += x * x
+            d = 0.0
+            for i in range(dim):
+                d += vecs[qi][i] * cv[i]
+            cs.append((nsq - 2.0 * d, j))
+        cs.sort(key=lambda t: (t[0], t[1]))
+        scored = []
+        for _, cell in cs[:nprobe]:
+            qr = [vecs[qi][i] - cents[cell][i] for i in range(dim)]
+            parts = []
+            for s in range(m):
+                qs = qr[s * dsub:(s + 1) * dsub]
+                row = []
+                for c in cbs[s]:
+                    acc = 0.0
+                    for i in range(dsub):
+                        acc += qs[i] * c[i]
+                    row.append(math.floor(acc * 1e6 + 0.5))
+                parts.append(row)
+            for ci in by_cell.get(cell, []):
+                cid = ids[ci]
+                if cid == qid:
+                    continue
+                sc = 0
+                for s in range(m):
+                    sc += parts[s][codes[ci][s]]
+                scored.append((sc, cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rer = []
+        for _, cid in scored[:shortlist]:
+            cv2 = vecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += vecs[qi][i] * cv2[i]
+            rer.append((_spark_round(acc, 3), cid))
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        for r, (sc, cid) in enumerate(rer[:k]):
+            edges.append((qid, cid, sc, r + 1))
+    eset = {(a, b) for a, b, _, _ in edges}
+    exp = pd.DataFrame(
+        [(a, b, sc, r, (b, a) in eset) for a, b, sc, r in edges],
+        columns=["src_id", "dst_id", "score", "rank", "mutual"])
+    return spark_df, exp
+
+
 def py_q136_top_component(con, spark_df, oracle):
     """Power-iteration top component (Similarity.topComponentProjections,
     dim=64, iters=3) — see _power_component for the IEEE sequence."""
@@ -805,6 +883,7 @@ PY_ORACLES = {
     # the answer is q145's by construction, so the oracle is shared verbatim
     "q146_index_serve": py_q145_ivfpq_ann,
     "q156_index_decontaminate": py_q156_index_decontaminate,
+    "q170_index_knn": py_q170_index_knn,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
