@@ -246,7 +246,35 @@ object ScaleProbe {
             run(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("index_serve", t1, tf, o1, of))
         }
-      val results = results0 ++ serveResults
+      // Index-served kNN graph (q170's lifecycle): build untimed against the
+      // same √N-scaled cell counts; the timed op is the all-nodes batch-ADC
+      // graph pass. Per-node work = probed cells' population ~ N/kCoarse,
+      // so with kCoarse ∝ √N total graph cost grows ~ factor^1.5 — the
+      // inherent graph-build surface, not a plan defect; output (k·N edges)
+      // grows linearly.
+      val graphResults =
+        if (!only.forall(_.contains("index_knn"))) Seq.empty
+        else {
+          def runGraph(e: DataFrame, kCoarse: Int, tag: String): (Double, Long) = {
+            val p = s"$tmp/index_g$tag"
+            graft.pipeline.IndexStore.build(spark, p, e, "vec_id", "embedding",
+              dim = 64, kCoarse = kCoarse, coarseIters = 4, m = 16, ksub = 8,
+              iters = 3, release = "r1")
+            val nodes = e.select(col("vec_id").cast("long").as("q_id"),
+              col("embedding").cast("array<double>").as("q_emb"))
+            val fv = e.select(col("vec_id").cast("long").as("cand_id"),
+              col("embedding").cast("array<double>").as("cand_emb"))
+            def g(): DataFrame = graft.pipeline.IndexStore.knnGraph(
+              spark, p, nodes, fv, nProbe = 2, k = 3, shortlist = 50)
+            time(g()) // untimed warmup
+            (time(g()), g().count())
+          }
+          val (t1, o1) = runGraph(embs, 8, "1x")
+          val (tf, of) =
+            runGraph(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("index_knn", t1, tf, o1, of))
+        }
+      val results = results0 ++ serveResults ++ graphResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""
