@@ -512,6 +512,63 @@ object TextAnalysis {
         expr("div(n_chars * 1000, n_tokens)").as("compression_milli"))
   }
 
+  /** Gopher-style repetition/quality rule card (Rae et al. 2021, Table A1
+    * adapted to a whitespace corpus): per document, the standard filter
+    * signals — word count, mean word length, alphabetic-word fraction,
+    * stopword count, the character fraction of the MOST FREQUENT 2-gram,
+    * and the character fraction covered by DUPLICATED 10-gram occurrences —
+    * plus the conjunctive keep flag. All ratios are exact integer permille
+    * (`div`), ties on the top 2-gram break lexicographically (via a
+    * `min(struct(-cnt, gram))` aggregate — no window), so the card is
+    * engine-deterministic.
+    *
+    * Scale shape: the word-level signals are per-row expressions; each gram
+    * width costs ONE (doc, gram)-keyed aggregation with map-side partials
+    * followed by a doc-keyed reduce — two shuffles total, both keyed by
+    * high-cardinality ids, no corpus-wide window anywhere. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = df.select(col(idCol), col(textCol).as("__t"),
+        tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__t"),
+        size(col("__w")).cast("long").as("n_words"),
+        length(regexp_replace(col("__t"), " ", "")).cast("long").as("__cns"),
+        size(filter(col("__w"), w => w.rlike("[a-zA-Z]"))).cast("long")
+          .as("__alpha"),
+        size(filter(col("__w"), w => array_contains(stopArr, w))).cast("long")
+          .as("n_stop"),
+        length(col("__t")).cast("long").as("__len"))
+    def gramCounts(n: Int) = df
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("__t2cnt"),
+        length(col("m.g")).cast("long").as("__t2len"))
+    val dup10 = gramCounts(10)
+      .groupBy(col(idCol))
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("g")))
+          .otherwise(0L)).cast("long").as("__dupch"),
+        sum(col("cnt") * length(col("g"))).cast("long").as("__allch"))
+    base.join(top2, Seq(idCol)).join(dup10, Seq(idCol))
+      .select(col(idCol), col("n_words"),
+        expr("div(__cns * 1000, n_words)").as("mean_word_len_milli"),
+        expr("div(__alpha * 1000, n_words)").as("alpha_word_permille"),
+        col("n_stop"),
+        expr("div(__t2cnt * __t2len * 1000, __len)").as("top2_char_permille"),
+        expr("div(__dupch * 1000, __allch)").as("dup10_char_permille"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len_milli") >= 3000 &&
+          col("mean_word_len_milli") <= 10000 &&
+          col("alpha_word_permille") >= 800 && col("n_stop") >= 2 &&
+          col("top2_char_permille") <= 200 &&
+          col("dup10_char_permille") <= 300)
+  }
+
   /** Zipf coverage curve of a trained vocabulary — for each k in `ks`, what
     * fraction of the corpus's emitted token MASS the k most frequent
     * symbols cover (milli-units). The other half of the tokenizer

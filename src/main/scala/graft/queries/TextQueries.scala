@@ -590,6 +590,13 @@ object TextQueries {
         "doc_id", "text", col("lang") === "en", col("doc_id") % 10 >= 8,
         d = 256, iters = 2, lr = 0.5)),
 
+    // Gopher-style rule card (Rae et al. 2021 Table A1): word-level stats,
+    // top-2-gram and duplicate-10-gram character fractions, conjunctive
+    // keep — the canonical repetition/quality filter battery per document.
+    "q171_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"),
+        "doc_id", "text", stopwords)),
+
     // Multi-signal quality ensemble (the FineWeb-style keep gate): for the
     // incoming slice, combine the heuristic quality score, the trained
     // classifier's softsign probability and the vs-old-releases gram
@@ -1964,6 +1971,63 @@ object TextQueries {
         |       (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_milli,
         |       CAST(SUM(pm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_p_milli
         |FROM bb GROUP BY bin""".stripMargin),
+
+    // word stats per row; per gram width one (doc, gram) count + doc reduce.
+    // Top-2-gram tie breaks lexicographically (rn over cnt desc, g asc).
+    "q171_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |         CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS cns,
+        |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+        |         CAST(len(list_filter(w,
+        |              x -> x IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS BIGINT) AS n_stop,
+        |         CAST(length(text) AS BIGINT) AS tlen
+        |  FROM t
+        |),
+        |g2 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i:i+1], ' ') FOR i IN generate_series(1, len(w) - 1)]
+        |    END) AS g
+        |  FROM t
+        |),
+        |c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT doc_id, cnt AS t2cnt, CAST(length(g) AS BIGINT) AS t2len FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        |    FROM c2
+        |  ) WHERE rn = 1
+        |),
+        |g10 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 10 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i:i+9], ' ') FOR i IN generate_series(1, len(w) - 9)]
+        |    END) AS g
+        |  FROM t
+        |),
+        |c10 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g10 GROUP BY 1, 2),
+        |d10 AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dupch,
+        |         CAST(SUM(cnt * length(g)) AS BIGINT) AS allch
+        |  FROM c10 GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_words,
+        |       (b.cns * 1000) // b.n_words AS mean_word_len_milli,
+        |       (b.alpha * 1000) // b.n_words AS alpha_word_permille,
+        |       b.n_stop,
+        |       (t2.t2cnt * t2.t2len * 1000) // b.tlen AS top2_char_permille,
+        |       (d10.dupch * 1000) // d10.allch AS dup10_char_permille,
+        |       (b.n_words >= 50 AND b.n_words <= 100000
+        |        AND (b.cns * 1000) // b.n_words >= 3000
+        |        AND (b.cns * 1000) // b.n_words <= 10000
+        |        AND (b.alpha * 1000) // b.n_words >= 800
+        |        AND b.n_stop >= 2
+        |        AND (t2.t2cnt * t2.t2len * 1000) // b.tlen <= 200
+        |        AND (d10.dupch * 1000) // d10.allch <= 300) AS keep
+        |FROM base b JOIN t2 USING (doc_id) JOIN d10 USING (doc_id)""".stripMargin,
 
     // q134's serve chain for p, q155's q_milli spelling, q132's novelty
     // chain, joined per doc and combined with the same integer weights.

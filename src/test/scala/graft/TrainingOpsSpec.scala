@@ -125,6 +125,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got === List(2L))
   }
 
+  test("gopherRules: hand-computed card on a repetitive and a clean doc") {
+    val docs = Seq(
+      // doc 1: "ab cd ab cd ... " 12 words of 2 chars, extreme 2-gram repeat
+      (1L, Seq.fill(6)("ab cd").mkString(" ")),
+      // doc 2: 4 distinct 5-char words, one stopword pair, no repeats
+      (2L, "alpha bravo the and delta")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        Seq("the", "a", "of", "to", "in", "and"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 12 words, 24 chars no-space -> mwl 2000; alpha 1000; 0 stop.
+    // text len 35; top 2-gram "ab cd" occurs 6 of 11 -> 6*5*1000/35 = 857.
+    // 10-grams: 3 occurrences, all distinct ("ab cd ab cd ab" patterns
+    // alternate) -> the repeating text makes all three IDENTICAL when the
+    // window phase matches: windows at 1,3 are equal; at 2 differs.
+    val d1 = got(1L)
+    assert(d1._2 === 12L && d1._3 === 2000L && d1._4 === 1000L && d1._5 === 0L)
+    assert(d1._6 === 857L)
+    assert(!d1._8) // fails n_words >= 50 (and more)
+    // doc 2: 5 words, 21 chars -> mwl 4200; 2 stopwords; all grams unique
+    val d2 = got(2L)
+    assert(d2._2 === 5L && d2._3 === 4200L && d2._5 === 2L && d2._7 === 0L)
+    assert(!d2._8) // fails n_words >= 50 only by length
+  }
+
   test("embeddingDrift: identical slices read 1.0, a rotated new slice drops") {
     // cell A: new slice == old slice direction -> cos 1.0
     // cell B: new slice rotated 90 degrees -> cos 0.0
