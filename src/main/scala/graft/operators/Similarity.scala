@@ -197,6 +197,39 @@ object Similarity {
       .select("q_id", "cand_id", "score")
   }
 
+  /** Per-dimension embedding profiler — the vector-store integrity card
+    * (dead dimensions, stuck values, range drift) a 100 TB embedding
+    * pipeline checks before training consumes a release. Means are exact
+    * integer-micro sums (floor(v·1e6 + 0.5)) — the repo's quantized-sum
+    * idiom, so the profile is bit-identical under any partitioning.
+    *
+    * Scale shape: one (dim)-keyed aggregation with map-side partials —
+    * `dim` rows out at any corpus size. */
+  def embeddingProfile(df: DataFrame, embCol: String): DataFrame =
+    df.select(posexplode(col(embCol)).as(Seq("i", "v")))
+      .withColumn("q", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(count(lit(1)).as("n"),
+        expr("div(sum(q), count(1))").as("mean_micro"),
+        min(col("q")).as("min_micro"), max(col("q")).as("max_micro"),
+        sum((col("q") === 0L).cast("long")).as("n_zero"))
+
+  /** Per-vector L2-norm audit: embeddings contracted to be unit-normalized
+    * drift (truncation, bad casts, partial writes) show up as norms off
+    * 1.0. Norm is rounded to 4 dp (sqrt is correctly-rounded IEEE, the sum
+    * is `dim` terms — same absorb-the-order discipline as every score
+    * here); `ok` flags norms within `tolMilli` of 1000.
+    *
+    * Scale shape: pure per-row expression — no shuffle at all. */
+  def vectorNorms(df: DataFrame, idCol: String, embCol: String,
+                  tolMilli: Long = 100): DataFrame = {
+    val nrm = round(sqrt(aggregate(col(embCol),
+      lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+    df.select(col(idCol), nrm.as("norm"))
+      .withColumn("norm_milli", floor(col("norm") * 1000).cast("long"))
+      .withColumn("ok", abs(col("norm_milli") - 1000) <= tolMilli)
+  }
+
   /** Embedding-space drift monitor — the vector twin of the token-drift
     * report (q135): per cell, the cosine between the OLD slice's centroid
     * and the NEW slice's centroid. A release whose embeddings move (model

@@ -52,6 +52,17 @@ object VectorQueries {
         nProbe = 2, k = 3, shortlist = 50)
     }),
 
+    // Per-dimension embedding profiler: dead dims / stuck values / range
+    // drift — integer-micro quantized sums, 64 rows out at any scale.
+    "q172_embedding_profile" -> ((s, dir) =>
+      Similarity.embeddingProfile(Tables.load(s, dir, "embeddings"),
+        "embedding")),
+
+    // Per-vector L2-norm audit: unit-norm contract check, pure map.
+    "q173_vector_norms" -> ((s, dir) =>
+      Similarity.vectorNorms(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding")),
+
     // Embedding drift monitor (the vector twin of q135's token drift): per
     // label cell, cosine between the old slice's centroid and the new
     // slice's — distribution shift shows up as cells rotating off 1.0.
@@ -395,6 +406,32 @@ object VectorQueries {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
         |  FROM scores
         |) WHERE rn <= 3""".stripMargin,
+
+    "q172_embedding_profile" ->
+      """WITH ex AS (
+        |  SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings
+        |),
+        |q AS (SELECT CAST(i AS BIGINT) AS i,
+        |             CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        |      FROM ex)
+        |SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_micro,
+        |       MIN(q) AS min_micro, MAX(q) AS max_micro,
+        |       CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM q GROUP BY i""".stripMargin,
+
+    "q173_vector_norms" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |         round(sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, norm,
+        |       CAST(floor(norm * 1000) AS BIGINT) AS norm_milli,
+        |       abs(CAST(floor(norm * 1000) AS BIGINT) - 1000) <= 100 AS ok
+        |FROM n""".stripMargin,
 
     // conditional per-dim centroid averages (4 dp), then the 64-term cosine
     // (3 dp) per cell — same rounding discipline as the q72 cent chain.

@@ -151,6 +151,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!d2._8) // fails n_words >= 50 only by length
   }
 
+  test("embeddingProfile + vectorNorms: planted dead dim and bad norm surface") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(0.6f, 0.0f, 0.8f)),
+      (3L, Array(3.0f, 0.0f, 4.0f))) // norm 5 — contract violation
+      .toDF("vec_id", "embedding")
+    val prof = Similarity.embeddingProfile(vecs, "embedding")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prof(1L)._6 === 3L) // dim 1 dead: every value zero
+    assert(prof(0L) === (0L, 3L, (1000000L + 600000L + 3000000L) / 3,
+      600000L, 3000000L, 0L))
+    val norms = Similarity.vectorNorms(vecs, "vec_id", "embedding")
+      .as[(Long, Double, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!norms(3L)._4 && norms(3L)._3 === 5000L)
+    assert(norms(2L)._4 && norms(2L)._3 === 1000L)
+  }
+
   test("embeddingDrift: identical slices read 1.0, a rotated new slice drops") {
     // cell A: new slice == old slice direction -> cos 1.0
     // cell B: new slice rotated 90 degrees -> cos 0.0
