@@ -391,6 +391,51 @@ object Dedup {
         col("scrubbed"))
   }
 
+  /** Contamination-span EXCISION — the surgical alternative to dropping a
+    * contaminated document whole (q77/q114 flag; this CUTS): every n-token
+    * window of a corpus document that appears VERBATIM in the benchmark
+    * set is removed (covered positions merged across overlapping matches),
+    * and the document re-emits with the matched spans cut out — the
+    * eval-overlap scrub published code-corpus pipelines run (e.g. the
+    * StarCoder/The-Stack decontamination pass).
+    *
+    * Same decision kernel and reassembly as [[scrubRepeatedSpans]]; only
+    * the decision SET changes — benchmark grams instead of corpus-repeated
+    * grams. Scale shape: the benchmark gram table is eval-sized (broadcast
+    * at real scale — here a plain equi-join Catalyst sizes itself); the
+    * corpus side is one gram pass + the anti-join + one doc-keyed
+    * reassembly aggregation. No windows, no corpus pair space. */
+  def scrubBenchmarkSpans(df: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val toks = split(col(textCol), " ")
+    val benchGrams = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("gram")).distinct()
+    val nGrams = size(toks) - (n - 1)
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), greatest(nGrams, lit(1))),
+        i => struct(i.as("gpos"), array_join(slice(toks, i, lit(n)), " ").as("gram"))))
+      .otherwise(array().cast("array<struct<gpos:int,gram:string>>"))
+    val g = df.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), col("g.gpos").as("gpos"), col("g.gram").as("gram"))
+    val covered = g.join(benchGrams, Seq("gram"))
+      .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val tok = df.select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = tok.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("scrubbed"))
+  }
+
   /** The token positions covered by ANY corpus-repeated n-gram: the shared
     * decision kernel of [[scrubRepeatedSpans]] and [[maximalRepeatedSpans]].
     * Returns distinct (id, pos), 1-based. The repeated-instance decision is

@@ -348,6 +348,15 @@ object TextQueries {
     // Exact repeated-substring scrubbing (Lee et al. 2022 at 8-gram
     // granularity): every 8-token span occurring more than once in the
     // corpus is removed from every document carrying it.
+    // Contamination-span excision: q77's benchmark (doc_id < 5) but CUT the
+    // matched 8-gram spans out of each corpus doc instead of dropping it —
+    // the surgical eval-overlap scrub.
+    "q174_decontamination_scrub" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.scrubBenchmarkSpans(docs.where(col("doc_id") >= 5),
+        "doc_id", "text", docs.where(col("doc_id") < 5), "text", n = 5)
+    }),
+
     "q119_span_scrub" -> ((s, dir) =>
       Dedup.scrubRepeatedSpans(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 8)),
@@ -1643,6 +1652,52 @@ object TextQueries {
          |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |        / 4294967296.0
          |      < keep_rate""".stripMargin,
+
+    // q119's covered-position chain with the decision set swapped to the
+    // benchmark's distinct grams (whole-text shingle for short bench docs,
+    // mirroring shinglesOfTokens).
+    "q174_decontamination_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id >= 5
+        |),
+        |bt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 5),
+        |bg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t) - 4)]
+        |    END) AS gram
+        |  FROM bt
+        |),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t) - 4)] AS gs
+        |  FROM d WHERE len(t) >= 5
+        |),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gram, generate_subscripts(gs, 1) AS gpos
+        |  FROM g0
+        |),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(gpos, gpos + 4)) AS pos
+        |  FROM g JOIN bg USING (gram)
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM d
+        |),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok
+        |  FROM tok ANTI JOIN cov USING (doc_id, pos)
+        |),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       agg.scrubbed
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q119_span_scrub" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

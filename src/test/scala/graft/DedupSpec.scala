@@ -237,6 +237,29 @@ class DedupSpec extends SparkSpec {
     assert(top === Seq(1L))
   }
 
+  test("scrubBenchmarkSpans: planted eval phrase excised, overlaps merged, clean docs intact") {
+    val bench = Seq((100L, "secret eval answer key here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // two adjacent plants of the 5-token bench phrase (positions 3..7
+      // and 8..12); covered positions merge into one 3..12 run
+      (1L, "a b secret eval answer key here secret eval answer key here z"),
+      (2L, "totally clean document with nothing shared at all"),
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubBenchmarkSpans(corpus, "doc_id", "text",
+        bench, "text", n = 5)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 13 tokens; windows matching the bench 5-gram start at 3 and 8,
+    // covering positions 3..12 -> kept = a b ... z = 3 tokens
+    assert(got(1L) === (1L, 13L, 3L, Some("a b z")))
+    // untouched docs re-emit verbatim
+    assert(got(2L)._3 === got(2L)._2)
+    assert(got(2L)._4 === Some("totally clean document with nothing shared at all"))
+    // a doc shorter than n has no windows and passes through whole
+    assert(got(3L) === (3L, 2L, 2L, Some("short doc")))
+  }
+
   test("clusterSplit: near-dup clusters never straddle the split boundary") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val got = Dedup.clusterSplit(docs, "doc_id", "text", threshold = 0.5)
