@@ -317,6 +317,20 @@ object StreamEntry {
         sink(gateDocs(batch, weights, store, stopwords, threshold), id)
       }
 
+  /** Contamination-span excision on a document stream — q174's serving
+    * twin (the countTokens / decontaminate idiom): each arriving
+    * micro-batch is scrubbed against a FROZEN benchmark gram table by the
+    * identical [[graft.operators.Dedup.scrubBenchmarkSpans]] code path, so
+    * stream and batch outputs are bit-equal. The benchmark set is static
+    * eval data by definition; no streaming state, no watermark. */
+  def scrubDocs(docs: DataFrame, bench: DataFrame, n: Int,
+                sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Dedup.scrubBenchmarkSpans(
+          batch, "doc_id", "text", bench, "text", n), id)
+      }
+
   /** Frozen-weight quality scoring on a document stream: ONE per-row
     * expression (`Classifier.scoreExpr`) — no join, no shuffle, no state —
     * so it runs identically on a stream or a batch frame. Batch twin:

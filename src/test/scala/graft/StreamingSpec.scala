@@ -314,6 +314,36 @@ class StreamingSpec extends SparkSpec {
     store.unpersist()
   }
 
+  test("streaming decontamination scrub equals the q174 batch twin") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = docs.where(col("doc_id") < 5).cache()
+    val dir = Files.createTempDirectory("scrubstream").toString
+    val corpus = docs.where(col("doc_id") >= 5)
+    corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/in/a")
+    corpus.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/in/b")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
+    var batches = 0
+    val q = StreamEntry.scrubDocs(
+      spark.readStream.schema(StreamEntry.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      bench, n = 5,
+      sink = (df, _) => {
+        batches += 1
+        df.collect().foreach(r => got(r.getLong(0)) =
+          (r.getLong(1), r.getLong(2), r.getString(3)))
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(batches === 2)
+    val twin = SparkEntry.queries("q174_decontamination_scrub")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.toMap === twin)
+    // the fixture really contains contamination: at least one doc shrank
+    assert(got.values.exists(v => v._2 < v._1))
+    bench.unpersist()
+  }
+
   test("streaming PQ encoding equals the q127 batch twin and is restart-idempotent") {
     val emb = Tables.load(spark, sf, "embeddings")
     val isNew = col("vec_id") % 10 >= 8
