@@ -215,11 +215,15 @@ object Classifier {
     val w = denseWeights(
       trainWeights(docs.where(!isNew), idCol, textCol, label, d, iters, lr), d)
     val tLit = array(thresholdsMicro.map(lit): _*)
+    // cached: both the per-threshold sums and the totals read this kilobyte
+    // histogram — without the cache the totals branch would re-run the
+    // corpus scan + scoring (PlanSpec pins the single scoring pass)
     val hist = docs.where(isNew)
       .select(scoreExpr(col(textCol), w).as("m"), label.cast("long").as("y"))
       .withColumn("bin", size(filter(tLit, t => t < col("m"))).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .cache()
     val totals = hist.agg(sum(col("n")).as("n_all"),
       sum(col("n_pos")).as("p_all"))
     val th = thresholdsMicro.zipWithIndex

@@ -352,4 +352,42 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p.take(1500))
     assert(!p.contains("l_extendedprice"))
   }
+
+  test("threshold sweep: one corpus histogram, no window, no per-threshold pass") {
+    // the corpus must collapse in a single bin-keyed aggregation; the
+    // per-threshold counts read the kilobyte histogram (a second tiny agg),
+    // with no Window and no corpus-side explode per threshold
+    val p = plan("q161_threshold_sweep")
+    assert(!p.contains("Window"), p.take(1500))
+    // the histogram is cached and BOTH consumers (per-threshold sums,
+    // totals) read the cache — two InMemoryTableScans in the plan; an
+    // uncached design would show zero and re-run the corpus scoring pass
+    // for the totals branch (the printed cached-plan text still embeds the
+    // originating FileScan, so scans can't be counted textually)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("gopher rules: no window anywhere — top gram decided by min(struct)") {
+    val p = plan("q171_gopher_rules")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decontamination scrub: anti-join kernel, no window, no pair space") {
+    val p = plan("q174_decontamination_scrub")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("vocab coverage: every k is an ordered slice, never a global sort") {
+    val p = plan("q160_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("epoch quotas: the partial-pass prefix is the one source-keyed window") {
+    val p = plan("q167_epoch_quotas")
+    assert("Window ".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
