@@ -52,6 +52,35 @@ object VectorQueries {
         nProbe = 2, k = 3, shortlist = 50)
     }),
 
+    // Frozen-index recall audit: IndexStore.query's top-5 measured against
+    // the brute-force ground truth per query — q165's learned-quantizer
+    // sibling, the recall/cost dial a serving team reads before trusting
+    // the ADC shortlist. Python oracle: the q145 chain for the served side,
+    // an exact rounded-dot ranking for the truth side, joined per query.
+    "q175_index_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isQ = col("vec_id") % 50 === 0
+      val path = java.nio.file.Files.createTempDirectory("graft-irec").toString
+      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      val qd = emb.where(isQ)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      val served = graft.pipeline.IndexStore.query(s, path, qd, fv,
+          nProbe = 2, k = 5, shortlist = 100)
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      Similarity.bruteForceTopK(qd, fv, k = 5)
+        .join(served, Seq("q_id", "cand_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k_true"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(col("q_id"), col("k_true"), col("n_hits"),
+          expr("div(n_hits * 1000, k_true)").as("recall_milli"))
+    }),
+
     // Per-dimension embedding profiler: dead dims / stuck values / range
     // drift — integer-micro quantized sums, 64 rows out at any scale.
     "q172_embedding_profile" -> ((s, dir) =>

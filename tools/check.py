@@ -822,6 +822,39 @@ def py_q170_index_knn(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q175_index_recall(con, spark_df, oracle):
+    """Frozen-index recall audit: the q145/q146 served top-5 per query
+    (identical sequence/params) measured against an exact brute-force
+    top-5 (3-dp rounded dots, id-ascending ties), aggregated to per-query
+    hit counts and integer milli recall."""
+    served_df, served = py_q145_ivfpq_ann(con, None, None)
+    hits = {(r.q_id, r.cand_id) for r in served.itertuples()}
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    out = []
+    for qid in ids:
+        if qid % 50 != 0:
+            continue
+        qv = vecs[idx_of[qid]]
+        scored = []
+        for cid in ids:
+            if cid == qid:
+                continue
+            cv = vecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += qv[i] * cv[i]
+            scored.append((_spark_round(acc, 3), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        top = scored[:5]
+        n_hits = sum(1 for _, cid in top if (qid, cid) in hits)
+        out.append((qid, len(top), n_hits, n_hits * 1000 // len(top)))
+    exp = pd.DataFrame(out,
+                       columns=["q_id", "k_true", "n_hits", "recall_milli"])
+    return spark_df, exp
+
+
 def py_q136_top_component(con, spark_df, oracle):
     """Power-iteration top component (Similarity.topComponentProjections,
     dim=64, iters=3) — see _power_component for the IEEE sequence."""
@@ -884,6 +917,7 @@ PY_ORACLES = {
     "q146_index_serve": py_q145_ivfpq_ann,
     "q156_index_decontaminate": py_q156_index_decontaminate,
     "q170_index_knn": py_q170_index_knn,
+    "q175_index_recall": py_q175_index_recall,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
