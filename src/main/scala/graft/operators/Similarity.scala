@@ -356,7 +356,7 @@ object Similarity {
 
   /** Lloyd iterations only — returns the final centroids (k × dim doubles)
     * so callers can reuse the assignment expression without a join. */
-  private def kMeansCentroids(df: DataFrame, idCol: String, embCol: String,
+  def kMeansCentroids(df: DataFrame, idCol: String, embCol: String,
                               k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
@@ -839,6 +839,79 @@ object Similarity {
       .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
       .select(col("q_id"), explode(col("tk.items")).as("c"))
       .select(col("q_id"), col("c.id").as("cand_id"), col("c.score").as("score"))
+  }
+
+  /** Exact cell-pruned kNN edges under a FROZEN coarse quantizer: each node
+    * probes its `nProbe` nearest frozen cells, candidates are the vectors
+    * the SAME frozen model assigns there, scores are exact 3-dp rounded
+    * dots, top-k is the bounded TopK aggregate with in-list rank. This is
+    * the incremental-maintenance scoring path ([[mergeKnnEdges]]): unlike
+    * the ADC shortlist, EXACT top-k decomposes — top-k(A ∪ B) =
+    * top-k(top-k(A) ∪ top-k(B)) — so a release delta merges into a prior
+    * graph with provable identity to a from-scratch build. The ADC path
+    * ([[ivfPqGraphEdges]]) remains the at-rest-compressed bulk option.
+    *
+    * Scale shape: probe is a map + per-node bounded window; candidate
+    * assignment is a pure map (frozen centroid literals); the pairing is a
+    * plain hash equi-join on the cell id; top-k aggregates with map-side
+    * partials. Nothing query-sided broadcasts. */
+  def ivfExactGraphEdges(nodes: DataFrame, cands: DataFrame,
+                         cents: Array[Array[Double]], nProbe: Int,
+                         k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0 && nProbe <= cents.length,
+      s"nProbe=$nProbe must be in 1..${cents.length}")
+    // probe by the same (‖c‖² − 2·q·c) metric as assignment (the
+    // ivfPqProbe spelling, against raw centroids — no codebooks needed)
+    val cellScores = array(cents.zipWithIndex.map { case (cv, j) =>
+      var nsq = 0d; var i = 0
+      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
+      struct((lit(nsq) - lit(2d) * dot(col("q_emb"), array(cv.map(lit): _*))).as("d"),
+        lit(j).as("cell"))
+    }: _*)
+    val probed = nodes.select(col("q_id"), col("q_emb"), explode(cellScores).as("cs"))
+      .select(col("q_id"), col("q_emb"),
+        col("cs.d").as("__d"), col("cs.cell").as("cell"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__d").asc, col("cell").asc)))
+      .where(col("__rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val cassign = cands.select(col("cand_id"), col("cand_emb"),
+      assignExpr(cents, col("cand_emb")).as("cell"))
+    cassign.join(probed, Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("cand_emb")), 3))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("cand_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk.items")).as(Seq("p", "c")))
+      .select(col("q_id").as("src_id"), col("c.id").as("dst_id"),
+        col("c.score").as("score"), (col("p") + 1).cast("long").as("rank"))
+  }
+
+  /** Merge a prior edge list with a release delta's candidate edges: per
+    * source, the bounded top-k of the union by (score desc, id asc), ranks
+    * re-derived. Exactness of [[ivfExactGraphEdges]] scores is what makes
+    * this equal to a from-scratch build on the union corpus (the q123
+    * incremental-clusters contract, for graphs). One src-keyed aggregation
+    * over |V|·k + |delta| rows — the corpus is never re-scored. */
+  def mergeKnnEdges(prior: DataFrame, delta: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    prior.select(col("src_id"), col("dst_id"), col("score"))
+      .unionByName(delta.select(col("src_id"), col("dst_id"), col("score")))
+      .groupBy(col("src_id").as("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("dst_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk.items")).as(Seq("p", "c")))
+      .select(col("q_id").as("src_id"), col("c.id").as("dst_id"),
+        col("c.score").as("score"), (col("p") + 1).cast("long").as("rank"))
+  }
+
+  /** Reciprocity flag over an edge list — the shared mutual-kNN tail. */
+  def withMutualFlag(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("dst_id").as("src_id"),
+      col("src_id").as("dst_id"), lit(1).as("__m"))
+    edges.join(rev, Seq("src_id", "dst_id"), "left")
+      .select(col("src_id"), col("dst_id"), col("score"), col("rank"),
+        col("__m").isNotNull.as("mutual"))
   }
 
   /** [[ivfPqServe]] with a CORPUS-SIZED query side — the batch-ADC shape a

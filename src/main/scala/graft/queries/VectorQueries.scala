@@ -52,6 +52,38 @@ object VectorQueries {
         nProbe = 2, k = 3, shortlist = 50)
     }),
 
+    // INCREMENTAL mutual-kNN graph maintenance: release N's graph rolls
+    // forward with release N+1's vectors under the FROZEN coarse quantizer
+    // — old nodes merge a delta scored only against the NEW slice, new
+    // nodes query the union once; exact cell-pruned scores make the merge
+    // provably identical to a from-scratch build (the q123 contract for
+    // graphs; the Python oracle computes exactly that from-scratch answer).
+    // Per release the engine scores O(|V_old|·delta + |new|·union-cells),
+    // never re-pairing the old corpus with itself.
+    "q176_incremental_knn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isNew = col("vec_id") % 10 >= 8
+      val cents = Similarity.kMeansCentroids(emb.where(!isNew), "vec_id",
+        "embedding", 8, 4)
+      def nodes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      def cands(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+      // release N state (persisted in prod): the old-corpus graph
+      val prior = Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
+        cands(emb.where(!isNew)), cents, nProbe = 2, k = 3)
+      // the increment: old nodes vs the new slice only; new nodes vs all
+      val oldDelta = Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
+        cands(emb.where(isNew)), cents, nProbe = 2, k = 3)
+      val newEdges = Similarity.ivfExactGraphEdges(nodes(emb.where(isNew)),
+        cands(emb), cents, nProbe = 2, k = 3)
+      Similarity.withMutualFlag(
+        Similarity.mergeKnnEdges(prior, oldDelta, k = 3)
+          .unionByName(newEdges))
+    }),
+
     // Frozen-index recall audit: IndexStore.query's top-5 measured against
     // the brute-force ground truth per query — q165's learned-quantizer
     // sibling, the recall/cost dial a serving team reads before trusting

@@ -72,6 +72,32 @@ class IndexStoreSpec extends SparkSpec {
     served.unpersist()
   }
 
+  test("incremental kNN merge equals the from-scratch graph under the frozen quantizer") {
+    val isNew = col("vec_id") % 10 >= 8
+    val cents = Similarity.kMeansCentroids(emb.where(!isNew), "vec_id",
+      "embedding", 8, 4)
+    def nodes(d: DataFrame) = d.select(col("vec_id").cast("long").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    def cands(d: DataFrame) = d.select(col("vec_id").cast("long").as("cand_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+    // decomposability: merging the prior graph with a delta scored only
+    // against the new slice must equal scoring old nodes against the UNION
+    val prior = Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
+      cands(emb.where(!isNew)), cents, nProbe = 2, k = 3)
+    val delta = Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
+      cands(emb.where(isNew)), cents, nProbe = 2, k = 3)
+    val merged = Similarity.mergeKnnEdges(prior, delta, k = 3)
+    val scratch = Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
+      cands(emb), cents, nProbe = 2, k = 3)
+    assert(merged.exceptAll(scratch).isEmpty && scratch.exceptAll(merged).isEmpty)
+    // and the rolled-forward FULL graph covers every union node with k edges
+    val full = Similarity.withMutualFlag(merged.unionByName(
+      Similarity.ivfExactGraphEdges(nodes(emb.where(isNew)), cands(emb),
+        cents, nProbe = 2, k = 3)))
+    val bySrc = full.select("src_id").groupBy("src_id").count()
+    assert(bySrc.count() === emb.count())
+  }
+
   test("frozen-store decontaminate equals the inline encode twin and finds planted dups") {
     // corpus = non-eval vectors PLUS one planted exact copy of eval vector
     // 0 under a fresh id — the copy must surface on the drop list at

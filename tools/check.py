@@ -822,6 +822,58 @@ def py_q170_index_knn(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q176_incremental_knn(con, spark_df, oracle):
+    """Incremental kNN-graph oracle = the FROM-SCRATCH graph on the union
+    corpus under the FROZEN quantizer: coarse centroids Lloyd-trained on
+    the OLD slice only (vec_id % 10 < 8, kc=8, 4 iters), every union
+    vector assigned/probed against those frozen centroids (2 cells),
+    candidates = union vectors resident in the probed cells, exact 3-dp
+    rounded-dot top-3 with id-ascending ties, in-list rank, reciprocity
+    flag. Equality with the engine's rolled-forward (prior + delta) graph
+    IS the incremental-correctness claim."""
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    old_idx = [i for i, vid in enumerate(ids) if vid % 10 < 8]
+    cents, _ = _lloyd([vecs[i] for i in old_idx], 8, 4)
+    assign = _assign(vecs, cents)
+    by_cell = {}
+    for i, c in enumerate(assign):
+        by_cell.setdefault(c, []).append(i)
+    nsqs = []
+    for c in cents:
+        nsq = 0.0
+        for x in c:
+            nsq += x * x
+        nsqs.append(nsq)
+    edges = []
+    for qi, qid in enumerate(ids):
+        cs = []
+        for j, cv in enumerate(cents):
+            d = 0.0
+            for i in range(dim):
+                d += vecs[qi][i] * cv[i]
+            cs.append((nsqs[j] - 2.0 * d, j))
+        cs.sort(key=lambda t: (t[0], t[1]))
+        scored = []
+        for _, cell in cs[:2]:
+            for ci in by_cell.get(cell, []):
+                cid = ids[ci]
+                if cid == qid:
+                    continue
+                acc = 0.0
+                for i in range(dim):
+                    acc += vecs[qi][i] * vecs[ci][i]
+                scored.append((_spark_round(acc, 3), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (sc, cid) in enumerate(scored[:3]):
+            edges.append((qid, cid, sc, r + 1))
+    eset = {(a, b) for a, b, _, _ in edges}
+    exp = pd.DataFrame(
+        [(a, b, sc, r, (b, a) in eset) for a, b, sc, r in edges],
+        columns=["src_id", "dst_id", "score", "rank", "mutual"])
+    return spark_df, exp
+
+
 def py_q175_index_recall(con, spark_df, oracle):
     """Frozen-index recall audit: the q145/q146 served top-5 per query
     (identical sequence/params) measured against an exact brute-force
@@ -918,6 +970,7 @@ PY_ORACLES = {
     "q156_index_decontaminate": py_q156_index_decontaminate,
     "q170_index_knn": py_q170_index_knn,
     "q175_index_recall": py_q175_index_recall,
+    "q176_incremental_knn": py_q176_incremental_knn,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
