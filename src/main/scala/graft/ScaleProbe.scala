@@ -135,6 +135,29 @@ object ScaleProbe {
       e.withColumn("cell",
         col("label") + floor(col("vec_id") / lit(origMax + 1)).cast("long") * 10),
       "vec_id", "embedding", "cell", k = 3)),
+    // incremental graph roll-forward (q176's shape): frozen old-slice
+    // centroids; old nodes score only the new slice, new nodes the union.
+    // Work = |V_old|·delta-in-cells + |new|·union-cells — linear-ish in
+    // corpus with cell count fixed here (the √N cell dial applies as in
+    // index_knn); output is k·N edges
+    "incremental_knn" -> { e =>
+      val isNew = col("vec_id") % 10 >= 8
+      val cents = graft.operators.Similarity.kMeansCentroids(
+        e.where(!isNew), "vec_id", "embedding", 8, 4)
+      def nodes(d: DataFrame) = d.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      def cands(d: DataFrame) = d.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      val prior = graft.operators.Similarity.ivfExactGraphEdges(
+        nodes(e.where(!isNew)), cands(e.where(!isNew)), cents, 2, 3)
+      val delta = graft.operators.Similarity.ivfExactGraphEdges(
+        nodes(e.where(!isNew)), cands(e.where(isNew)), cents, 2, 3)
+      val newEdges = graft.operators.Similarity.ivfExactGraphEdges(
+        nodes(e.where(isNew)), cands(e), cents, 2, 3)
+      graft.operators.Similarity.withMutualFlag(
+        graft.operators.Similarity.mergeKnnEdges(prior, delta, 3)
+          .unionByName(newEdges))
+    },
     // query set pinned to the original range; brute-force ground truth is a
     // broadcast-queries linear scan, so time tracks the candidate corpus
     "ann_recall" -> { e =>
