@@ -100,6 +100,31 @@ object MiscQueries {
       Dedup.clusterSplit(Tables.load(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5)),
 
+    // Dedup savings card: the q87 cluster map aggregated to a cluster-SIZE
+    // histogram with doc and token savings — the report that justifies (or
+    // kills) a dedup pass before anything is deleted. Removable = everything
+    // but each cluster's keeper (the min-id root).
+    "q177_dedup_savings" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
+        "a_id", "b_id")
+      val perCluster = docs
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster"), col("doc_id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"), sum(col("n")).as("toks"),
+          sum(when(col("doc_id") === col("cluster_id"), col("n"))
+            .otherwise(0L)).as("keep_toks"))
+      perCluster.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("removable_docs"),
+          sum(col("toks") - col("keep_toks")).as("removable_tokens"))
+    }),
+
     "q87_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
@@ -530,6 +555,60 @@ object MiscQueries {
         |JOIN documents db ON db.doc_id = b_id
         |WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
         |      <= 0.02 * greatest(len(da.text), len(db.text))""".stripMargin,
+
+    // q87's recursive-CTE cluster chain + per-cluster token sums + a
+    // cluster-size GROUP BY
+    "q177_dedup_savings" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        |  FROM t
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:least(i + 2, len(toks))], ' ') AS shingle
+        |  FROM idx
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+        |m AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id,
+        |         CAST(len(t.toks) AS BIGINT) AS n
+        |  FROM documents d
+        |  LEFT JOIN comp c ON c.id = d.doc_id
+        |  JOIN t USING (doc_id)
+        |),
+        |pc AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz,
+        |         CAST(SUM(n) AS BIGINT) AS toks,
+        |         CAST(SUM(CASE WHEN doc_id = cluster_id THEN n ELSE 0 END) AS BIGINT) AS keep_toks
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |       CAST(SUM(sz - 1) AS BIGINT) AS removable_docs,
+        |       CAST(SUM(toks - keep_toks) AS BIGINT) AS removable_tokens
+        |FROM pc GROUP BY 1""".stripMargin,
 
     // q87's recursive-CTE cluster chain + q84's split CASE on the root id
     "q166_cluster_split" ->

@@ -260,6 +260,20 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === (3L, 2L, 2L, Some("short doc")))
   }
 
+  test("dedup savings card reconciles with the cluster map") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val card = SparkEntry.queries("q177_dedup_savings")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val clusters = SparkEntry.queries("q87_dedup_clusters")(spark, sf)
+      .select("cluster_id").distinct().count()
+    assert(card.map(_._3).sum === docs.count())           // every doc counted once
+    assert(card.map(_._2).sum === clusters)               // clusters partition docs
+    assert(card.map(_._4).sum === docs.count() - clusters) // removable = non-keepers
+    card.foreach { r => assert(r._4 === (r._1 - 1) * r._2) }
+    // singletons save nothing
+    card.find(_._1 == 1L).foreach(r => assert(r._5 === 0L))
+  }
+
   test("clusterSplit: near-dup clusters never straddle the split boundary") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val got = Dedup.clusterSplit(docs, "doc_id", "text", threshold = 0.5)
