@@ -414,4 +414,71 @@ class PropertiesSpec extends SparkSpec {
       assert(b1.length === n * 2 && b1 === Blake2b.hexDigest(data, Array.empty, n))
     }
   }
+
+  test("mixturePlan invariants hold on random supplies/weights/budgets") {
+    val gen = for {
+      nSrc <- Gen.choose(2, 7)
+      supplies <- Gen.listOfN(nSrc, Gen.choose(0L, 5000L))
+      weights <- Gen.listOfN(nSrc, Gen.choose(0L, 50L))
+      budgetPm <- Gen.choose(100L, 1500L)
+      epochsMilli <- Gen.choose(200L, 3000L)
+    } yield (supplies, weights, budgetPm, epochsMilli)
+    forAllSeeded(gen, 25) { case (supplies, weights, budgetPm, epochsMilli) =>
+      val srcs = supplies.indices.map(i => s"s$i")
+      val perDoc = srcs.zip(supplies)
+        .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) }
+        .toDF("source", "n")
+      val wMap = srcs.zip(weights).toMap[String, Long]
+      val plan = CorpusOps.mixturePlan(perDoc, "source", "n", wMap,
+          budgetPm, epochsMilli)
+        .as[(String, Long, Long, Long, Boolean, Long, Option[Long])].collect()
+      val budget = supplies.sum * budgetPm / 1000
+      // never over cap, never over budget in total, zero-weight gets zero
+      plan.foreach { r =>
+        assert(r._6 <= r._4, s"alloc ${r._6} > cap ${r._4}: $r")
+        assert(r._6 >= 0L)
+        if (r._3 == 0L) { assert(r._6 === 0L); assert(!r._5) }
+        if (r._5) assert(r._6 === r._4, s"capped must sit at cap: $r")
+      }
+      assert(plan.map(_._6).sum <= budget)
+      // when NOTHING caps, allocations are the plain proportional floor
+      if (plan.forall(!_._5)) {
+        val wTot = plan.map(_._3).sum
+        if (wTot > 0) plan.foreach { r =>
+          assert(r._6 === (BigInt(r._3) * budget / wTot).toLong, s"prop: $r")
+        }
+      }
+      // if the budget covers every cap, everyone with weight caps out
+      if (budget >= plan.map(_._4).sum)
+        plan.filter(_._3 > 0).foreach(r => assert(r._5, s"must cap: $r"))
+    }
+  }
+
+  test("packEfficiencySweep invariants hold on random counts for every budget") {
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      counts <- Gen.listOfN(n, Gen.choose(1L, 300L))
+    } yield counts
+    forAllSeeded(gen, 15) { counts =>
+      val df = counts.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("doc_id", "n")
+      val rows = CorpusOps.packEfficiencySweep(df, "doc_id", "n",
+          budgets = Seq(64, 128, 512), nShards = 3)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.map(_._1).sorted.toList === List(64L, 128L, 512L))
+      val total = counts.sum
+      rows.foreach { case (b, nDocs, tot, bins, padded, fill, cutDocs, cuts) =>
+        assert(nDocs === counts.length.toLong && tot === total)
+        assert(padded === bins * b - tot && padded >= 0L)
+        assert(fill === tot * 1000 / (bins * b) && fill <= 1000L)
+        assert(cutDocs <= cuts, s"each cut doc has >= 1 cut (b=$b)")
+        assert(cuts <= bins - 1 + counts.length, s"cuts bounded (b=$b)")
+        // bins at least the bare minimum for the volume in 3 shards
+        assert(bins >= (tot + b - 1) / b)
+      }
+      // a larger budget never increases the padded-slot FRACTION's bin count
+      val byB = rows.map(r => r._1 -> r._4).toMap
+      assert(byB(64L) >= byB(128L) && byB(128L) >= byB(512L))
+    }
+  }
 }
