@@ -348,6 +348,25 @@ object TextQueries {
     // Exact repeated-substring scrubbing (Lee et al. 2022 at 8-gram
     // granularity): every 8-token span occurring more than once in the
     // corpus is removed from every document carrying it.
+    // Per-source contamination report over the excision pass: how much of
+    // each source the benchmark overlap actually costs — contaminated doc
+    // counts and excised token mass, the per-provider accounting a release
+    // note ships.
+    "q179_scrub_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.scrubBenchmarkSpans(docs.where(col("doc_id") >= 5),
+          "doc_id", "text", docs.where(col("doc_id") < 5), "text", n = 5)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_kept") < col("n_tokens")).cast("long"))
+            .as("contaminated_docs"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(col("n_tokens") - col("n_kept")).as("tokens_excised"))
+        .withColumn("excised_permille",
+          expr("div(tokens_excised * 1000, tokens_total)"))
+    }),
+
     // Contamination-span excision: q77's benchmark (doc_id < 5) but CUT the
     // matched 8-gram spans out of each corpus doc instead of dropping it —
     // the surgical eval-overlap scrub.
@@ -1652,6 +1671,46 @@ object TextQueries {
          |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |        / 4294967296.0
          |      < keep_rate""".stripMargin,
+
+    // the q174 chain aggregated by source with integer permille accounting
+    "q179_scrub_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id >= 5
+        |),
+        |bt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 5),
+        |bg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t) - 4)]
+        |    END) AS gram
+        |  FROM bt
+        |),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t) - 4)] AS gs
+        |  FROM d WHERE len(t) >= 5
+        |),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gram, generate_subscripts(gs, 1) AS gpos
+        |  FROM g0
+        |),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(gpos, gpos + 4)) AS pos
+        |  FROM g JOIN bg USING (gram)
+        |),
+        |exc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut FROM cov GROUP BY 1),
+        |per AS (
+        |  SELECT d.source, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |         COALESCE(exc.n_cut, 0) AS n_cut
+        |  FROM d LEFT JOIN exc USING (doc_id)
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+        |       CAST(SUM(n_cut) AS BIGINT) AS tokens_excised,
+        |       (CAST(SUM(n_cut) AS BIGINT) * 1000) // CAST(SUM(n_tokens) AS BIGINT) AS excised_permille
+        |FROM per GROUP BY source""".stripMargin,
 
     // q119's covered-position chain with the decision set swapped to the
     // benchmark's distinct grams (whole-text shingle for short bench docs,

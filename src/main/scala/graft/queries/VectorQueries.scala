@@ -84,6 +84,25 @@ object VectorQueries {
           .unionByName(newEdges))
     }),
 
+    // Index health card: the frozen store's per-cell code population — a
+    // degenerate coarse quantizer (empty or monster cells) shows up here
+    // before it shows up as recall loss or a hot serving partition. One
+    // cell-keyed count over the codes table; |cells| rows out.
+    "q178_index_health" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-ih").toString
+      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      val codes = graft.pipeline.IndexStore.readCodes(s, path)
+      val tot = codes.agg(count(lit(1)).as("n_total"))
+      codes.groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_codes"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_codes"),
+          expr("div(n_codes * 1000, n_total)").as("share_milli"))
+    }),
+
     // Frozen-index recall audit: IndexStore.query's top-5 measured against
     // the brute-force ground truth per query — q165's learned-quantizer
     // sibling, the recall/cost dial a serving team reads before trusting

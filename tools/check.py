@@ -874,6 +874,22 @@ def py_q176_incremental_knn(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q178_index_health(con, spark_df, oracle):
+    """Per-cell code population of the frozen IVFADC store: the q145
+    coarse Lloyd's (full corpus, kc=8, 4 iters) assignment histogram with
+    integer milli shares."""
+    ids, vecs = _embeddings(con)
+    cents, assign = _lloyd(vecs, 8, 4)
+    counts = {}
+    for c in assign:
+        counts[c] = counts.get(c, 0) + 1
+    n = len(ids)
+    exp = pd.DataFrame(
+        [(c, k, k * 1000 // n) for c, k in sorted(counts.items())],
+        columns=["cell", "n_codes", "share_milli"])
+    return spark_df, exp
+
+
 def py_q175_index_recall(con, spark_df, oracle):
     """Frozen-index recall audit: the q145/q146 served top-5 per query
     (identical sequence/params) measured against an exact brute-force
@@ -971,6 +987,7 @@ PY_ORACLES = {
     "q170_index_knn": py_q170_index_knn,
     "q175_index_recall": py_q175_index_recall,
     "q176_incremental_knn": py_q176_incremental_knn,
+    "q178_index_health": py_q178_index_health,
     "q71_approx_distinct": py_q71_approx_distinct,
     "q105_approx_quantiles": py_q105_approx_quantiles,
     "q49_lsh_ann": py_q49_lsh_ann,
