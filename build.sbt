@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout for a bare JSON line; sbt's default
+// LoggedOutput strategy prefixes every forked-process line with "[info] "
+// (which breaks any per-line json parse) and prints a "[success]" banner
+// after it. Pass the forked JVM's streams through raw and drop the banner
+// so the JSON summary is the last clean stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

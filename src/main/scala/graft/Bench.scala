@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.create()
+    // Quiet the WARN-level DAGScheduler noise (large-task-binary etc.) so the
+    // driver's bounded tail capture is not flooded between the per-query runs
+    // and the final JSON summary line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (codegen paths, parquet listings/footers) so the first
     // timed query per table doesn't absorb the one-off JVM/planner startup;
     // the FileStatusCache then serves every query's listing.

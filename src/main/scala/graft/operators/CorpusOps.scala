@@ -341,6 +341,11 @@ object CorpusOps {
     val hist = df.groupBy(col(scoreCol).cast("long").as("s"))
       .agg(count(lit(1)).as("f"))
       .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // empty input: every boundary target is 0 and indexWhere returns -1 —
+    // return the empty projection instead of hist(-1) blowing up
+    if (hist.isEmpty)
+      return df.select(col(idCol), col(scoreCol), lit(0L).as("phase"),
+        lit(0L).as("shard"), lit(0L).as("pos"))
     val n = hist.map(_._2).sum
     val cum = hist.scanLeft(0L)(_ + _._2).tail
     val boundaries = (1 until phases).map { k =>

@@ -896,8 +896,14 @@ object Similarity {
     * over |V|·k + |delta| rows — the corpus is never re-scored. */
   def mergeKnnEdges(prior: DataFrame, delta: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // distinct BEFORE the TopK: if a caller's delta re-scores a (src, dst)
+    // pair already in `prior`, the duplicate would occupy two of the k
+    // slots and evict a genuine neighbor. Scores are exact per pair, so
+    // the 3-col distinct collapses exactly the re-scored duplicates —
+    // cheap at |V|·k + |delta| scale.
     prior.select(col("src_id"), col("dst_id"), col("score"))
       .unionByName(delta.select(col("src_id"), col("dst_id"), col("score")))
+      .distinct()
       .groupBy(col("src_id").as("q_id"))
       .agg(graft.functions.TopKAgg.topK(k)(col("score"), col("dst_id")).as("tk"))
       .select(col("q_id"), posexplode(col("tk.items")).as(Seq("p", "c")))

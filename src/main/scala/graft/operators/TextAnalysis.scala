@@ -509,7 +509,10 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
         col("n_chars"), col("n_fallback_words"),
         expr("div(n_tokens * 1000, n_words)").as("fertility_milli"),
-        expr("div(n_chars * 1000, n_tokens)").as("compression_milli"))
+        // n_tokens can be 0 when every word of a source is zero-length
+        // (degenerate input); ANSI div would throw
+        when(col("n_tokens") > 0, expr("div(n_chars * 1000, n_tokens)"))
+          .as("compression_milli"))
   }
 
   /** Gopher-style repetition/quality rule card (Rae et al. 2021, Table A1
@@ -558,8 +561,14 @@ object TextAnalysis {
         expr("div(__cns * 1000, n_words)").as("mean_word_len_milli"),
         expr("div(__alpha * 1000, n_words)").as("alpha_word_permille"),
         col("n_stop"),
-        expr("div(__t2cnt * __t2len * 1000, __len)").as("top2_char_permille"),
-        expr("div(__dupch * 1000, __allch)").as("dup10_char_permille"))
+        // guarded: an empty/whitespace-only document has __len = 0 and
+        // __allch = 0 (its only shingle is zero-length), and ANSI `div`
+        // throws on a zero divisor — a degenerate doc must score null and
+        // fail `keep`, not crash the filter pass
+        when(col("__len") > 0, expr("div(__t2cnt * __t2len * 1000, __len)"))
+          .as("top2_char_permille"),
+        when(col("__allch") > 0, expr("div(__dupch * 1000, __allch)"))
+          .as("dup10_char_permille"))
       .withColumn("keep",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len_milli") >= 3000 &&

@@ -345,13 +345,10 @@ object TextQueries {
     "q126_corpus_build" -> ((s, dir) =>
       corpusBuild(s, Tables.load(s, dir, "documents"))),
 
-    // Exact repeated-substring scrubbing (Lee et al. 2022 at 8-gram
-    // granularity): every 8-token span occurring more than once in the
-    // corpus is removed from every document carrying it.
-    // Per-source contamination report over the excision pass: how much of
-    // each source the benchmark overlap actually costs — contaminated doc
-    // counts and excised token mass, the per-provider accounting a release
-    // note ships.
+    // Per-source contamination report over the q174 excision pass (matched
+    // 5-gram benchmark spans): how much of each source the benchmark
+    // overlap actually costs — contaminated doc counts and excised token
+    // mass, the per-provider accounting a release note ships.
     "q179_scrub_report" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.scrubBenchmarkSpans(docs.where(col("doc_id") >= 5),
@@ -368,7 +365,7 @@ object TextQueries {
     }),
 
     // Contamination-span excision: q77's benchmark (doc_id < 5) but CUT the
-    // matched 8-gram spans out of each corpus doc instead of dropping it —
+    // matched 5-gram spans out of each corpus doc instead of dropping it —
     // the surgical eval-overlap scrub.
     "q174_decontamination_scrub" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")

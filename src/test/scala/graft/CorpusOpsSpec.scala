@@ -155,6 +155,13 @@ class CorpusOpsSpec extends SparkSpec {
         phases = 4, nShards = 2)
       .select("phase").as[Long].collect()
     assert(flatOut.forall(_ === 0L))
+    // empty input: a clean empty frame with the full schema, not an
+    // ArrayIndexOutOfBounds from hist(-1)
+    val empty = CorpusOps.curriculumShards(df.where(col("score") < 0),
+      "doc_id", "score", phases = 4, nShards = 2)
+    assert(empty.columns.toList ===
+      List("doc_id", "score", "phase", "shard", "pos"))
+    assert(empty.count() === 0L)
   }
 
   test("stratifiedSample: rates hold approximately and decisions are growth-stable") {

@@ -90,6 +90,12 @@ class IndexStoreSpec extends SparkSpec {
     val scratch = Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
       cands(emb), cents, nProbe = 2, k = 3)
     assert(merged.exceptAll(scratch).isEmpty && scratch.exceptAll(merged).isEmpty)
+    // overlapping delta: a pair re-scored by the delta must occupy ONE TopK
+    // slot, not evict a genuine neighbor (the union dedups before the TopK)
+    val overlapped = Similarity.mergeKnnEdges(prior,
+      delta.unionByName(prior), k = 3)
+    assert(overlapped.exceptAll(merged).isEmpty &&
+      merged.exceptAll(overlapped).isEmpty)
     // and the rolled-forward FULL graph covers every union node with k edges
     val full = Similarity.withMutualFlag(merged.unionByName(
       Similarity.ivfExactGraphEdges(nodes(emb.where(isNew)), cands(emb),

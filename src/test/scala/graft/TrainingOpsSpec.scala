@@ -151,6 +151,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!d2._8) // fails n_words >= 50 only by length
   }
 
+  test("gopherRules: empty/whitespace docs score null ratios and keep=false, no ANSI crash") {
+    // "" and "  " both tokenize to zero-length words: __len = 0 and the
+    // only shingle is zero-length (__allch = 0) — pre-guard, ANSI `div`
+    // threw DIVIDE_BY_ZERO and one degenerate doc crashed the filter pass
+    val docs = Seq((1L, ""), (2L, "  "),
+      (3L, "alpha bravo the and delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        Seq("the", "and"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the truly empty doc: __len = 0 and its only shingle is zero-length
+    // (__allch = 0) — both guarded ratios are null, keep is false
+    val d1 = got(1L)
+    assert(d1.isNullAt(d1.fieldIndex("top2_char_permille")))
+    assert(d1.isNullAt(d1.fieldIndex("dup10_char_permille")))
+    assert(!d1.getBoolean(d1.fieldIndex("keep")))
+    // whitespace-only: __len > 0 (the divisors are fine) but still keep=false
+    assert(!got(2L).getBoolean(got(2L).fieldIndex("keep")))
+    // the clean doc's card is unchanged by the guard: top 2-gram
+    // "alpha bravo" = 11 chars of 25 -> 440 permille; no duplicated grams
+    val d3 = got(3L)
+    assert(d3.getLong(d3.fieldIndex("top2_char_permille")) === 440L)
+    assert(d3.getLong(d3.fieldIndex("dup10_char_permille")) === 0L)
+  }
+
   test("embeddingProfile + vectorNorms: planted dead dim and bad norm surface") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f)),
