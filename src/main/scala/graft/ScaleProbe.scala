@@ -297,7 +297,50 @@ object ScaleProbe {
             runGraph(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("index_knn", t1, tf, o1, of))
         }
-      val results = results0 ++ serveResults ++ graphResults
+      // Vector-tier nightly roll-forward (q180's lifecycle): persisted state
+      // (frozen index on the prior corpus + prior edge list) is built
+      // UNTIMED — that is what persistence buys — and the timed op is the
+      // one nightly call: map-only append of a FIXED-SIZE delta (pinned to
+      // the original id range), graph merge, index-served drop list. The
+      // claim under probe: per-night cost tracks the delta and the graph's
+      // inherent merge surface, never re-encoding or re-pairing the prior
+      // corpus with itself. kCoarse ∝ √N as in the other index probes.
+      val vrelResults =
+        if (!only.forall(_.contains("vector_release"))) Seq.empty
+        else {
+          def runVrel(e: DataFrame, kCoarse: Int, tag: String): (Double, Long) = {
+            val isEval = col("vec_id") % 50 === 0
+            // delta pinned to the ORIGINAL range's new slice; the prior
+            // corpus (old slices of every copy + copies' new slices) grows
+            // with the factor — the nightly steady state
+            val isDelta = col("vec_id") % 10 >= 8 && col("vec_id") < eoff
+            val old = e.where(!isEval && !isDelta)
+            val fresh = e.where(!isEval && isDelta)
+            val p = s"$tmp/vrel_$tag"
+            graft.pipeline.IndexStore.build(spark, p, old, "vec_id",
+              "embedding", dim = 64, kCoarse = kCoarse, coarseIters = 4,
+              m = 16, ksub = 8, iters = 3, release = "r1")
+            val model = graft.pipeline.IndexStore.readModel(spark, p)
+            def nodes(d: DataFrame) = d.select(
+              col("vec_id").cast("long").as("q_id"),
+              col("embedding").cast("array<double>").as("q_emb"))
+            val prior = graft.operators.Similarity.ivfExactGraphEdges(
+                nodes(old), old.select(col("vec_id").cast("long").as("cand_id"),
+                  col("embedding").cast("array<double>").as("cand_emb")),
+                model.centroids, 2, 3)
+              .localCheckpoint() // persisted state, not part of the night
+            val evals = nodes(e.where(isEval && col("vec_id") < eoff))
+            def night(): DataFrame = graft.pipeline.VectorRelease.rollForward(
+              spark, p, fresh, old, evals, prior, "vec_id", "embedding", "r2")
+            time(night()) // untimed warmup
+            (time(night()), night().count())
+          }
+          val (t1, o1) = runVrel(embs, 8, "1x")
+          val (tf, of) =
+            runVrel(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("vector_release", t1, tf, o1, of))
+        }
+      val results = results0 ++ serveResults ++ graphResults ++ vrelResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

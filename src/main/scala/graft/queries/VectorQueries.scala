@@ -84,6 +84,41 @@ object VectorQueries {
           .unionByName(newEdges))
     }),
 
+    // Vector-tier NIGHTLY ROLL-FORWARD (the q140 contract for the ANN
+    // tier): one incremental job appends release r2's codes to the frozen
+    // IndexStore map-only, merges the prior mutual-kNN graph with a delta
+    // scored only against the new slice (the q176 exact kernel — provably
+    // identical to a from-scratch union build under the frozen quantizer),
+    // and emits the index-served eval drop list from the just-appended
+    // codes. One output frame pins all three artifacts: edge rows +
+    // release provenance + drop status. Python oracle: the from-scratch
+    // union build (old-corpus-trained model, union-encoded codes, exact
+    // union graph, ADC-served drop list).
+    "q180_vector_release" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isEval = col("vec_id") % 50 === 0
+      val corpus = emb.where(!isEval)
+      val isNew = col("vec_id") % 10 >= 8
+      val path = java.nio.file.Files.createTempDirectory("graft-vrel").toString
+      // nightly state: index + graph built on the prior release (persisted
+      // in production; in-harness by self-containment necessity)
+      graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
+        "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
+        m = 16, ksub = 8, iters = 3, release = "r1")
+      val model = graft.pipeline.IndexStore.readModel(s, path)
+      def nodes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      def cands(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+      val prior = Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
+        cands(corpus.where(!isNew)), model.centroids, nProbe = 2, k = 3)
+      graft.pipeline.VectorRelease.rollForward(s, path,
+        corpus.where(isNew), corpus.where(!isNew), nodes(emb.where(isEval)),
+        prior, "vec_id", "embedding", release = "r2")
+    }),
+
     // Index health card: the frozen store's per-cell code population — a
     // degenerate coarse quantizer (empty or monster cells) shows up here
     // before it shows up as recall loss or a hot serving partition. One

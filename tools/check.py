@@ -972,7 +972,128 @@ def py_q144_opq_ann(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q180_vector_release(con, spark_df, oracle):
+    """Vector-tier nightly roll-forward oracle = the FROM-SCRATCH union
+    build under the frozen prior-release model: coarse Lloyd's + residual
+    codebooks trained on the OLD corpus only (non-eval, vec_id % 10 < 8),
+    every union corpus vector cell-assigned/encoded against that frozen
+    model, the exact cell-pruned top-3 graph over the union with
+    reciprocity flags (the q176 kernel), and the ADC-served eval drop list
+    over the union codes (the q156 kernel). Equality with the engine's
+    rolled-forward (append + merge + serve) output IS the
+    incremental-correctness claim."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    kc, citers, nprobe, k = 8, 4, 2, 3
+    m, ksub, iters, shortlist, thr = 16, 8, 3, 100, 0.3
+    dsub = dim // m
+    corp = [(i, vid) for i, vid in enumerate(ids) if vid % 50 != 0]
+    old = [(i, vid) for i, vid in corp if vid % 10 < 8]
+    # frozen model: coarse centroids + residual codebooks on the old corpus
+    cents, oassign = _lloyd([vecs[i] for i, _ in old], kc, citers)
+    oresid = [[vecs[i][d] - cents[c][d] for d in range(dim)]
+              for (i, _), c in zip(old, oassign)]
+    cbs = []
+    for s in range(m):
+        scents, _ = _lloyd([r[s * dsub:(s + 1) * dsub] for r in oresid],
+                           ksub, iters)
+        cbs.append(scents)
+    # union corpus under the frozen model: cell assignment + codes
+    cids = [vid for _, vid in corp]
+    cvecs = [vecs[i] for i, _ in corp]
+    cassign = _assign(cvecs, cents)
+    codes = []
+    for v, c in zip(cvecs, cassign):
+        r = [v[d] - cents[c][d] for d in range(dim)]
+        codes.append([_assign([r[s * dsub:(s + 1) * dsub]], cbs[s])[0]
+                      for s in range(m)])
+    by_cell = {}
+    for i, c in enumerate(cassign):
+        by_cell.setdefault(c, []).append(i)
+    nsqs = []
+    for c in cents:
+        nsq = 0.0
+        for x in c:
+            nsq += x * x
+        nsqs.append(nsq)
+
+    def probe(qv):
+        cs = []
+        for j, cv in enumerate(cents):
+            d = 0.0
+            for i in range(dim):
+                d += qv[i] * cv[i]
+            cs.append((nsqs[j] - 2.0 * d, j))
+        cs.sort(key=lambda t: (t[0], t[1]))
+        return [cell for _, cell in cs[:nprobe]]
+
+    # exact cell-pruned top-k graph over the union corpus
+    edges = []
+    for qi, qid in enumerate(cids):
+        scored = []
+        for cell in probe(cvecs[qi]):
+            for ci in by_cell.get(cell, []):
+                if cids[ci] == qid:
+                    continue
+                acc = 0.0
+                for i in range(dim):
+                    acc += cvecs[qi][i] * cvecs[ci][i]
+                scored.append((_spark_round(acc, 3), cids[ci]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (sc, cid) in enumerate(scored[:k]):
+            edges.append((qid, cid, sc, r + 1))
+    eset = {(a, b) for a, b, _, _ in edges}
+    # ADC-served eval drop list over the union codes
+    hits = []
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        qv = vecs[qi]
+        scored = []
+        for cell in probe(qv):
+            qr = [qv[i] - cents[cell][i] for i in range(dim)]
+            parts = []
+            for s in range(m):
+                qs = qr[s * dsub:(s + 1) * dsub]
+                row = []
+                for c in cbs[s]:
+                    acc = 0.0
+                    for i in range(dsub):
+                        acc += qs[i] * c[i]
+                    row.append(math.floor(acc * 1e6 + 0.5))
+                parts.append(row)
+            for ci in by_cell.get(cell, []):
+                sc = 0
+                for s in range(m):
+                    sc += parts[s][codes[ci][s]]
+                scored.append((sc, cids[ci]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        idx_of = {v: i for i, v in enumerate(cids)}
+        for _, cid in scored[:shortlist]:
+            cv2 = cvecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += qv[i] * cv2[i]
+            sc = _spark_round(acc, 3)
+            if sc >= thr:
+                hits.append((cid, qid, sc))
+    best = {}
+    for cid, qid, sc in hits:
+        cur = best.get(cid)
+        if cur is None or (sc, -qid) > (cur[1], -cur[0]):
+            best[cid] = (qid, sc)
+    exp = pd.DataFrame(
+        [(a, b, sc, r, (b, a) in eset,
+          "r2" if a % 10 >= 8 else "r1", a in best)
+         for a, b, sc, r in edges],
+        columns=["src_id", "dst_id", "score", "rank", "mutual",
+                 "release", "dropped"])
+    return spark_df, exp
+
+
 PY_ORACLES = {
+    "q180_vector_release": py_q180_vector_release,
     "q109_kmeans": py_q109_kmeans,
     "q113_semdedup": py_q113_semdedup,
     "q125_pq_ann": py_q125_pq_ann,
