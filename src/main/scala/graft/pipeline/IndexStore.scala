@@ -49,7 +49,7 @@ object IndexStore {
             release: String): Unit = {
     val model = Similarity.ivfPqTrain(df, idCol, embCol, dim, kCoarse,
       coarseIters, m, ksub, iters)
-    writeModel(spark, path, model)
+    writeModel(spark, s"$path/meta", model)
     writeCodes(df, idCol, embCol, model, release, s"$path/codes",
       dynamic = false)
   }
@@ -130,6 +130,63 @@ object IndexStore {
         col("__m").isNotNull.as("mutual"))
   }
 
+  /** Recall audit GRID over the frozen index: for every (nProbe, shortlist)
+    * combo, the served top-`k` measured against the brute-force truth,
+    * micro-averaged to one integer milli recall per combo (total hits /
+    * total truth edges — deterministic, no per-query float averaging).
+    * The q175 audit widened to the full dial surface. One serve pass per
+    * combo — an audit is an offline sweep; each pass is the verified
+    * cell-pruned [[query]] path. Output: (n_probe, shortlist, n_true,
+    * n_hits, recall_milli), |grid| rows. */
+  def recallAudit(spark: SparkSession, path: String, queries: DataFrame,
+                  fullVecs: DataFrame, k: Int,
+                  grid: Seq[(Int, Int)]): DataFrame = {
+    require(grid.nonEmpty, "grid must be non-empty")
+    val truth = Similarity.bruteForceTopK(queries, fullVecs, k)
+      .select(col("q_id"), col("cand_id"))
+    grid.map { case (p, s) =>
+      val served = query(spark, path, queries, fullVecs, p, k, s)
+        .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+      truth.join(served, Seq("q_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(lit(p.toLong).as("n_probe"), lit(s.toLong).as("shortlist"),
+          col("n_true"), col("n_hits"),
+          expr("div(n_hits * 1000, n_true)").as("recall_milli"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Close the loop between the recall audit and the serve path: for each
+    * recall floor, the CHEAPEST audited dial meeting it — cost order
+    * (n_probe asc, shortlist asc): the probed population dominates serve
+    * cost, the shortlist only sizes the rerank. A floor no combo meets
+    * falls back to the best-recall combo (cheapest among ties), flagged
+    * `met = false` so the operator sees the floor is unreachable on this
+    * grid. The audit frame is |grid| rows — kilobyte driver state, the
+    * k-means-centroid idiom — so the argmin runs on the driver and the
+    * result returns as literals. Output: (floor_milli, n_probe, shortlist,
+    * recall_milli, met). */
+  def recallDial(spark: SparkSession, path: String, queries: DataFrame,
+                 fullVecs: DataFrame, k: Int, grid: Seq[(Int, Int)],
+                 floors: Seq[Int]): DataFrame = {
+    require(floors.nonEmpty, "floors must be non-empty")
+    val audit = recallAudit(spark, path, queries, fullVecs, k, grid)
+      .select("n_probe", "shortlist", "recall_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chosen = floors.map { f =>
+      val meeting = audit.filter(_._3 >= f)
+      if (meeting.nonEmpty) {
+        val (p, s, rec) = meeting.minBy { case (p, s, _) => (p, s) }
+        (f.toLong, p, s, rec, true)
+      } else {
+        val (p, s, rec) = audit.minBy { case (p, s, rec) => (-rec, p, s) }
+        (f.toLong, p, s, rec, false)
+      }
+    }
+    import spark.implicits._
+    chosen.toDF("floor_milli", "n_probe", "shortlist", "recall_milli", "met")
+  }
+
   /** Retention vacuum: delete the code partitions of every release `keep`
     * rejects — [[EavStore.vacuum]]'s contract on the (cell, release) layout
     * (quantizer metadata is release-independent and stays). Returns the
@@ -159,6 +216,107 @@ object IndexStore {
     }
   }
 
+  /** Rebalance a degenerate index (q178's detector found empty/monster
+    * cells): retrain the coarse quantizer on the raw vectors — sampled by
+    * `sampleMod` (deterministic id-mod sample, the repo's RNG-free idiom;
+    * 1 = train on everything) — re-encode the RESIDENT population map-only
+    * against the new frozen model, and atomically swap the new store in
+    * (write-new + vacuum-old). Residual codebooks retrain with the coarse
+    * quantizer by default (`retrainCodebooks = false` freezes the old
+    * ones — cheaper, codes stay valid residual quantizers, just tuned to
+    * the old cell geometry).
+    *
+    * Only vectors already resident in the store are re-encoded (each keeps
+    * its release partition — the provenance survives the rebalance); new
+    * vectors enter through [[append]] as always.
+    *
+    * Crash safety is the marker protocol: the new `meta.next`/`codes.next`
+    * are fully written, then a `_SWAP_READY` marker commits the rebalance,
+    * then the swap (delete old, rename next) runs. [[recover]] makes any
+    * interruption converge: before the marker the old store is untouched
+    * (stale `.next` dirs are deleted); after it the swap completes
+    * idempotently. Serving reads are single-writer-nightly semantics, as
+    * everywhere in this store family.
+    *
+    * Scale shape: ONE training job over the sample (kilobyte driver
+    * state), one map-only encode of the corpus (model literals ride with
+    * the plan) plus an id-keyed equi-join to carry each vector's release,
+    * one partitioned write. Nothing pair-joins. */
+  def rebalance(spark: SparkSession, path: String, vectors: DataFrame,
+                idCol: String, embCol: String, kCoarse: Int,
+                coarseIters: Int, pqIters: Int,
+                retrainCodebooks: Boolean = true,
+                sampleMod: Int = 1): Unit = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    recover(spark, path) // converge any interrupted predecessor first
+    val old = readModel(spark, path)
+    val sample =
+      if (sampleMod == 1) vectors
+      else vectors.where(pmod(col(idCol).cast("long"), lit(sampleMod.toLong)) === 0)
+    val model =
+      if (retrainCodebooks)
+        Similarity.ivfPqTrain(sample, idCol, embCol, old.dim, kCoarse,
+          coarseIters, old.m, old.codebooks(0).length, pqIters)
+      else {
+        val cents = Similarity.kMeansCentroids(sample, idCol, embCol,
+          kCoarse, coarseIters)
+        IvfPqModel(old.dim, cents, old.codebooks)
+      }
+    // resident population only, release provenance carried through
+    val relMap = readCodes(spark, path).select(col("cand_id"), col("release"))
+    val enc = Similarity.ivfPqEncode(
+        vectors.select(col(idCol), col(embCol)), idCol, embCol, model)
+      .join(relMap, Seq("cand_id"))
+      .repartition(col("cell"), pmod(xxhash64(col("cand_id")),
+        lit(EavStore.FilesPerPartition)))
+    writeModel(spark, s"$path/meta.next", model)
+    enc.write.mode("overwrite").partitionBy("cell", "release")
+      .parquet(s"$path/codes.next")
+    val fs = fsOf(spark, path)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), true).close()
+    finishSwap(spark, path)
+  }
+
+  /** Converge an interrupted [[rebalance]]: with the `_SWAP_READY` marker
+    * present the new store is complete — finish the swap; without it any
+    * `.next` leftovers are an uncommitted attempt — delete them, leaving
+    * the old store exactly as it was. Safe to call any time (no-op on a
+    * healthy store). */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker")))
+      finishSwap(spark, path)
+    else
+      Seq(s"$path/meta.next", s"$path/codes.next").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) require(fs.delete(hp, true), s"failed to delete $p")
+      }
+  }
+
+  private val SwapMarker = "_SWAP_READY"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The committed swap, each step idempotent so a crashed swap resumes:
+    * for meta then codes — if `.next` exists, delete the old dir and
+    * rename `.next` in; finally drop the marker. */
+  private def finishSwap(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    Seq("meta", "codes").foreach { d =>
+      val next = new org.apache.hadoop.fs.Path(s"$path/$d.next")
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$d")
+      if (fs.exists(next)) {
+        if (fs.exists(cur))
+          require(fs.delete(cur, true), s"swap failed to delete $cur")
+        require(fs.rename(next, cur), s"swap failed to rename $next")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), false)
+    spark.catalog.refreshByPath(s"$path/codes")
+  }
+
   /** The persisted code table, schema-normalized: (cand_id, cell int,
     * codes array<int>, release). */
   def readCodes(spark: SparkSession, path: String): DataFrame =
@@ -185,17 +343,19 @@ object IndexStore {
     IvfPqModel(cents.head.length, cents, cb)
   }
 
-  private def writeModel(spark: SparkSession, path: String,
+  /** `metaPath` is the meta DIRECTORY (normally `$path/meta`; the rebalance
+    * writes its staged copy to `$path/meta.next`). */
+  private def writeModel(spark: SparkSession, metaPath: String,
                          model: IvfPqModel): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex
       .map { case (cv, j) => (j, cv.toSeq) }.toSeq
       .toDF("cell", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$metaPath/centroids")
     model.codebooks.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
     }.toSeq.toDF("sub", "cluster", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$metaPath/codebooks")
   }
 
   /** One encode pass → cell/release-partitioned parquet. `dynamic = false`

@@ -119,6 +119,54 @@ object VectorQueries {
         prior, "vec_id", "embedding", release = "r2")
     }),
 
+    // Index REBALANCE (the fix for what q178 detects): the store is first
+    // built with a deliberately degenerate coarse quantizer (kCoarse = 2 —
+    // monster cells, the hot-partition/recall-loss failure mode), then
+    // IndexStore.rebalance retrains coarse + codebooks at kCoarse = 8 on
+    // the raw vectors, re-encodes the resident population map-only and
+    // atomically swaps the new store in (write-next + marker + vacuum-old;
+    // IndexStoreSpec pins crash recovery on both sides of the marker).
+    // Serving afterwards answers EXACTLY like a fresh kCoarse = 8 build —
+    // the oracle is q145's, shared verbatim like q146's.
+    "q181_index_rebalance" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-reb").toString
+      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      graft.pipeline.IndexStore.rebalance(s, path, emb, "vec_id",
+        "embedding", kCoarse = 8, coarseIters = 4, pqIters = 3)
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      graft.pipeline.IndexStore.query(s, path, qd, fv,
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
+    // Recall-targeted serving DIAL (closing the q175 audit loop): audit the
+    // frozen index's recall over the (nProbe, shortlist) grid against the
+    // brute-force truth, then for each recall floor emit the CHEAPEST dial
+    // meeting it (probe count dominates serve cost; unreachable floors fall
+    // back to the best-recall combo flagged met=false). Python oracle
+    // replays the served grid with the q145 machinery and the same argmin.
+    "q182_recall_dial" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-dial").toString
+      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      graft.pipeline.IndexStore.recallDial(s, path, qd, fv, k = 5,
+        grid = Seq((1, 10), (1, 100), (2, 10), (2, 100), (4, 10), (4, 100)),
+        floors = Seq(500, 900, 990))
+    }),
+
     // Index health card: the frozen store's per-cell code population — a
     // degenerate coarse quantizer (empty or monster cells) shows up here
     // before it shows up as recall loss or a hot serving partition. One

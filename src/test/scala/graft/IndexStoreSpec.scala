@@ -27,10 +27,11 @@ class IndexStoreSpec extends SparkSpec {
     .select(col("vec_id").cast("long").as("cand_id"),
       col("embedding").cast("array<double>").as("cand_emb"))
 
-  private def build(path: String, df: DataFrame, release: String = "r1"): Unit =
+  private def build(path: String, df: DataFrame, release: String = "r1",
+                    kCoarse: Int = 8): Unit =
     IndexStore.build(spark, path, df, "vec_id", "embedding",
-      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-      release = release)
+      dim = 64, kCoarse = kCoarse, coarseIters = 4, m = 16, ksub = 8,
+      iters = 3, release = release)
 
   test("frozen-disk serve equals the in-job ivfPqTopK answer") {
     val dir = Files.createTempDirectory("ivfadc_rt").toString + "/index"
@@ -198,6 +199,112 @@ class IndexStoreSpec extends SparkSpec {
     assert(after.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
     // vacuuming everything currently kept is a no-op
     assert(IndexStore.vacuum(spark, dir, keep = _ == "r2") === Seq.empty)
+  }
+
+  test("rebalance heals a degenerate quantizer and equals a fresh build; releases survive") {
+    val dir = Files.createTempDirectory("ivfadc_reb").toString + "/index"
+    // plant the q178 failure mode: kCoarse = 2 monster cells, two releases
+    build(dir, emb.where(!isNew), release = "r1", kCoarse = 2)
+    IndexStore.append(spark, dir, emb.where(isNew), "vec_id", "embedding",
+      release = "r2")
+    val before = IndexStore.readCodes(spark, dir)
+      .select("cell").distinct().count()
+    assert(before <= 2, s"degenerate fixture expected <= 2 cells, got $before")
+    IndexStore.rebalance(spark, dir, emb, "vec_id", "embedding",
+      kCoarse = 8, coarseIters = 4, pqIters = 3)
+    // healed: the code population spreads over the retrained cells
+    val after = IndexStore.readCodes(spark, dir)
+    assert(after.select("cell").distinct().count() > 2)
+    // release provenance survives the re-encode
+    val rel = after.select("cand_id", "release").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rel.nonEmpty && rel.forall { case (id, r) =>
+      r === (if (id % 10 >= 8) "r2" else "r1") })
+    // post-rebalance serving equals the in-job answer under a fresh
+    // kCoarse = 8 model (same training population and params)
+    val served = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+    val fresh = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, dim = 64, kCoarse = 8, coarseIters = 4,
+      nProbe = 2, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)
+    assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
+  }
+
+  test("interrupted rebalance converges from either side of the swap marker") {
+    val dir = Files.createTempDirectory("ivfadc_rec").toString + "/index"
+    build(dir, emb)
+    val served0 = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (a) crash BEFORE the marker: stale .next leftovers must be discarded
+    // and the old store left untouched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/codes.next/cell=0"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/meta.next/garbage"), true)
+      .close()
+    IndexStore.recover(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes.next")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.next")))
+    val servedA = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(servedA === served0)
+    // (b) crash AFTER the marker mid-swap (old dirs already deleted, next
+    // staged): recover must complete the swap and serve the new store
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta"),
+      new org.apache.hadoop.fs.Path(s"$dir/meta.next")))
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/codes"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes.next")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SWAP_READY"), true).close()
+    IndexStore.recover(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SWAP_READY")))
+    val servedB = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(servedB === served0)
+  }
+
+  test("recall audit is monotone in the dial knobs; dial picks the cheapest meeting combo") {
+    val dir = Files.createTempDirectory("ivfadc_dial").toString + "/index"
+    build(dir, emb)
+    val grid = Seq((1, 10), (1, 100), (2, 10), (2, 100), (4, 10), (4, 100))
+    val audit = IndexStore.recallAudit(spark, dir, queriesDf, fullVecs,
+        k = 5, grid = grid)
+      .select("n_probe", "shortlist", "recall_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(audit.size === grid.size)
+    // monotone in shortlist for fixed probes: the larger shortlist's rerank
+    // pool is a superset, and a true neighbor in the pool always survives
+    // the exact rerank (nothing outranks a true top-k member but other
+    // true top-k members)
+    Seq(1L, 2L, 4L).foreach { p =>
+      assert(audit((p, 10L)) <= audit((p, 100L)),
+        s"shortlist monotonicity broken at nProbe=$p")
+    }
+    // monotone in probes at the wide shortlist (more cells probed -> the
+    // candidate pool only grows; with the rerank pool this wide the ADC
+    // eviction edge case does not bite on this fixture)
+    assert(audit((1L, 100L)) <= audit((2L, 100L)) &&
+      audit((2L, 100L)) <= audit((4L, 100L)), "probe monotonicity broken")
+    // dial = argmin replay over the same audit
+    val floors = Seq(1, 500, 990)
+    val dial = IndexStore.recallDial(spark, dir, queriesDf, fullVecs,
+        k = 5, grid = grid, floors = floors).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    floors.foreach { f =>
+      val meeting = audit.filter(_._2 >= f)
+      val expected =
+        if (meeting.nonEmpty) {
+          val ((p, s), rec) = meeting.minBy { case ((p, s), _) => (p, s) }
+          (p, s, rec, true)
+        } else {
+          val ((p, s), rec) = audit.minBy { case ((p, s), rec) => (-rec, p, s) }
+          (p, s, rec, false)
+        }
+      assert(dial(f.toLong) === expected, s"floor $f")
+    }
   }
 
   test("serve scans only the probed cells (partition-pruned)") {

@@ -1092,8 +1092,125 @@ def py_q180_vector_release(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q182_recall_dial(con, spark_df, oracle):
+    """Recall-targeted serving dial: the q145 full-corpus IVFADC model,
+    served over the (nProbe, shortlist) grid, each combo's top-5 measured
+    against the exact brute-force top-5 and micro-averaged to integer
+    milli recall; then per recall floor the cheapest combo meeting it
+    (cost order n_probe asc, shortlist asc; unreachable floors fall back
+    to the best-recall combo with met=False)."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    kc, citers = 8, 4
+    m, ksub, iters, k = 16, 8, 3, 5
+    dsub = dim // m
+    cents, assign = _lloyd(vecs, kc, citers)
+    resid = [[v[i] - cents[c][i] for i in range(dim)]
+             for v, c in zip(vecs, assign)]
+    cbs = []
+    codes = [[0] * m for _ in ids]
+    for s in range(m):
+        scents, sassign = _lloyd([r[s * dsub:(s + 1) * dsub] for r in resid],
+                                 ksub, iters)
+        cbs.append(scents)
+        for ri, j in enumerate(sassign):
+            codes[ri][s] = j
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    by_cell = {}
+    for i, c in enumerate(assign):
+        by_cell.setdefault(c, []).append(i)
+    nsqs = []
+    for c in cents:
+        nsq = 0.0
+        for x in c:
+            nsq += x * x
+        nsqs.append(nsq)
+    qids = [vid for vid in ids if vid % 50 == 0]
+    # exact brute-force truth per query (3-dp dots, id-ascending ties)
+    truth = {}
+    for qid in qids:
+        qv = vecs[idx_of[qid]]
+        scored = []
+        for cid in ids:
+            if cid == qid:
+                continue
+            cv = vecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += qv[i] * cv[i]
+            scored.append((_spark_round(acc, 3), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        truth[qid] = {cid for _, cid in scored[:k]}
+
+    def serve(nprobe, shortlist):
+        out = {}
+        for qid in qids:
+            qv = vecs[idx_of[qid]]
+            cs = []
+            for j, cv in enumerate(cents):
+                d = 0.0
+                for i in range(dim):
+                    d += qv[i] * cv[i]
+                cs.append((nsqs[j] - 2.0 * d, j))
+            cs.sort(key=lambda t: (t[0], t[1]))
+            scored = []
+            for _, cell in cs[:nprobe]:
+                qr = [qv[i] - cents[cell][i] for i in range(dim)]
+                parts = []
+                for s in range(m):
+                    qs = qr[s * dsub:(s + 1) * dsub]
+                    row = []
+                    for c in cbs[s]:
+                        acc = 0.0
+                        for i in range(dsub):
+                            acc += qs[i] * c[i]
+                        row.append(math.floor(acc * 1e6 + 0.5))
+                    parts.append(row)
+                for ci in by_cell.get(cell, []):
+                    cid = ids[ci]
+                    if cid == qid:
+                        continue
+                    sc = 0
+                    for s in range(m):
+                        sc += parts[s][codes[ci][s]]
+                    scored.append((sc, cid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            rer = []
+            for _, cid in scored[:shortlist]:
+                cv2 = vecs[idx_of[cid]]
+                acc = 0.0
+                for i in range(dim):
+                    acc += qv[i] * cv2[i]
+                rer.append((_spark_round(acc, 3), cid))
+            rer.sort(key=lambda t: (-t[0], t[1]))
+            out[qid] = {cid for _, cid in rer[:k]}
+        return out
+
+    grid = [(1, 10), (1, 100), (2, 10), (2, 100), (4, 10), (4, 100)]
+    audit = []
+    for p, s in grid:
+        served = serve(p, s)
+        n_true = sum(len(truth[q]) for q in qids)
+        n_hits = sum(len(truth[q] & served[q]) for q in qids)
+        audit.append((p, s, n_hits * 1000 // n_true))
+    rows = []
+    for f in (500, 900, 990):
+        meeting = [a for a in audit if a[2] >= f]
+        if meeting:
+            p, s, rec = min(meeting, key=lambda a: (a[0], a[1]))
+            rows.append((f, p, s, rec, True))
+        else:
+            p, s, rec = min(audit, key=lambda a: (-a[2], a[0], a[1]))
+            rows.append((f, p, s, rec, False))
+    exp = pd.DataFrame(rows, columns=["floor_milli", "n_probe", "shortlist",
+                                      "recall_milli", "met"])
+    return spark_df, exp
+
+
 PY_ORACLES = {
     "q180_vector_release": py_q180_vector_release,
+    "q182_recall_dial": py_q182_recall_dial,
     "q109_kmeans": py_q109_kmeans,
     "q113_semdedup": py_q113_semdedup,
     "q125_pq_ann": py_q125_pq_ann,
@@ -1104,6 +1221,10 @@ PY_ORACLES = {
     # the persisted-index serve: same corpus, same params, frozen-disk path —
     # the answer is q145's by construction, so the oracle is shared verbatim
     "q146_index_serve": py_q145_ivfpq_ann,
+    # post-rebalance serving: the degenerate kCoarse=2 store is retrained at
+    # kCoarse=8 on the full corpus with the q145 params, so the swapped-in
+    # index IS a fresh q145-model build — the oracle is shared verbatim
+    "q181_index_rebalance": py_q145_ivfpq_ann,
     "q156_index_decontaminate": py_q156_index_decontaminate,
     "q170_index_knn": py_q170_index_knn,
     "q175_index_recall": py_q175_index_recall,
