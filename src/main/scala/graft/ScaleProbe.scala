@@ -137,13 +137,16 @@ object ScaleProbe {
       "vec_id", "embedding", "cell", k = 3)),
     // incremental graph roll-forward (q176's shape): frozen old-slice
     // centroids; old nodes score only the new slice, new nodes the union.
-    // Work = |V_old|·delta-in-cells + |new|·union-cells — linear-ish in
-    // corpus with cell count fixed here (the √N cell dial applies as in
-    // index_knn); output is k·N edges
+    // Work = |V_old|·delta-in-cells + |new|·union-cells. The cell count
+    // follows the documented √N dial (kCoarse ∝ √corpus, inferred from the
+    // id range so the same lambda serves both probe sizes) — with fixed
+    // cells the per-cell population would grow k× and the graph cost k²×
     "incremental_knn" -> { e =>
       val isNew = col("vec_id") % 10 >= 8
+      val n = e.agg(max("vec_id")).head.getLong(0) + 1
+      val kc = math.ceil(8 * math.sqrt(n.toDouble / (origMax + 1))).toInt
       val cents = graft.operators.Similarity.kMeansCentroids(
-        e.where(!isNew), "vec_id", "embedding", 8, 4)
+        e.where(!isNew), "vec_id", "embedding", kc, 4)
       def nodes(d: DataFrame) = d.select(col("vec_id").cast("long").as("q_id"),
         col("embedding").cast("array<double>").as("q_emb"))
       def cands(d: DataFrame) = d.select(col("vec_id").cast("long").as("cand_id"),

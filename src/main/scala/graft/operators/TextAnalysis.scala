@@ -653,6 +653,10 @@ object TextAnalysis {
       return (out, localMerges)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    // previous round's lineage-cut RDD — unpersisted once the next round is
+    // materialized (its blocks are no longer an input to anything)
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+      None
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -672,11 +676,26 @@ object TextAnalysis {
         val pair = top(0).getString(0)
         val merged = "!" + pair.replace("!", "").replace("?", "") + "?"
         merges += ((r, pair, top(0).getLong(1)))
-        val next = words.select(col("word"),
+        val computed = words.select(col("word"),
           call_function("replace", col("seg"), lit(pair), lit(merged)).as("seg"),
-          col("freq")).persist()
+          col("freq"))
+        // TRUNCATE the lineage each round, at BOTH layers. Logical: a fresh
+        // frame over the computed RDD — without it round r's plan nests all
+        // r-1 predecessors and per-action plan-description/analysis cost
+        // grows superlinearly (a 64-round probe spent minutes inside
+        // explainString, jstack-confirmed, while the jobs were
+        // milliseconds). Physical: localCheckpoint cuts the RDD dependency
+        // graph — without it task (de)serialization recurses through every
+        // prior round and overflows the stack near round ~60. The previous
+        // round's blocks are unpersisted explicitly once this round is
+        // materialized, so the loop holds at most two rounds' storage.
+        val nextRdd = computed.rdd
+        nextRdd.localCheckpoint()
+        val next = df.sparkSession.createDataFrame(nextRdd, computed.schema)
         next.count()
         words.unpersist()
+        prevRdd.foreach(_.unpersist(blocking = false))
+        prevRdd = Some(nextRdd)
         words = next
         r += 1
       }
@@ -720,14 +739,31 @@ object TextAnalysis {
     val freqArr = words.map(_._3)
     val pairCounts = mutable.HashMap.empty[String, Long]
     val pairWords = mutable.HashMap.empty[String, mutable.Set[Int]]
+    // the pair table kept SORTED by the selection's total order — (count
+    // desc, pair asc in UTF-8 byte order), exactly the distributed
+    // ORDER BY ... LIMIT 1 — so top-1 is O(log) instead of a full scan.
+    // A 32k-merge probe run found the per-round full scan (with its
+    // allocating tie-compares) dominating wall time ~100:1 once the pair
+    // table reached 10^5 entries; the trajectory is unchanged, only the
+    // selection's cost model.
+    val ordered = mutable.TreeSet.empty[(Long, String)](
+      new Ordering[(Long, String)] {
+        def compare(a: (Long, String), b: (Long, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else utf8Compare(a._2, b._2)
+        }
+      })
     // add (sign=1) or retract (sign=-1) word i's pair contributions
     def account(i: Int, sign: Long): Unit = {
       val ps = segPairs(segArr(i))
       var j = 0
       while (j < ps.length) {
         val p = ps(j)
-        val c = pairCounts.getOrElse(p, 0L) + sign * freqArr(i)
-        if (c == 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        val prev = pairCounts.getOrElse(p, 0L)
+        val c = prev + sign * freqArr(i)
+        if (prev != 0L) ordered.remove((prev, p))
+        if (c == 0L) pairCounts.remove(p)
+        else { pairCounts.update(p, c); ordered.add((c, p)) }
         if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
         j += 1
       }
@@ -746,16 +782,7 @@ object TextAnalysis {
     val merges = mutable.ArrayBuffer.empty[(Int, String, Long)]
     var r = 1
     while (r <= rounds && pairCounts.nonEmpty) {
-      // top-1 by (count desc, pair asc in UTF-8 byte order) — the same total
-      // order as the distributed ORDER BY ... LIMIT 1
-      var bestPair: String = null
-      var bestCount = 0L
-      pairCounts.foreach { case (p, c) =>
-        if (bestPair == null || c > bestCount ||
-          (c == bestCount && utf8Compare(p, bestPair) < 0)) {
-          bestPair = p; bestCount = c
-        }
-      }
+      val (bestCount, bestPair) = ordered.head
       val merged = "!" + bestPair.replace("!", "").replace("?", "") + "?"
       merges += ((r, bestPair, bestCount))
       // only words actually containing the pair re-account; String.replace

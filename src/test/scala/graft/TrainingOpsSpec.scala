@@ -293,6 +293,19 @@ class TrainingOpsSpec extends SparkSpec {
       (102L, 0L, None, None)))
   }
 
+  test("bpe trajectory is prefix-stable as the round budget grows") {
+    // asking for more merges must never change the earlier ones — the
+    // property that lets a 32k-merge run be validated by a short
+    // distributed prefix (BpeProbe) and lets vocabularies be extended
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val short = TextAnalysis.bpeTrain(docs, "text", rounds = 20)
+      .orderBy("round").as[(Int, String, Long)].collect().toList
+    val long = TextAnalysis.bpeTrain(docs, "text", rounds = 200)
+      .orderBy("round").as[(Int, String, Long)].collect().toList
+    assert(long.take(20) === short)
+    assert(long.size > 20, "fixture must support more than 20 merges")
+  }
+
   // ---- Tokenizer fertility scorecard ---------------------------------
 
   test("tokenizerFertility: hand-computed totals, fallback words, integer ratios") {
