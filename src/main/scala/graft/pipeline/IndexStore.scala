@@ -54,6 +54,33 @@ object IndexStore {
       dynamic = false)
   }
 
+  /** JVM-memoized [[build]] for READ-ONLY serving queries: the build is
+    * fully deterministic in (corpus, params), so queries that only SERVE
+    * from the same frozen index (q146/q156/q170/q175/q178/q182) share one
+    * on-disk store per (tag, params) instead of each re-training it —
+    * the production lifecycle (build once, serve many) instead of the
+    * self-contained-harness artifact of ~8 s of quantizer re-training per
+    * query. `tag` must uniquely name the corpus (the sf dir + the filter
+    * applied); callers MUST NOT mutate the returned store — mutating
+    * queries (append/rebalance/vacuum roll-forwards) build their own
+    * private copies. Returns the store path. */
+  def sharedBuild(spark: SparkSession, tag: String, df: => DataFrame,
+                  idCol: String, embCol: String, dim: Int, kCoarse: Int,
+                  coarseIters: Int, m: Int, ksub: Int, iters: Int,
+                  release: String): String =
+    sharedBuilds.computeIfAbsent(
+      s"$tag|$idCol|$embCol|$dim|$kCoarse|$coarseIters|$m|$ksub|$iters|$release",
+      _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-shared-index").toString
+        build(spark, path, df, idCol, embCol, dim, kCoarse, coarseIters,
+          m, ksub, iters, release)
+        path
+      })
+
+  private val sharedBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Encode a new release against the frozen quantizers and append it —
     * map-only over the new slice, idempotent per release. */
   def append(spark: SparkSession, path: String, newVecs: DataFrame,

@@ -13,6 +13,18 @@ import graft.sources.Tables
   */
 object VectorQueries {
 
+  /** The one full-corpus frozen IVFADC store every READ-ONLY serving query
+    * shares per JVM ([[graft.pipeline.IndexStore.sharedBuild]]): identical
+    * params everywhere, so the store is identical to what each query used
+    * to build privately — the production build-once/serve-many lifecycle
+    * instead of ~8 s of quantizer re-training per query. Mutating queries
+    * (q180 append, q181 rebalance) build private copies. */
+  private def fullIndex(s: SparkSession, dir: String): String =
+    graft.pipeline.IndexStore.sharedBuild(s, s"$dir|embeddings|full",
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-5: queries = vec_id % 50 == 0, all others are
@@ -40,10 +52,7 @@ object VectorQueries {
     // plus the reciprocal-edge flag.
     "q170_index_knn" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft-knn").toString
-      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
+      val path = fullIndex(s, dir)
       graft.pipeline.IndexStore.knnGraph(s, path,
         emb.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb")),
@@ -153,10 +162,7 @@ object VectorQueries {
     // replays the served grid with the q145 machinery and the same argmin.
     "q182_recall_dial" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft-dial").toString
-      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
+      val path = fullIndex(s, dir)
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -172,12 +178,7 @@ object VectorQueries {
     // before it shows up as recall loss or a hot serving partition. One
     // cell-keyed count over the codes table; |cells| rows out.
     "q178_index_health" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft-ih").toString
-      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
-      val codes = graft.pipeline.IndexStore.readCodes(s, path)
+      val codes = graft.pipeline.IndexStore.readCodes(s, fullIndex(s, dir))
       val tot = codes.agg(count(lit(1)).as("n_total"))
       codes.groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_codes"))
@@ -194,10 +195,7 @@ object VectorQueries {
     "q175_index_recall" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val isQ = col("vec_id") % 50 === 0
-      val path = java.nio.file.Files.createTempDirectory("graft-irec").toString
-      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
+      val path = fullIndex(s, dir)
       val qd = emb.where(isQ)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -351,10 +349,7 @@ object VectorQueries {
     // rebuild idempotence and append ≡ frozen-encode).
     "q146_index_serve" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
-      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
+      val path = fullIndex(s, dir)
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -428,8 +423,8 @@ object VectorQueries {
     "q156_index_decontaminate" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val isEval = col("vec_id") % 50 === 0
-      val path = java.nio.file.Files.createTempDirectory("graft-decont").toString
-      graft.pipeline.IndexStore.build(s, path, emb.where(!isEval), "vec_id",
+      val path = graft.pipeline.IndexStore.sharedBuild(s,
+        s"$dir|embeddings|noneval50", emb.where(!isEval), "vec_id",
         "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
         ksub = 8, iters = 3, release = "r1")
       val evals = emb.where(isEval)
