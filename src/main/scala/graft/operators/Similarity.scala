@@ -1005,6 +1005,49 @@ object Similarity {
         x => x.getField("q")).as("q8"))
   }
 
+  /** Int8-quantization RECALL audit — does the 4× at-rest compression of
+    * [[quantizeInt8]] preserve retrieval? Per query: the exact float top-k
+    * (ground truth) vs the top-k scored against DEQUANTIZED candidates
+    * (lo + q·(hi−lo)/255, the exact decode of the q82 encode), joined to
+    * integer milli recall — the audit a serving team reads before letting
+    * the compressed store answer queries (q165's shape, with the
+    * quantizer as the subject instead of the index).
+    *
+    * Scale shape: the per-dim [lo, hi] table is dim rows — collected as
+    * kilobyte driver state (the centroid idiom) and re-broadcast as array
+    * literals, so dequantization is a pure map; both top-k passes are the
+    * broadcast-queries + bounded-TopK brute-force plan; the audit join is
+    * |queries|·k rows. */
+  def int8RecallAudit(df: DataFrame, idCol: String, embCol: String,
+                      queryFilter: Column, k: Int): DataFrame = {
+    val ex = df.select(col(idCol),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("i", "v")))
+    val stats = ex.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("i").collect()
+    val loArr = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val hiArr = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val dequant = quantizeInt8(df, idCol, embCol)
+      .select(col(idCol).as("cand_id"),
+        transform(col("q8"), (v, i) => {
+          val lo = element_at(loArr, i + 1)
+          val hi = element_at(hiArr, i + 1)
+          lo + v.cast("double") * ((hi - lo) / lit(255.0))
+        }).as("cand_emb"))
+    val qd = df.where(queryFilter)
+      .select(col(idCol).as("q_id"),
+        col(embCol).cast("array<double>").as("q_emb"))
+    val truth = bruteForceTopK(qd,
+      df.select(col(idCol).as("cand_id"), col(embCol).as("cand_emb")), k)
+    val served = bruteForceTopK(qd, dequant, k)
+      .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+    truth.join(served, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("k_true"), col("n_hits"),
+        expr("div(n_hits * 1000, k_true)").as("recall_milli"))
+  }
+
   /** Embedding-space eval-set decontamination (the vector twin of the q77
     * n-gram / q114 Bloom passes): flag every CORPUS vector whose cosine with
     * ANY eval-set vector reaches `threshold`, searching only IVF-probed

@@ -157,6 +157,29 @@ object IndexStore {
         col("__m").isNotNull.as("mutual"))
   }
 
+  /** One-row health VERDICT over the frozen store — the decision layer
+    * between the q178 detector and the q181 fix: populated-cell count,
+    * empty cells (vs the quantizer's kCoarse), extreme shares, and the
+    * `needs_rebalance` flag (any empty cell, or a monster cell above
+    * `maxShareMilli`). One cell-keyed count reduced to one row; the
+    * policy is pure arithmetic on it. */
+  def healthVerdict(spark: SparkSession, path: String, kCoarse: Int,
+                    maxShareMilli: Long): DataFrame = {
+    val codes = readCodes(spark, path)
+    val tot = codes.agg(count(lit(1)).as("n_total"))
+    codes.groupBy(col("cell")).agg(count(lit(1)).as("n_codes"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), expr("div(n_codes * 1000, n_total)").as("share"))
+      .agg(count(lit(1)).as("n_cells_populated"),
+        max(col("share")).as("max_share_milli"),
+        min(col("share")).as("min_share_milli"))
+      .select(col("n_cells_populated"),
+        (lit(kCoarse.toLong) - col("n_cells_populated")).as("n_empty_cells"),
+        col("max_share_milli"), col("min_share_milli"),
+        (col("max_share_milli") > maxShareMilli ||
+          col("n_cells_populated") < kCoarse).as("needs_rebalance"))
+  }
+
   /** Recall audit GRID over the frozen index: for every (nProbe, shortlist)
     * combo, the served top-`k` measured against the brute-force truth,
     * micro-averaged to one integer milli recall per combo (total hits /

@@ -173,6 +173,35 @@ object VectorQueries {
         floors = Seq(500, 900, 990))
     }),
 
+    // Index health VERDICT (the decide step between q178's detector and
+    // q181's fix): one policy row per store — populated/empty cells,
+    // extreme shares, needs_rebalance flag — evaluated on BOTH a healthy
+    // kCoarse=8 store and a deliberately degenerate kCoarse=2 one, so
+    // both decision branches are exercised and hash-pinned. Python oracle
+    // extends the q178 Lloyd histogram with the same arithmetic.
+    "q183_health_verdict" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val degen = graft.pipeline.IndexStore.sharedBuild(s,
+        s"$dir|embeddings|full-kc2", emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+      graft.pipeline.IndexStore.healthVerdict(s, fullIndex(s, dir),
+          kCoarse = 8, maxShareMilli = 300)
+        .withColumn("store", lit("kc8"))
+        .unionByName(
+          graft.pipeline.IndexStore.healthVerdict(s, degen,
+              kCoarse = 2, maxShareMilli = 300)
+            .withColumn("store", lit("kc2")))
+    }),
+
+    // Int8-quantization recall audit: q82's 4x at-rest compression judged
+    // by what serving actually cares about — per query, the top-5 against
+    // DEQUANTIZED candidates vs the float ground truth (full SQL oracle:
+    // the q82 encode + exact decode + two q48 dot chains + the q165 tail).
+    "q184_int8_recall" -> ((s, dir) =>
+      Similarity.int8RecallAudit(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5)),
+
     // Index health card: the frozen store's per-cell code population — a
     // degenerate coarse quantizer (empty or monster cells) shows up here
     // before it shows up as recall loss or a hot serving partition. One
@@ -450,6 +479,56 @@ object VectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // q82's encode + the exact decode (lo + q·(hi−lo)/255, identical IEEE
+    // spelling to the Spark expression) + two q48 dot chains + q165's tail
+    "q184_int8_recall" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |stats AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
+        |dq AS (
+        |  SELECT vec_id, ex.i,
+        |         lo + CAST(CASE WHEN hi = lo THEN 0
+        |              ELSE CAST(round((v - lo) / ((hi - lo) / 255.0)) AS BIGINT)
+        |              END AS DOUBLE) * ((hi - lo) / 255.0) AS dv
+        |  FROM ex JOIN stats ON ex.i = stats.i
+        |),
+        |tdots AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |         round(SUM(q.v * c.v), 3) AS score
+        |  FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |),
+        |truth AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM tdots
+        |  ) WHERE rn <= 5
+        |),
+        |idots AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS cand_id,
+        |         round(SUM(q.v * d.dv), 3) AS score
+        |  FROM ex q JOIN dq d ON q.i = d.i AND d.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |),
+        |i8 AS (
+        |  SELECT q_id, cand_id FROM (
+        |    SELECT q_id, cand_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+        |    FROM idots
+        |  ) WHERE rn <= 5
+        |)
+        |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k_true,
+        |       CAST(SUM(CASE WHEN s.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       (CAST(SUM(CASE WHEN s.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |         // CAST(COUNT(*) AS BIGINT) AS recall_milli
+        |FROM truth t LEFT JOIN i8 s ON s.q_id = t.q_id AND s.cand_id = t.cand_id
+        |GROUP BY 1""".stripMargin,
     "q124_incremental_ann" ->
       """WITH ex AS (
         |  SELECT vec_id, label, unnest(embedding) AS v,

@@ -265,6 +265,27 @@ class IndexStoreSpec extends SparkSpec {
     assert(servedB === served0)
   }
 
+  test("healthVerdict reduces the per-cell card to the policy row consistently") {
+    val dir = Files.createTempDirectory("ivfadc_hv").toString + "/index"
+    build(dir, emb)
+    val card = IndexStore.readCodes(spark, dir)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val total = card.sum
+    val shares = card.map(_ * 1000 / total)
+    val v = IndexStore.healthVerdict(spark, dir, kCoarse = 8,
+      maxShareMilli = 300).collect()(0)
+    assert(v.getLong(0) === card.length.toLong)
+    assert(v.getLong(1) === 8L - card.length)
+    assert(v.getLong(2) === shares.max && v.getLong(3) === shares.min)
+    assert(v.getBoolean(4) === (shares.max > 300 || card.length < 8))
+    // the degenerate store must trip the flag
+    val dir2 = Files.createTempDirectory("ivfadc_hv2").toString + "/index"
+    build(dir2, emb, kCoarse = 2)
+    val v2 = IndexStore.healthVerdict(spark, dir2, kCoarse = 2,
+      maxShareMilli = 300).collect()(0)
+    assert(v2.getBoolean(4), "a 2-cell quantizer must need rebalancing")
+  }
+
   test("recall audit is monotone in the dial knobs; dial picks the cheapest meeting combo") {
     val dir = Files.createTempDirectory("ivfadc_dial").toString + "/index"
     build(dir, emb)

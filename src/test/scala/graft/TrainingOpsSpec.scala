@@ -175,6 +175,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(d3.getLong(d3.fieldIndex("dup10_char_permille")) === 0L)
   }
 
+  test("int8RecallAudit: lossless on grid-aligned values; audit shape holds") {
+    // per-dim values at exactly lo/hi -> codes 0/255 decode back exactly,
+    // so int8 retrieval must equal the float truth (recall 1000)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f)),
+      (50L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8RecallAudit(vecs, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (q, kt, nh, rm) => q -> ((kt, nh, rm)) }.toMap
+    assert(got.keySet === Set(0L, 50L))
+    got.values.foreach { case (kt, nh, rm) =>
+      assert(kt === 2L && nh === 2L && rm === 1000L)
+    }
+  }
+
   test("embeddingProfile + vectorNorms: planted dead dim and bad norm surface") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f)),

@@ -890,6 +890,29 @@ def py_q178_index_health(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q183_health_verdict(con, spark_df, oracle):
+    """Health verdict over the healthy (kc=8) and degenerate (kc=2) full-
+    corpus stores: the q178 Lloyd assignment histogram reduced to the
+    one-row policy card (populated/empty cells, extreme integer milli
+    shares, needs_rebalance = monster cell over 300 or any empty cell)."""
+    ids, vecs = _embeddings(con)
+    rows = []
+    for kc, tag in ((8, "kc8"), (2, "kc2")):
+        cents, assign = _lloyd(vecs, kc, 4)
+        counts = {}
+        for c in assign:
+            counts[c] = counts.get(c, 0) + 1
+        n = len(ids)
+        shares = [k * 1000 // n for k in counts.values()]
+        npop = len(counts)
+        mx, mn = max(shares), min(shares)
+        rows.append((npop, kc - npop, mx, mn, mx > 300 or npop < kc, tag))
+    exp = pd.DataFrame(rows, columns=[
+        "n_cells_populated", "n_empty_cells", "max_share_milli",
+        "min_share_milli", "needs_rebalance", "store"])
+    return spark_df, exp
+
+
 def py_q175_index_recall(con, spark_df, oracle):
     """Frozen-index recall audit: the q145/q146 served top-5 per query
     (identical sequence/params) measured against an exact brute-force
@@ -1211,6 +1234,7 @@ def py_q182_recall_dial(con, spark_df, oracle):
 PY_ORACLES = {
     "q180_vector_release": py_q180_vector_release,
     "q182_recall_dial": py_q182_recall_dial,
+    "q183_health_verdict": py_q183_health_verdict,
     "q109_kmeans": py_q109_kmeans,
     "q113_semdedup": py_q113_semdedup,
     "q125_pq_ann": py_q125_pq_ann,
