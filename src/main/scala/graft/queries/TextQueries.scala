@@ -745,6 +745,33 @@ object TextQueries {
     // The declared query passes the prior release's store frames inline so
     // it stays pure; ReleaseBuildSpec pins the persisted-store path to this
     // exact output and proves the rerun idempotent.
+    // UNIFIED cross-tier nightly release (one release id drives BOTH
+    // tiers): the q140 text-tier manifest (exact/near dedup vs the stores,
+    // novelty floor, frozen classifier gate, temperature mix) ANTI-JOINED
+    // with the q152 embedding-space contamination drop list over the SAME
+    // release slice (doc_id ≡ vec_id in the fixture — the embedding of
+    // doc i). A document must pass both tiers to ship. The drop list is
+    // eval-bounded, so it broadcasts and the final gate is map-side.
+    // Full SQL oracle: the q140 chain + the q152 chain composed (their
+    // CTE namespaces are disjoint) with the same anti-join tail.
+    "q185_unified_release" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val isNew = col("doc_id") % 10 >= 8
+      val old = docs.where(!isNew)
+      val w = Classifier.trainWeights(old, "doc_id", "text",
+        col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      val manifest = graft.pipeline.ReleaseBuild.rollForward(
+        docs.where(isNew), "doc_id", "text", "source", docs,
+        graft.pipeline.SignatureStore.signatures(old, "doc_id", "text"),
+        graft.pipeline.GramStore.grams(old, "text"),
+        Classifier.denseWeights(w, 256))
+      val drops = Similarity.ivfDecontaminate(emb, "vec_id", "embedding",
+          "label", col("vec_id") % 50 === 0, threshold = 0.3, nProbe = 2)
+        .select(col("vec_id").as("doc_id"))
+      manifest.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    }),
+
     "q140_release_build" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val isNew = col("doc_id") % 10 >= 8
@@ -1226,7 +1253,34 @@ object TextQueries {
         |         AS padding_frac
         |FROM r GROUP BY 1, 2""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  /** q185's oracle = the q140 chain + the q152 chain composed verbatim
+    * (their CTE namespaces are disjoint) under the same anti-join tail the
+    * engine runs — the documented compose-the-verified-spellings
+    * discipline, spliced programmatically so the composition can never
+    * drift from its two parents. The `require`s pin the splice markers. */
+  private lazy val q185Oracle: String = {
+    val q140 = baseOracles("q140_release_build")
+    val q152 = VectorQueries.oracles("q152_embed_decontaminate")
+    val tMark = "SELECT mt.doc_id, mt.source, mt.n_tokens,"
+    val ti = q140.lastIndexOf(tMark)
+    require(ti > 0, "q140 oracle tail marker moved; update q185Oracle")
+    val vBody = q152.stripPrefix("WITH ")
+    val vMark = "SELECT vec_id, eval_id, cosine FROM ("
+    val vi = vBody.lastIndexOf(vMark)
+    require(vi > 0, "q152 oracle tail marker moved; update q185Oracle")
+    q140.substring(0, ti).trim + ",\ntkeep AS (\n" +
+      q140.substring(ti).trim + "\n),\n" +
+      vBody.substring(0, vi).trim +
+      ",\nvdrop AS (SELECT DISTINCT vec_id FROM scores)\n" +
+      """SELECT f.doc_id, f.source, f.n_tokens, f.novelty_permille, f.margin_micro
+        |FROM tkeep f LEFT JOIN vdrop d ON d.vec_id = f.doc_id
+        |WHERE d.vec_id IS NULL""".stripMargin
+  }
+
+  def oracles: Map[String, String] =
+    baseOracles + ("q185_unified_release" -> q185Oracle)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q85_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
