@@ -66,6 +66,19 @@ object GramStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Retention vacuum ([[SignatureStore.vacuum]]'s contract) with one
+    * caveat this store's NOVEL-MARGIN layout creates: a gram shared by a
+    * retracted release and a LIVE one was stored under whichever release
+    * introduced it, so retracting that release also forgets grams the
+    * corpus still contains. The failure mode is conservative for the
+    * novelty gate — scores can only read HIGHER (over-admitting novel
+    * content), never wrongly suppress — and exactness is restored by
+    * re-appending the remaining releases in order (append rebuilds each
+    * release's novel margin against the post-vacuum store; idempotent). */
+  def vacuum(spark: SparkSession, path: String,
+             keep: String => Boolean): Seq[String] =
+    ReleasePartitions.vacuum(spark, path, keep)
+
   private def exists(spark: SparkSession, path: String): Boolean =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -64,6 +64,16 @@ object SignatureStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Retention vacuum — the license-retraction/GDPR contract every
+    * release-partitioned store here carries ([[EavStore.vacuum]] /
+    * [[IndexStore.vacuum]]): delete the partitions of every release `keep`
+    * rejects. Signature partitions are independent (each release stores
+    * ALL its own documents' rows), so the vacuum is EXACT — dedup simply
+    * stops seeing the retracted releases. Returns the dropped names. */
+  def vacuum(spark: SparkSession, path: String,
+             keep: String => Boolean): Seq[String] =
+    ReleasePartitions.vacuum(spark, path, keep)
+
   /** Band-bucket rows `(doc_id, band, bucket)` derived from signature rows.
     * MUST mirror [[Dedup.minhashCandidates]]'s bucket spelling exactly —
     * a store signed yesterday has to collide with a query banded today. */

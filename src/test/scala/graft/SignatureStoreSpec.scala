@@ -79,6 +79,35 @@ class SignatureStoreSpec extends SparkSpec {
     assert(rolled.exceptAll(inline).isEmpty && inline.exceptAll(rolled).isEmpty)
   }
 
+  test("vacuum retracts exactly the rejected releases; dedup stops seeing them") {
+    val dir = Files.createTempDirectory("sigstore_vac").toString + "/store"
+    SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
+    SignatureStore.append(spark, dir, "r2", docs.where(isNew), "doc_id", "text")
+    assert(SignatureStore.vacuum(spark, dir, keep = _ == "r2") === Seq("r1"))
+    val left = SignatureStore.read(spark, dir)
+    assert(left.select("release").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("r2"))
+    assert(left.count() === docs.where(isNew).count())
+    // retention semantics: near-dups against the post-vacuum store can no
+    // longer surface r1 partners — only intra-r2 pairs survive
+    val pairs = SignatureStore.incrementalNearDups(
+      docs.where(isNew), "doc_id", "text", left, docs, threshold = 0.5)
+    val dupIds = pairs.select("dup_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    assert(dupIds.forall(_ % 10 >= 8), "a retracted release's doc resurfaced")
+    // vacuuming everything currently kept is a no-op
+    assert(SignatureStore.vacuum(spark, dir, keep = _ == "r2") === Seq.empty)
+    // GramStore shares the contract (novel-margin caveat documented there)
+    val gdir = Files.createTempDirectory("gramstore_vac").toString + "/store"
+    graft.pipeline.GramStore.append(spark, gdir, "r1", docs.where(!isNew), "text")
+    graft.pipeline.GramStore.append(spark, gdir, "r2", docs.where(isNew), "text")
+    assert(graft.pipeline.GramStore.vacuum(spark, gdir, keep = _ == "r2")
+      === Seq("r1"))
+    assert(graft.pipeline.GramStore.read(spark, gdir)
+      .select("release").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("r2"))
+  }
+
   test("exact incremental keep: store hashes decontaminate without text") {
     val dir = Files.createTempDirectory("sigstore_exact").toString + "/store"
     SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
