@@ -303,6 +303,9 @@ object IndexStore {
     val sample =
       if (sampleMod == 1) vectors
       else vectors.where(pmod(col(idCol).cast("long"), lit(sampleMod.toLong)) === 0)
+    require(!sample.isEmpty,
+      s"rebalance sample is empty (sampleMod=$sampleMod matches no ids) — " +
+        "the retrained quantizer would be degenerate")
     val model =
       if (retrainCodebooks)
         Similarity.ivfPqTrain(sample, idCol, embCol, old.dim, kCoarse,
