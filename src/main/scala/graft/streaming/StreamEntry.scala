@@ -243,6 +243,70 @@ object StreamEntry {
           "vec_id", "embedding", release = s"b$id")
       }
 
+  /** Streaming mutual-kNN graph maintenance — the stream twin of the q180
+    * vector-tier roll-forward's graph step (the q176 merge kernel per
+    * micro-batch): under the FROZEN coarse quantizer, the persisted edge
+    * list merges a delta scored only against the arriving batch (old
+    * nodes), batch nodes score the union once, and the rolled graph
+    * replaces the store ([[graft.pipeline.VectorRelease.writeGraph]]).
+    * Raw vectors accumulate in a release-partitioned side store so later
+    * batches can score "everything so far" with no external state.
+    *
+    * Replay converges (the ingestDocs contract): the batch's own release
+    * partition is excluded from the old side on re-read, its nodes' rows
+    * are dropped from the prior graph before the merge, and
+    * [[graft.operators.Similarity.mergeKnnEdges]]'s pre-TopK distinct
+    * absorbs the re-scored delta — so a crashed-and-replayed micro-batch
+    * lands on the single-run state. Exact scores make the rolled graph
+    * provably identical to a from-scratch union build (StreamingSpec pins
+    * it). */
+  def rollForwardGraph(vecs: DataFrame, vecStorePath: String,
+                       graphPath: String, cents: Array[Array[Double]],
+                       nProbe: Int, k: Int): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val s = batch0.sparkSession
+        val release = s"b$id"
+        // pinned: reused as delta candidates, batch nodes AND the append
+        val batch = batch0.select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        def nodes(d: DataFrame) = d.select(
+          col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+        def cands(d: DataFrame) = d.select(
+          col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+        val fs = new org.apache.hadoop.fs.Path(vecStorePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val old =
+          if (fs.exists(new org.apache.hadoop.fs.Path(vecStorePath))) {
+            s.catalog.refreshByPath(vecStorePath)
+            s.read.parquet(vecStorePath)
+              .where(col("release") =!= release)
+              .select(col("vec_id"), col("embedding"))
+          } else batch.limit(0)
+        val prior =
+          if (fs.exists(new org.apache.hadoop.fs.Path(graphPath))) {
+            s.catalog.refreshByPath(graphPath)
+            graft.pipeline.VectorRelease.readGraph(s, graphPath)
+          } else graft.operators.Similarity.ivfExactGraphEdges(
+            nodes(batch.limit(0)), cands(batch.limit(0)), cents, nProbe, k)
+        val priorClean = prior.join(
+          nodes(batch).select(col("q_id").as("src_id")), Seq("src_id"),
+          "left_anti")
+        val merged = graft.operators.Similarity.mergeKnnEdges(priorClean,
+            graft.operators.Similarity.ivfExactGraphEdges(nodes(old),
+              cands(batch), cents, nProbe, k), k)
+          .unionByName(graft.operators.Similarity.ivfExactGraphEdges(
+            nodes(batch), cands(old.unionByName(batch)), cents, nProbe, k))
+        graft.pipeline.VectorRelease.writeGraph(merged, graphPath)
+        batch.withColumn("release", lit(release))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("release")
+          .parquet(vecStorePath)
+      }
+
   /** Frozen-vocabulary BPE token counting on a document stream — the
     * tokenizer's serving twin (the encodeVectors / scoreDocs idiom): each
     * micro-batch counts tokens under a vocabulary trained ONCE on a prior

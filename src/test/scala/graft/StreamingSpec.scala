@@ -422,6 +422,57 @@ class StreamingSpec extends SparkSpec {
       === emb.count())
   }
 
+  test("streaming graph roll-forward equals the from-scratch union graph; replay converges") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isNew = col("vec_id") % 10 >= 8
+    val dir = Files.createTempDirectory("graphstream").toString
+    val cents = graft.operators.Similarity.kMeansCentroids(emb.where(!isNew),
+      "vec_id", "embedding", 8, 4)
+    def nodes(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    def cands(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+    // seed persisted state: the old slice's vectors + its own graph
+    emb.where(!isNew).select("vec_id", "embedding")
+      .withColumn("release", lit("r1"))
+      .write.partitionBy("release").parquet(s"$dir/vecs")
+    graft.pipeline.VectorRelease.writeGraph(
+      graft.operators.Similarity.ivfExactGraphEdges(nodes(emb.where(!isNew)),
+        cands(emb.where(!isNew)), cents, nProbe = 2, k = 3), s"$dir/graph")
+    // the new slice arrives as two ordered micro-batches
+    val newHalf = emb.where(isNew)
+    newHalf.where(col("vec_id") % 20 < 10).coalesce(1).write.parquet(s"$dir/in/a")
+    newHalf.where(col("vec_id") % 20 >= 10).coalesce(1).write.parquet(s"$dir/in/b")
+    def part(sub: String) = new java.io.File(s"$dir/in/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    part("a").setLastModified(1_000_000_000_000L)
+    part("b").setLastModified(1_000_000_002_000L)
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.rollForwardGraph(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+        s"$dir/vecs", s"$dir/graph", cents, nProbe = 2, k = 3)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    val got = graft.operators.Similarity.withMutualFlag(
+      graft.pipeline.VectorRelease.readGraph(spark, s"$dir/graph"))
+    val scratch = graft.operators.Similarity.withMutualFlag(
+      graft.operators.Similarity.ivfExactGraphEdges(nodes(emb), cands(emb),
+        cents, nProbe = 2, k = 3))
+    assert(got.count() > 0)
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty)
+    // replaying the whole stream (fresh query, same files) converges to the
+    // identical persisted graph — the crashed-night contract
+    runOnceThrough()
+    val again = graft.operators.Similarity.withMutualFlag(
+      graft.pipeline.VectorRelease.readGraph(spark, s"$dir/graph"))
+    assert(again.exceptAll(scratch).isEmpty && scratch.exceptAll(again).isEmpty)
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
