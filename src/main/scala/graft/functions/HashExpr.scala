@@ -71,6 +71,7 @@ object HashFunctions {
       Cast(exprs(0), BinaryType), Cast(exprs(1), BinaryType),
       Cast(exprs(2), IntegerType))),
     "graft_dot" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
+    "graft_adc" -> (exprs => AdcSumExpr(exprs(0), exprs(1))),
     "graft_minhash" -> (exprs => HashFunctions.buildMinhash(exprs)),
     "graft_nfc" -> (exprs => NormalizeExpr(Cast(exprs(0), StringType), "NFC")),
     "graft_nfkc" -> (exprs => NormalizeExpr(Cast(exprs(0), StringType), "NFKC")))

@@ -31,6 +31,19 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
 
+  /** Native ADC lookup-sum Σ_s parts(s)(codes(s)) —
+    * [[graft.functions.AdcSumExpr]], the quantized-path sibling of [[dot]]
+    * (zero allocation per (query, candidate) pair; AdcSumSpec pins parity
+    * with the composed form). */
+  def adcSum(codes: Column, parts: Column): Column =
+    call_function("graft_adc", codes, parts)
+
+  /** The composed higher-order-function ADC form — the registration-free
+    * fallback and the semantic reference [[adcSum]] is tested against. */
+  def adcSumHof(codes: Column, parts: Column): Column =
+    aggregate(zip_with(codes, parts, (c, p) => element_at(p, c + 1)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Brute-force cosine top-k. Inputs: `queries(q_id, q_emb)` (small,
     * broadcast), `candidates(cand_id, cand_emb)`. Scores are rounded to
     * `scale` decimals *before* ranking so floating summation order can never
@@ -656,9 +669,8 @@ object Similarity {
         col(embCol).cast("array<double>").as("__q"))
     val qtab = qd.select(col("q_id"), parts.as("__parts"))
     val short = enc.join(broadcast(qtab), col("cand_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("__parts"), (c, p) => element_at(p, c + 1)),
-        lit(0L), (acc, x) => acc + x).cast("double"))
+      .withColumn("adc",
+        adcSum(col("codes"), col("__parts")).cast("double"))
       .where(col("adc").isNotNull && col("cand_id").isNotNull)
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(shortlist)(col("adc"), col("cand_id"))
@@ -823,9 +835,8 @@ object Similarity {
       .select(col("q_id"), col("cell"), parts.as("__parts"))
     val short = enc.join(broadcast(qtab), Seq("cell"))
       .where(col("cand_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("__parts"), (c, p) => element_at(p, c + 1)),
-        lit(0L), (acc, x) => acc + x).cast("double"))
+      .withColumn("adc",
+        adcSum(col("codes"), col("__parts")).cast("double"))
       .where(col("adc").isNotNull && col("cand_id").isNotNull)
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(shortlist)(col("adc"), col("cand_id"))
@@ -954,9 +965,8 @@ object Similarity {
       .select(col("q_id"), col("cell"), parts.as("__parts"))
     val short = enc.join(qtab, Seq("cell"))
       .where(col("cand_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("__parts"), (c, p) => element_at(p, c + 1)),
-        lit(0L), (acc, x) => acc + x).cast("double"))
+      .withColumn("adc",
+        adcSum(col("codes"), col("__parts")).cast("double"))
       .where(col("adc").isNotNull && col("cand_id").isNotNull)
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(shortlist)(col("adc"), col("cand_id"))
