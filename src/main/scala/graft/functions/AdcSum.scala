@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * poisons the sum). A code outside its row's bounds returns null rather
   * than ANSI-throwing — encode always emits valid codes, and a corrupt
   * store row should drop from the shortlist, not kill the serving job.
+  *
+  * NEGATIVE codes are part of that out-of-bounds contract and are the one
+  * place the two forms deliberately DIVERGE: this expression returns null
+  * for any `code < 0`, while the HOF form inherits `element_at`'s
+  * index-from-end semantics (`element_at(p, c + 1)` reads from the tail for
+  * `c < -1` and errors outright at `c == -1`). Encode can never emit a
+  * negative code, so the divergence is unreachable from the engine's own
+  * plans; AdcSumSpec pins the intended null behavior explicitly.
   */
 case class AdcSumExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -173,11 +173,16 @@ object IndexStore {
       .agg(count(lit(1)).as("n_cells_populated"),
         max(col("share")).as("max_share_milli"),
         min(col("share")).as("min_share_milli"))
+      // a COMPLETELY empty codes table is the most degenerate store of all:
+      // the zero-row aggregates would yield null shares and a null flag —
+      // coalesce to 0-shares and needs_rebalance = true so the empty store
+      // trips the policy instead of NPE-ing downstream getBoolean reads
       .select(col("n_cells_populated"),
         (lit(kCoarse.toLong) - col("n_cells_populated")).as("n_empty_cells"),
-        col("max_share_milli"), col("min_share_milli"),
-        (col("max_share_milli") > maxShareMilli ||
-          col("n_cells_populated") < kCoarse).as("needs_rebalance"))
+        coalesce(col("max_share_milli"), lit(0L)).as("max_share_milli"),
+        coalesce(col("min_share_milli"), lit(0L)).as("min_share_milli"),
+        coalesce(col("max_share_milli") > maxShareMilli ||
+          col("n_cells_populated") < kCoarse, lit(true)).as("needs_rebalance"))
   }
 
   /** Recall audit GRID over the frozen index: for every (nProbe, shortlist)
@@ -306,6 +311,22 @@ object IndexStore {
     require(!sample.isEmpty,
       s"rebalance sample is empty (sampleMod=$sampleMod matches no ids) — " +
         "the retrained quantizer would be degenerate")
+    // Coverage guard BEFORE the retrain: the re-encode below is an INNER
+    // join against the resident id set, so a caller passing a partial
+    // corpus would silently SHRINK the store. Fail loudly and fail fast —
+    // every resident id must appear in `vectors` (an anti-join count;
+    // rebalance is a rare nightly op, the extra job is noise next to the
+    // retrain it gates).
+    val relMap = readCodes(spark, path).select(col("cand_id"), col("release"))
+    val uncovered = relMap.select(col("cand_id"))
+      .join(vectors.select(col(idCol).cast("long").as("cand_id")),
+        Seq("cand_id"), "left_anti")
+    val nUncovered = uncovered.count()
+    require(nUncovered == 0L,
+      s"rebalance vectors frame is missing $nUncovered resident ids " +
+        s"(e.g. ${uncovered.limit(5).collect().map(_.getLong(0)).mkString(", ")}) — " +
+        "a partial corpus would silently shrink the store; pass every " +
+        "resident vector (or vacuum the releases you mean to drop first)")
     val model =
       if (retrainCodebooks)
         Similarity.ivfPqTrain(sample, idCol, embCol, old.dim, kCoarse,
@@ -316,7 +337,6 @@ object IndexStore {
         IvfPqModel(old.dim, cents, old.codebooks)
       }
     // resident population only, release provenance carried through
-    val relMap = readCodes(spark, path).select(col("cand_id"), col("release"))
     val enc = Similarity.ivfPqEncode(
         vectors.select(col(idCol), col(embCol)), idCol, embCol, model)
       .join(relMap, Seq("cand_id"))
@@ -367,7 +387,11 @@ object IndexStore {
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), false)
+    // both trees were delete+renamed — invalidate BOTH cached file listings
+    // (a session that cached a FileIndex over the old meta parquet would
+    // otherwise read deleted files or a stale model after the swap)
     spark.catalog.refreshByPath(s"$path/codes")
+    spark.catalog.refreshByPath(s"$path/meta")
   }
 
   /** The persisted code table, schema-normalized: (cand_id, cell int,

@@ -1264,10 +1264,16 @@ object TextQueries {
     val tMark = "SELECT mt.doc_id, mt.source, mt.n_tokens,"
     val ti = q140.lastIndexOf(tMark)
     require(ti > 0, "q140 oracle tail marker moved; update q185Oracle")
+    require(q140.indexOf(tMark) == ti,
+      "q140 oracle tail marker is no longer unique; the splice would cut " +
+        "at the wrong occurrence — update q185Oracle")
     val vBody = q152.stripPrefix("WITH ")
     val vMark = "SELECT vec_id, eval_id, cosine FROM ("
     val vi = vBody.lastIndexOf(vMark)
     require(vi > 0, "q152 oracle tail marker moved; update q185Oracle")
+    require(vBody.indexOf(vMark) == vi,
+      "q152 oracle tail marker is no longer unique; the splice would cut " +
+        "at the wrong occurrence — update q185Oracle")
     q140.substring(0, ti).trim + ",\ntkeep AS (\n" +
       q140.substring(ti).trim + "\n),\n" +
       vBody.substring(0, vi).trim +

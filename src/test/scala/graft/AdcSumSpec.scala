@@ -46,6 +46,12 @@ class AdcSumSpec extends SparkSpec {
         lit(null).cast("array<bigint>"))) === None)
     // out-of-bounds code drops to null instead of throwing
     assert(run(array(lit(5), lit(0)), p2) === None)
+    // NEGATIVE codes are out-of-bounds too — null, never index-from-end.
+    // (This is the one intended divergence from the HOF form, whose
+    // element_at(p, c + 1) would read from the tail at c = -2 and error at
+    // c = -1; encode never emits negatives, AdcSum.scala documents it.)
+    assert(run(array(lit(-1), lit(0)), p2) === None)
+    assert(run(array(lit(-2), lit(0)), p2) === None)
     // null cell inside a row
     assert(run(array(lit(1), lit(0)),
       array(array(lit(10L), lit(null).cast("bigint")),

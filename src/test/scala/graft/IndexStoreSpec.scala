@@ -230,6 +230,42 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
   }
 
+  test("rebalance refuses a partial vectors frame instead of shrinking the store") {
+    val dir = Files.createTempDirectory("ivfadc_partial").toString + "/index"
+    build(dir, emb, kCoarse = 2)
+    val before = IndexStore.readCodes(spark, dir).count()
+    // the re-encode is an inner join against the resident id set — a caller
+    // passing half the corpus would silently drop the other half without
+    // the coverage guard
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.rebalance(spark, dir, emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", kCoarse = 8, coarseIters = 4, pqIters = 3)
+    }
+    assert(err.getMessage.contains("resident ids"))
+    // the store is untouched (the guard fires before any staging write)
+    assert(IndexStore.readCodes(spark, dir).count() === before)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes.next")))
+  }
+
+  test("healthVerdict on an empty codes table trips needs_rebalance with 0-shares") {
+    val dir = Files.createTempDirectory("ivfadc_empty").toString + "/index"
+    build(dir, emb)
+    // the most degenerate store of all: a codes table with zero rows (e.g.
+    // every release vacuumed) — overwrite with an empty same-schema parquet
+    IndexStore.readCodes(spark, dir).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    spark.catalog.refreshByPath(s"$dir/codes")
+    val v = IndexStore.healthVerdict(spark, dir, kCoarse = 8,
+      maxShareMilli = 300).collect()(0)
+    assert(v.getLong(0) === 0L, "no populated cells")
+    assert(v.getLong(1) === 8L, "every cell empty")
+    assert(v.getLong(2) === 0L && v.getLong(3) === 0L,
+      "zero-row shares coalesce to 0, not null")
+    assert(v.getBoolean(4), "an empty store must need rebalancing")
+  }
+
   test("interrupted rebalance converges from either side of the swap marker") {
     val dir = Files.createTempDirectory("ivfadc_rec").toString + "/index"
     build(dir, emb)
