@@ -506,21 +506,44 @@ object Similarity {
     * releases reuse the frozen w exactly like frozen codebooks. */
   def opqRotate(df: DataFrame, idCol: String, embCol: String,
                 dim: Int, iters: Int = 3): DataFrame = {
+    val raw = df.select(col(idCol), col(embCol).cast("array<double>").as("emb_rot"))
+    opqDirection(df, idCol, embCol, dim, iters)
+      .fold(raw)(w => householderRotate(raw, "emb_rot", w))
+  }
+
+  /** The trained half of [[opqRotate]]: the unit Householder direction
+    * w ∝ u − (1/√dim)·1 that reflects the top component onto the
+    * balanced direction, or None when the component already sits there
+    * (‖u − t·1‖ < 1e-9 ⇒ the reflection is the identity). A dim-length
+    * array of driver state — this is what a persisted index stores as its
+    * rotation metadata ([[graft.pipeline.IndexStore]]) so encode, probe
+    * and rebalance all reflect with the SAME frozen w. */
+  def opqDirection(df: DataFrame, idCol: String, embCol: String,
+                   dim: Int, iters: Int = 3): Option[Array[Double]] = {
     val (_, u) = topComponent(df, idCol, embCol, dim, iters)
     val t = 1.0 / math.sqrt(dim.toDouble)
     val wRaw = Array.tabulate(dim)(i => u(i) - t)
     val wNorm = math.sqrt(wRaw.map(x => x * x).sum)
-    val raw = df.select(col(idCol), col(embCol).cast("array<double>").as("emb_rot"))
-    if (wNorm < 1e-9) raw
-    else {
-      val w = wRaw.map(_ / wNorm)
-      val wLit = array(w.map(lit): _*)
-      raw.select(col(idCol), col("emb_rot"),
-          (aggregate(zip_with(col("emb_rot"), wLit, (a, b) => a * b),
-            lit(0d), (acc, x) => acc + x) * 2d).as("__d2"))
-        .select(col(idCol),
-          zip_with(col("emb_rot"), wLit, (a, b) => a - col("__d2") * b).as("emb_rot"))
-    }
+    if (wNorm < 1e-9) None else Some(wRaw.map(_ / wNorm))
+  }
+
+  /** The map half of [[opqRotate]]: x′ = x − 2(w·x)w over `embCol` in
+    * place, every other column untouched. Pure map — w rides as a
+    * dim-length array literal; the doubled projection is staged in its own
+    * projection so the index-order dot is evaluated once per row (the
+    * exact IEEE sequence the Python oracle replicates — do not inline it
+    * into the zip_with lambda, which would also re-evaluate it per
+    * element). */
+  def householderRotate(df: DataFrame, embCol: String,
+                        w: Array[Double]): DataFrame = {
+    val wLit = array(w.map(lit): _*)
+    val others = df.columns.filter(_ != embCol).map(col)
+    df.withColumn("__hh_d2",
+        aggregate(zip_with(col(embCol), wLit, (a, b) => a * b),
+          lit(0d), (acc, x) => acc + x) * 2d)
+      .select(others :+
+        zip_with(col(embCol), wLit,
+          (a, b) => a - col("__hh_d2") * b).as(embCol): _*)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the

@@ -19,6 +19,11 @@ import graft.operators.Similarity.IvfPqModel
   *     kilobytes.
   *   - `meta/codebooks` — (sub int, cluster int, cvec array<double>):
   *     m × ksub × dim/m, kilobytes.
+  *   - `meta/rotation` — (i int, w double), OPTIONAL: the frozen OPQ-lite
+  *     Householder direction for a store built with `opq = true`; absent =
+  *     identity (a plain store). Every lifecycle step reflects through it.
+  *   - `meta/_generation` — the monotone model generation ([[generation]]):
+  *     quantizer-epoch stamp for derived-artifact staleness decisions.
   *   - `codes` — (cand_id long, codes array<int>), parquet PARTITIONED BY
   *     (cell, release): m small ints per vector at rest (the 100 TB side).
   *     Partitioning by `cell` means a query's probed cells map to directories
@@ -42,16 +47,110 @@ import graft.operators.Similarity.IvfPqModel
   */
 object IndexStore {
 
-  /** Train on `df`, encode it, persist as a fresh index (full overwrite). */
+  /** Train on `df`, encode it, persist as a fresh index (full overwrite).
+    *
+    * `opq = true` additionally trains the OPQ-lite Householder rotation
+    * ([[Similarity.opqDirection]], `opqIters` power iterations) on the seed
+    * corpus, persists it as kilobyte metadata (`meta/rotation`), and
+    * quantizes the ROTATED space: coarse cells, residual codebooks and
+    * codes all live post-rotation, which balances sub-quantizer variance
+    * (the q144 distortion win) — and every later lifecycle step
+    * ([[append]], [[query]], [[decontaminate]], [[knnGraph]],
+    * [[rebalance]]) reflects through the same frozen w automatically. The
+    * reflection is an isometry, so the exact rerank's rotated dots equal
+    * the original-space dots up to fp rounding; serving answers change only
+    * where the better codebooks change the ADC shortlist. */
   def build(spark: SparkSession, path: String, df: DataFrame,
             idCol: String, embCol: String, dim: Int, kCoarse: Int,
             coarseIters: Int, m: Int, ksub: Int, iters: Int,
-            release: String): Unit = {
-    val model = Similarity.ivfPqTrain(df, idCol, embCol, dim, kCoarse,
+            release: String, opq: Boolean = false,
+            opqIters: Int = 3): Unit = {
+    val rot =
+      if (opq) Similarity.opqDirection(df, idCol, embCol, dim, opqIters)
+      else None
+    val dfR = rotate(df, embCol, rot)
+    val model = Similarity.ivfPqTrain(dfR, idCol, embCol, dim, kCoarse,
       coarseIters, m, ksub, iters)
+    // a rebuild OVER an existing store is a new quantizer epoch exactly like
+    // a rebalance — bump the generation so graphs derived from the previous
+    // build read as stale (a fresh path starts at 0)
+    val gen =
+      if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/meta")))
+        generation(spark, path) + 1
+      else 0L
     writeModel(spark, s"$path/meta", model)
-    writeCodes(df, idCol, embCol, model, release, s"$path/codes",
+    writeGeneration(spark, s"$path/meta", gen)
+    writeRotation(spark, s"$path/meta", rot)
+    writeCodes(dfR, idCol, embCol, model, release, s"$path/codes",
       dynamic = false)
+  }
+
+  /** Apply the store rotation (if any) to `embCol`, values widened to
+    * array<double> first so the reflection's IEEE sequence is identical
+    * wherever it runs (build, append, query, rebalance — and the Python
+    * oracle). Identity when the store has no rotation. */
+  private def rotate(df: DataFrame, embCol: String,
+                     w: Option[Array[Double]]): DataFrame = {
+    val cast = df.withColumn(embCol, col(embCol).cast("array<double>"))
+    w.fold(cast)(arr => Similarity.householderRotate(cast, embCol, arr))
+  }
+
+  /** The frozen OPQ rotation, or None for a plain (identity) store. */
+  def readRotation(spark: SparkSession, path: String): Option[Array[Double]] = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta/rotation"))) None
+    else Some(spark.read.parquet(s"$path/meta/rotation")
+      .select(col("i").cast("int"), col("w").cast("double"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2))
+  }
+
+  /** Persist (or clear) the rotation under `metaPath` — None must DELETE a
+    * leftover file so a plain rebuild over an OPQ store cannot serve
+    * through a stale reflection. */
+  private def writeRotation(spark: SparkSession, metaPath: String,
+                            w: Option[Array[Double]]): Unit = w match {
+    case Some(arr) =>
+      import spark.implicits._
+      arr.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("i", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$metaPath/rotation")
+    case None =>
+      val fs = fsOf(spark, metaPath)
+      val p = new org.apache.hadoop.fs.Path(s"$metaPath/rotation")
+      if (fs.exists(p)) require(fs.delete(p, true), s"failed to delete $p")
+  }
+
+  /** The store's monotone MODEL GENERATION: 0 at first [[build]], bumped by
+    * every committed [[rebalance]] (and by a rebuild over an existing
+    * store). Derived artifacts whose shape depends on the quantizer's cell
+    * geometry — above all the mutual-kNN graph — record the generation they
+    * were built under; a mismatch tells [[VectorRelease.maintain]] the
+    * artifact is stale and must be rebuilt rather than incrementally merged.
+    * This makes staleness a property of PERSISTED state, so a night that
+    * crashes between rebalance-commit and the downstream steps converges on
+    * rerun (the in-flight "I just rebalanced" flag does not survive a crash;
+    * the generation does). Absent marker (pre-generation store) reads 0. */
+  def generation(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/$GenFile")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private val GenFile = "_generation"
+
+  /** `metaPath` is the meta directory (or its `.next` staging copy). */
+  private def writeGeneration(spark: SparkSession, metaPath: String,
+                              gen: Long): Unit = {
+    val fs = fsOf(spark, metaPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$metaPath/$GenFile"), true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** JVM-memoized [[build]] for READ-ONLY serving queries: the build is
@@ -67,14 +166,16 @@ object IndexStore {
   def sharedBuild(spark: SparkSession, tag: String, df: => DataFrame,
                   idCol: String, embCol: String, dim: Int, kCoarse: Int,
                   coarseIters: Int, m: Int, ksub: Int, iters: Int,
-                  release: String): String =
+                  release: String, opq: Boolean = false,
+                  opqIters: Int = 3): String =
     sharedBuilds.computeIfAbsent(
-      s"$tag|$idCol|$embCol|$dim|$kCoarse|$coarseIters|$m|$ksub|$iters|$release",
+      s"$tag|$idCol|$embCol|$dim|$kCoarse|$coarseIters|$m|$ksub|$iters|" +
+        s"$release|$opq|$opqIters",
       _ => {
         val path = java.nio.file.Files
           .createTempDirectory("graft-shared-index").toString
         build(spark, path, df, idCol, embCol, dim, kCoarse, coarseIters,
-          m, ksub, iters, release)
+          m, ksub, iters, release, opq, opqIters)
         path
       })
 
@@ -82,10 +183,12 @@ object IndexStore {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Encode a new release against the frozen quantizers and append it —
-    * map-only over the new slice, idempotent per release. */
+    * map-only over the new slice (through the frozen rotation, if the
+    * store has one), idempotent per release. */
   def append(spark: SparkSession, path: String, newVecs: DataFrame,
              idCol: String, embCol: String, release: String): Unit =
-    writeCodes(newVecs, idCol, embCol, readModel(spark, path), release,
+    writeCodes(rotate(newVecs, embCol, readRotation(spark, path)),
+      idCol, embCol, readModel(spark, path), release,
       s"$path/codes", dynamic = true)
 
   /** Query-only serving: no training, no encoding — metadata load + probe +
@@ -99,15 +202,101 @@ object IndexStore {
             fullVecs: DataFrame, nProbe: Int, k: Int,
             shortlist: Int): DataFrame = {
     val model = readModel(spark, path)
+    // an OPQ store lives in the rotated space: queries AND the rerank's
+    // full vectors reflect through the same frozen w (pure map; the
+    // reflection is an isometry so the rerank's rotated dots equal the
+    // original-space dots up to fp rounding)
+    val rot = readRotation(spark, path)
+    val q = rotate(queries, "q_emb", rot)
+    val fv = rotate(fullVecs, "cand_emb", rot)
     // The probed-cell set is ≤ |queries| × nProbe ints — collect it and
     // prune the code scan with a LITERAL partition filter, so only the
     // probed cells' directories are ever read (static pruning; no reliance
     // on runtime DPP). IndexStoreSpec pins the PartitionFilters in the plan.
-    val probedCells = Similarity.ivfPqProbe(queries, model, nProbe)
+    val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
     val enc = readCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
-    Similarity.ivfPqServe(queries, enc, fullVecs, model, nProbe, k, shortlist)
+    Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
+  }
+
+  /** Build the INT8 RERANK TIER: the store's own at-rest copy of the
+    * resident vectors, scalar-quantized per dimension (q82's 4× compression)
+    * and partitioned by the SAME (cell, release) layout as the ADC codes —
+    * so the exact-rerank pass of [[queryInt8]] reads only the probed cells'
+    * directories, from a table 4× smaller than the raw float64 corpus.
+    *
+    * At 100 TB this is the biggest remaining constant factor on the serve
+    * path: the ADC codes are tiny (m bytes/vector) but the rerank
+    * traditionally goes back to the raw-vector store — 8 bytes × dim per
+    * candidate of scan budget. The int8 tier caps that at 1 byte × dim AND
+    * removes the external dependency: the store answers entirely from
+    * itself. Recall cost is bounded by the q184 audit (dequantized top-k vs
+    * float truth); q188 serves through this tier under that audit.
+    *
+    * For an OPQ store the quantization lives in the ROTATED space (the
+    * space the rerank dots are computed in), so [[queryInt8]] never
+    * re-rotates candidates. Layout under `path/rerank`:
+    *   - `stats` — (i int, lo double, hi double): per-dim range, kilobytes.
+    *   - `codes` — (cand_id long, q8 array<int>) PARTITIONED BY
+    *     (cell, release), mirroring the ADC code layout.
+    * Covers exactly the store's residents (the codes table drives the cell
+    * lookup); rebuild after appends/rebalances, like any derived tier. */
+  def buildRerank(spark: SparkSession, path: String,
+                  fullVecs: DataFrame): Unit = {
+    val fv = rotate(fullVecs, "cand_emb", readRotation(spark, path))
+    val ex = fv.select(col("cand_id"),
+      posexplode(col("cand_emb")).as(Seq("i", "v")))
+    val stats = ex.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/rerank/stats")
+    // identical IEEE spelling to Similarity.quantizeInt8 / the q184 audit
+    val q8 = ex.join(broadcast(stats), Seq("i"))
+      .withColumn("q", when(col("hi") === col("lo"), 0L)
+        .otherwise(round((col("v") - col("lo")) /
+          ((col("hi") - col("lo")) / 255d)).cast("long")))
+      .groupBy(col("cand_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("q")))),
+        x => x.getField("q")).cast("array<int>").as("q8"))
+    q8.join(readCodes(spark, path).select("cand_id", "cell", "release"),
+        Seq("cand_id"))
+      .repartition(col("cell"), pmod(xxhash64(col("cand_id")),
+        lit(EavStore.FilesPerPartition)))
+      .write.mode("overwrite").partitionBy("cell", "release")
+      .parquet(s"$path/rerank/codes")
+  }
+
+  /** [[query]] served ENTIRELY from the store: the ADC shortlist from the
+    * code table as always, the exact rerank against the int8 tier's
+    * DEQUANTIZED vectors ([[buildRerank]]) instead of an external raw
+    * float64 corpus — both scans partition-pruned to the probed cells.
+    * Dequantization is the q184 audit's exact IEEE spelling
+    * (lo + q·(hi−lo)/255, per-dim [lo, hi] as kilobyte driver literals),
+    * so the recall delta vs [[query]] is exactly what q184 bounds. */
+  def queryInt8(spark: SparkSession, path: String, queries: DataFrame,
+                nProbe: Int, k: Int, shortlist: Int): DataFrame = {
+    val model = readModel(spark, path)
+    val q = rotate(queries, "q_emb", readRotation(spark, path))
+    val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val inProbed = (c: org.apache.spark.sql.Column) =>
+      c.isin(probedCells.map(Int.box): _*)
+    val enc = readCodes(spark, path).where(inProbed(col("cell")))
+    val stats = spark.read.parquet(s"$path/rerank/stats")
+      .select(col("i").cast("int"), col("lo").cast("double"),
+        col("hi").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val loArr = array(stats.map(s => lit(s._2)): _*)
+    val hiArr = array(stats.map(s => lit(s._3)): _*)
+    val fv = spark.read.parquet(s"$path/rerank/codes")
+      .where(inProbed(col("cell").cast("int")))
+      .select(col("cand_id").cast("long").as("cand_id"),
+        transform(col("q8"), (v, i) => {
+          val lo = element_at(loArr, i + 1)
+          val hi = element_at(hiArr, i + 1)
+          lo + v.cast("double") * ((hi - lo) / lit(255.0))
+        }).as("cand_emb"))
+    Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
   }
 
   /** Eval-set decontamination served FROM the frozen index — the 100 TB
@@ -124,12 +313,15 @@ object IndexStore {
                     fullVecs: DataFrame, nProbe: Int, shortlist: Int,
                     threshold: Double): DataFrame = {
     val model = readModel(spark, path)
-    val probedCells = Similarity.ivfPqProbe(evals, model, nProbe)
+    val rot = readRotation(spark, path)
+    val ev = rotate(evals, "q_emb", rot)
+    val fv = rotate(fullVecs, "cand_emb", rot)
+    val probedCells = Similarity.ivfPqProbe(ev, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
     val enc = readCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
     Similarity.dropListFromMatches(
-      Similarity.ivfPqServe(evals, enc, fullVecs, model, nProbe,
+      Similarity.ivfPqServe(ev, enc, fv, model, nProbe,
         k = shortlist, shortlist = shortlist),
       threshold)
   }
@@ -148,8 +340,10 @@ object IndexStore {
                fullVecs: DataFrame, nProbe: Int, k: Int,
                shortlist: Int): DataFrame = {
     val model = readModel(spark, path)
-    val edges = Similarity.ivfPqGraphEdges(nodes, readCodes(spark, path),
-      fullVecs, model, nProbe, k, shortlist)
+    val rot = readRotation(spark, path)
+    val edges = Similarity.ivfPqGraphEdges(rotate(nodes, "q_emb", rot),
+      readCodes(spark, path),
+      rotate(fullVecs, "cand_emb", rot), model, nProbe, k, shortlist)
     val rev = edges.select(col("dst_id").as("src_id"),
       col("src_id").as("dst_id"), lit(1).as("__m"))
     edges.join(rev, Seq("src_id", "dst_id"), "left")
@@ -301,7 +495,7 @@ object IndexStore {
                 idCol: String, embCol: String, kCoarse: Int,
                 coarseIters: Int, pqIters: Int,
                 retrainCodebooks: Boolean = true,
-                sampleMod: Int = 1): Unit = {
+                sampleMod: Int = 1, opqIters: Int = 3): Unit = {
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     recover(spark, path) // converge any interrupted predecessor first
     val old = readModel(spark, path)
@@ -327,22 +521,40 @@ object IndexStore {
         s"(e.g. ${uncovered.limit(5).collect().map(_.getLong(0)).mkString(", ")}) — " +
         "a partial corpus would silently shrink the store; pass every " +
         "resident vector (or vacuum the releases you mean to drop first)")
+    // An OPQ store's quantizer family survives the rebalance: with a full
+    // retrain the rotation retrains on the same sample (`opqIters` power
+    // iterations — the same kilobyte driver state as the centroids); with
+    // retrainCodebooks = false the OLD rotation is kept — the frozen
+    // codebooks were trained in the old rotated space and retraining only
+    // the reflection would silently invalidate them.
+    val hadRot = readRotation(spark, path)
+    val newRot =
+      if (hadRot.isEmpty) None
+      else if (retrainCodebooks)
+        Similarity.opqDirection(sample, idCol, embCol, old.dim, opqIters)
+      else hadRot
+    val sampleR = rotate(sample, embCol, newRot)
     val model =
       if (retrainCodebooks)
-        Similarity.ivfPqTrain(sample, idCol, embCol, old.dim, kCoarse,
+        Similarity.ivfPqTrain(sampleR, idCol, embCol, old.dim, kCoarse,
           coarseIters, old.m, old.codebooks(0).length, pqIters)
       else {
-        val cents = Similarity.kMeansCentroids(sample, idCol, embCol,
+        val cents = Similarity.kMeansCentroids(sampleR, idCol, embCol,
           kCoarse, coarseIters)
         IvfPqModel(old.dim, cents, old.codebooks)
       }
     // resident population only, release provenance carried through
     val enc = Similarity.ivfPqEncode(
-        vectors.select(col(idCol), col(embCol)), idCol, embCol, model)
+        rotate(vectors.select(col(idCol), col(embCol)), embCol, newRot),
+        idCol, embCol, model)
       .join(relMap, Seq("cand_id"))
       .repartition(col("cell"), pmod(xxhash64(col("cand_id")),
         lit(EavStore.FilesPerPartition)))
     writeModel(spark, s"$path/meta.next", model)
+    writeRotation(spark, s"$path/meta.next", newRot)
+    // the swapped-in store is a new quantizer epoch: stamp the staged meta
+    // with the bumped generation so the commit is atomic with the swap
+    writeGeneration(spark, s"$path/meta.next", generation(spark, path) + 1)
     enc.write.mode("overwrite").partitionBy("cell", "release")
       .parquet(s"$path/codes.next")
     val fs = fsOf(spark, path)

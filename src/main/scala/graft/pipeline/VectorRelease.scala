@@ -109,6 +109,89 @@ object VectorRelease {
         coalesce(col("__d"), lit(false)).as("dropped"))
   }
 
+  /** The UNIFIED nightly maintenance entry point — the operational close of
+    * the vector tier: q183 decides ([[IndexStore.healthVerdict]]), q181
+    * fixes ([[IndexStore.rebalance]], conditionally), q180 rolls forward
+    * ([[rollForward]]) — composed as ONE crash-safe call, mirroring how one
+    * release id drives every downstream artifact in the reference
+    * (`db_etl_orchestrator/orchestrator.py:115-226`).
+    *
+    * Decision policy: the store's [[IndexStore.healthVerdict]] against the
+    * TARGET geometry (`kCoarse`, `maxShareMilli`). A degenerate store
+    * (empty cells vs the target, or a monster cell) is rebalanced — coarse
+    * quantizer AND codebooks retrained on `oldVecs` (exactly the resident
+    * population, which the rebalance coverage guard enforces) — before the
+    * nightly append.
+    *
+    * After a rebalance the passed `priorGraph` is DISCARDED and the prior
+    * edge list is rebuilt from scratch under the healed model: the graph's
+    * candidate sets derive from the quantizer's cell geometry, so edges
+    * cell-pruned under the degenerate model are not merge-compatible with
+    * deltas under the healed one (the [[Similarity.mergeKnnEdges]] identity
+    * only holds per frozen quantizer). That rebuild is the honest cost of a
+    * quantizer change — a rare, verdict-gated event; every healthy night
+    * pays only the incremental [[rollForward]] shape.
+    *
+    * Crash safety across the step boundary: the rebalance itself commits
+    * via the `_SWAP_READY` marker protocol ([[IndexStore.recover]] converges
+    * either side of it — this call runs `recover` first). A crash BETWEEN
+    * rebalance-commit and append converges on rerun through the persisted
+    * MODEL GENERATION ([[IndexStore.generation]]): the caller passes the
+    * generation its `priorGraph` was built under, and the graph is merged
+    * incrementally ONLY when it matches the store's current generation.
+    * On the interrupted night's rerun the verdict reads the already-healed
+    * store and skips the second rebalance, but the generation mismatch
+    * (bumped by the committed rebalance) still forces the graph rebuild the
+    * original run would have done; append/drop-list are idempotent per
+    * release. The staleness decision thus lives entirely in persisted
+    * state — an in-flight "I just rebalanced" flag would not survive the
+    * crash (VectorReleaseSpec pins rerun ≡ uninterrupted-run).
+    *
+    * Operators persist the pair (graph, generation): after a successful
+    * night, record `IndexStore.generation(spark, path)` next to
+    * [[writeGraph]]'s output and pass it back as `priorGeneration` the
+    * following night.
+    *
+    * Returns [[rollForward]]'s frame plus a `rebalanced` flag so one output
+    * pins the decision branch taken alongside the three artifacts. */
+  def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
+               oldVecs: DataFrame, evals: DataFrame, priorGraph: DataFrame,
+               idCol: String, embCol: String, release: String,
+               kCoarse: Int, maxShareMilli: Long, priorGeneration: Long = 0L,
+               coarseIters: Int = 4, pqIters: Int = 3,
+               p: Params = Params()): DataFrame = {
+    // 0. converge any interrupted predecessor (a crash mid-swap resumes the
+    //    committed rebalance here; a crash pre-marker discards the staging)
+    IndexStore.recover(spark, path)
+    // 1. decide — one kilobyte policy row
+    val needsRebalance = IndexStore.healthVerdict(spark, path, kCoarse,
+      maxShareMilli).collect()(0).getAs[Boolean]("needs_rebalance")
+    // 2. conditionally fix: retrain on the resident corpus; the new release
+    //    enters through the append inside rollForward as always
+    if (needsRebalance)
+      IndexStore.rebalance(spark, path, oldVecs, idCol, embCol, kCoarse,
+        coarseIters, pqIters)
+    // 3. roll forward. The prior graph merges incrementally ONLY when it
+    //    was built under the store's current quantizer generation — a
+    //    rebalance this run, or one committed by a crashed predecessor,
+    //    bumps the generation and forces the from-scratch rebuild under
+    //    the healed model (see scaladoc).
+    val graphBase =
+      if (IndexStore.generation(spark, path) == priorGeneration) priorGraph
+      else {
+        val healed = IndexStore.readModel(spark, path)
+        Similarity.ivfExactGraphEdges(
+          oldVecs.select(col(idCol).cast("long").as("q_id"),
+            col(embCol).cast("array<double>").as("q_emb")),
+          oldVecs.select(col(idCol).cast("long").as("cand_id"),
+            col(embCol).cast("array<double>").as("cand_emb")),
+          healed.centroids, p.nProbe, p.k)
+      }
+    rollForward(spark, path, newVecs, oldVecs, evals, graphBase,
+        idCol, embCol, release, p)
+      .withColumn("rebalanced", lit(needsRebalance))
+  }
+
   /** Persist the rolled-forward edge list. The graph is rewritten whole —
     * unlike the code table, old sources' rows legitimately CHANGE when the
     * delta merges into their top-k, so release partitions are not immutable

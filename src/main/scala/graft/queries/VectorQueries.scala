@@ -128,6 +128,77 @@ object VectorQueries {
         prior, "vec_id", "embedding", release = "r2")
     }),
 
+    // OPQ-rotated FROZEN index serving (q144's better quantizer finally
+    // shipped in the q146 lifecycle): build trains the Householder
+    // direction on the seed corpus, persists it as kilobyte metadata
+    // beside the centroids/codebooks, and quantizes the ROTATED space;
+    // the query path reflects queries and rerank vectors through the same
+    // frozen w (pure map — the reflection is an isometry, so the exact
+    // rerank is originals' dots up to fp rounding; the win is balanced
+    // sub-quantizer variance in the ADC shortlist). Python oracle: the
+    // q144 rotation sequence + the q145 IVFADC chain over the rotated
+    // vectors. IndexStoreSpec pins store-served ≡ inline opqRotate +
+    // ivfPqTopK and rotation survival/retrain across append/rebalance.
+    "q187_opq_index_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = graft.pipeline.IndexStore.sharedBuild(s,
+        s"$dir|embeddings|full-opq", emb, "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1", opq = true)
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      graft.pipeline.IndexStore.query(s, path, qd, fv,
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
+    // UNIFIED nightly index maintenance (the operational close of the
+    // vector tier): ONE call runs q183's health verdict, q181's conditional
+    // rebalance, and q180's append/graph/drop-list roll-forward, crash-safe
+    // across the step boundary (VectorRelease.maintain). Exercised on BOTH
+    // decision branches: a healthy kCoarse=8 prior store (verdict passes,
+    // rebalance skipped) AND a degenerate kCoarse=2 one (verdict trips,
+    // store retrained to the same kCoarse=8 target before the roll-forward,
+    // the stale prior graph rebuilt under the healed model). Because the
+    // rebalance retrains with exactly the q180 frozen-model params, BOTH
+    // branches provably converge to the q180 from-scratch-union answer —
+    // the Python oracle computes that answer once and expects it under both
+    // store tags, with the branch pinned by the rebalanced flag (the
+    // verdict arithmetic replayed oracle-side).
+    "q186_index_maintain" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isEval = col("vec_id") % 50 === 0
+      val corpus = emb.where(!isEval)
+      val isNew = col("vec_id") % 10 >= 8
+      def nodes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      def cands(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+      def night(kc: Int, tag: String) = {
+        val path = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+        // prior-night state (persisted in production): index + exact graph
+        // built on the prior release under THIS store's own model — for the
+        // degenerate store that graph is cell-pruned under the bad
+        // quantizer, and maintain must discard it, not merge it
+        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
+          "vec_id", "embedding", dim = 64, kCoarse = kc, coarseIters = 4,
+          m = 16, ksub = 8, iters = 3, release = "r1")
+        val m0 = graft.pipeline.IndexStore.readModel(s, path)
+        val prior = Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
+          cands(corpus.where(!isNew)), m0.centroids, nProbe = 2, k = 3)
+        graft.pipeline.VectorRelease.maintain(s, path, corpus.where(isNew),
+          corpus.where(!isNew), nodes(emb.where(isEval)), prior,
+          "vec_id", "embedding", release = "r2",
+          kCoarse = 8, maxShareMilli = 300)
+          .withColumn("store", lit(tag))
+      }
+      night(8, "healthy").unionByName(night(2, "degen"))
+    }),
+
     // Index REBALANCE (the fix for what q178 detects): the store is first
     // built with a deliberately degenerate coarse quantizer (kCoarse = 2 —
     // monster cells, the hot-partition/recall-loss failure mode), then

@@ -230,6 +230,63 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
   }
 
+  test("OPQ store: frozen-disk serve equals inline rotate+ivfPqTopK; rotation survives append and retrains on rebalance") {
+    val dir = Files.createTempDirectory("ivfadc_opq").toString + "/index"
+    IndexStore.build(spark, dir, emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1", opq = true)
+    val w0 = IndexStore.readRotation(spark, dir)
+    assert(w0.nonEmpty, "OPQ build must persist a rotation")
+    // store-served ≡ the inline opqRotate + ivfPqTopK composition (the
+    // q146 ≡ q145 lifecycle identity, now for the rotated quantizer)
+    val served = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+    val rot = Similarity.opqRotate(emb, "vec_id", "embedding", dim = 64,
+      iters = 3)
+    val inline = Similarity.ivfPqTopK(rot, "vec_id", "emb_rot",
+      col("vec_id") % 50 === 0, dim = 64, kCoarse = 8, coarseIters = 4,
+      nProbe = 2, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty)
+
+    // append freezes the rotation: new codes = frozen-model encode of the
+    // rotated union, quantizer metadata untouched
+    val dir2 = Files.createTempDirectory("ivfadc_opq_app").toString + "/index"
+    IndexStore.build(spark, dir2, emb.where(!isNew), "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1", opq = true)
+    val wOld = IndexStore.readRotation(spark, dir2).get.toSeq
+    val model = IndexStore.readModel(spark, dir2)
+    IndexStore.append(spark, dir2, emb.where(isNew), "vec_id", "embedding",
+      release = "r2")
+    assert(IndexStore.readRotation(spark, dir2).get.toSeq === wOld)
+    val stored = IndexStore.readCodes(spark, dir2)
+      .select("cand_id", "cell", "codes").collect().toSet
+    val expected = Similarity.ivfPqEncode(
+      Similarity.householderRotate(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        "embedding", wOld.toArray),
+      "vec_id", "embedding", model).collect().toSet
+    assert(stored === expected)
+
+    // rebalance retrains rotation + model on the full corpus with the same
+    // params — the healed degenerate OPQ store answers exactly like the
+    // fresh OPQ build above
+    val dir3 = Files.createTempDirectory("ivfadc_opq_reb").toString + "/index"
+    IndexStore.build(spark, dir3, emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1", opq = true)
+    IndexStore.rebalance(spark, dir3, emb, "vec_id", "embedding",
+      kCoarse = 8, coarseIters = 4, pqIters = 3)
+    assert(IndexStore.readRotation(spark, dir3).get.toSeq === w0.get.toSeq,
+      "full retrain on the same corpus must reproduce the same rotation")
+    val servedHealed = IndexStore.query(spark, dir3, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(servedHealed.exceptAll(inline).isEmpty &&
+      inline.exceptAll(servedHealed).isEmpty)
+  }
+
   test("rebalance refuses a partial vectors frame instead of shrinking the store") {
     val dir = Files.createTempDirectory("ivfadc_partial").toString + "/index"
     build(dir, emb, kCoarse = 2)

@@ -92,4 +92,97 @@ class VectorReleaseSpec extends SparkSpec {
     assert(g.exceptAll(gotPersisted).isEmpty &&
       gotPersisted.exceptAll(g).isEmpty)
   }
+
+  test("maintain: verdict gates the rebalance, both branches converge, crash between steps recovers") {
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    def mkStore(kc: Int): String = {
+      val idx = Files.createTempDirectory("vmnt").toString + "/index"
+      IndexStore.build(spark, idx, old, "vec_id", "embedding",
+        dim = 64, kCoarse = kc, coarseIters = 4, m = 16, ksub = 8,
+        iters = 3, release = "r1")
+      idx
+    }
+    def priorOf(idx: String): DataFrame = {
+      val m = IndexStore.readModel(spark, idx)
+      Similarity.ivfExactGraphEdges(nodes(old), cands(old), m.centroids,
+        nProbe = 2, k = 3)
+    }
+    def run(idx: String): DataFrame = VectorRelease.maintain(spark, idx,
+      fresh, old, nodes(emb.where(isEval)), priorOf(idx),
+      "vec_id", "embedding", release = "r2",
+      kCoarse = 8, maxShareMilli = 300).localCheckpoint()
+    def flag(d: DataFrame): Seq[Boolean] =
+      d.select("rebalanced").distinct().collect().map(_.getBoolean(0)).toSeq
+    def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+      val (x, y) = (a.drop("rebalanced"), b.drop("rebalanced"))
+      x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+    }
+
+    // healthy night: verdict passes, rebalance skipped, generation stays 0
+    val hIdx = mkStore(8)
+    val hOut = run(hIdx)
+    assert(flag(hOut) === Seq(false), "healthy store must not rebalance")
+    assert(IndexStore.generation(spark, hIdx) === 0L)
+
+    // degenerate night: the kc2 store trips the 8-cell target, heals, and —
+    // because the rebalance retrains with the identical params/sequence —
+    // converges to EXACTLY the healthy night's rows (the stale kc2 prior
+    // graph passed in must be discarded, not merged)
+    val dIdx = mkStore(2)
+    val dOut = run(dIdx)
+    assert(flag(dOut) === Seq(true), "degenerate store must rebalance")
+    assert(IndexStore.generation(spark, dIdx) === 1L)
+    assert(sameRows(dOut, hOut), "healed night must equal the healthy night")
+
+    // crash BETWEEN rebalance-commit and append: the rebalance landed, the
+    // night died before rolling forward. The rerun passes the SAME inputs
+    // the original night had (the degen-model prior graph, generation 0);
+    // the verdict now reads the healed store and skips the second
+    // rebalance, but the persisted generation mismatch still forces the
+    // graph rebuild — rows converge to the uninterrupted answer.
+    val cIdx = mkStore(2)
+    val stalePrior = priorOf(cIdx) // built under the degen model, gen 0
+      .localCheckpoint()
+    IndexStore.rebalance(spark, cIdx, old, "vec_id", "embedding",
+      kCoarse = 8, coarseIters = 4, pqIters = 3)
+    val cOut = VectorRelease.maintain(spark, cIdx, fresh, old,
+      nodes(emb.where(isEval)), stalePrior, "vec_id", "embedding",
+      release = "r2", kCoarse = 8, maxShareMilli = 300,
+      priorGeneration = 0L).localCheckpoint()
+    assert(flag(cOut) === Seq(false),
+      "the committed rebalance must not run twice")
+    assert(sameRows(cOut, hOut), "interrupted night must converge on rerun")
+
+    // crash MID-SWAP (post-marker): stage the healed store's dirs as .next
+    // with the marker present — maintain's leading recover completes the
+    // swap, then the night proceeds normally
+    val sIdx = mkStore(2)
+    val stalePrior2 = priorOf(sIdx).localCheckpoint()
+    IndexStore.rebalance(spark, sIdx, old, "vec_id", "embedding",
+      kCoarse = 8, coarseIters = 4, pqIters = 3)
+    val fs = new org.apache.hadoop.fs.Path(sIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$sIdx/meta"),
+      new org.apache.hadoop.fs.Path(s"$sIdx/meta.next")))
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$sIdx/codes"),
+      new org.apache.hadoop.fs.Path(s"$sIdx/codes.next")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$sIdx/_SWAP_READY"), true).close()
+    val sOut = VectorRelease.maintain(spark, sIdx, fresh, old,
+      nodes(emb.where(isEval)), stalePrior2, "vec_id", "embedding",
+      release = "r2", kCoarse = 8, maxShareMilli = 300,
+      priorGeneration = 0L).localCheckpoint()
+    assert(sameRows(sOut, hOut), "mid-swap crash must converge on rerun")
+
+    // a second full maintain on the healed store is idempotent: healthy
+    // verdict, generation-matched prior (this time built under gen 1 and
+    // passed as such), identical rows
+    val gen = IndexStore.generation(spark, dIdx)
+    val dOut2 = VectorRelease.maintain(spark, dIdx, fresh, old,
+      nodes(emb.where(isEval)), priorOf(dIdx), "vec_id", "embedding",
+      release = "r2", kCoarse = 8, maxShareMilli = 300,
+      priorGeneration = gen).localCheckpoint()
+    assert(flag(dOut2) === Seq(false))
+    assert(sameRows(dOut2, hOut))
+  }
 }

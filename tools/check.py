@@ -589,8 +589,15 @@ def py_q145_ivfpq_ann(con, spark_df, oracle):
     sequence), probe = 2 cells by (‖c‖² − 2q·c, cell) ascending, per-cell
     integer ADC over the query's own residual, 3-dp exact rerank of the
     top-100 shortlist to the final top-5."""
-    import math
     ids, vecs = _embeddings(con)
+    return spark_df, _ivfpq_topk(ids, vecs)
+
+
+def _ivfpq_topk(ids, vecs):
+    """The q145 IVFADC chain over an arbitrary vector set (queries =
+    vec_id % 50 == 0) — shared by the plain (q145/q146/q181) and the
+    OPQ-rotated (q187) oracles."""
+    import math
     dim = len(vecs[0])
     kc, citers, nprobe = 8, 4, 2
     m, ksub, iters, k, shortlist = 16, 8, 3, 5, 100
@@ -656,8 +663,42 @@ def py_q145_ivfpq_ann(con, spark_df, oracle):
         rer.sort(key=lambda t: (-t[0], t[1]))
         for sc, cid in rer[:k]:
             out.append((qid, cid, sc))
-    exp = pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
-    return spark_df, exp
+    return pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
+
+
+def _opq_rotate(vecs):
+    """The q144 rotation sequence: power component, w ∝ u − 1/√dim,
+    index-order dot, x′ = x − 2(w·x)w, identity when ‖u−t‖ < 1e-9."""
+    import math
+    dim = len(vecs[0])
+    _, u = _power_component(vecs, dim, iters=3)
+    t = 1.0 / math.sqrt(float(dim))
+    wraw = [u[i] - t for i in range(dim)]
+    nsq = 0.0
+    for x in wraw:
+        nsq += x * x
+    nrm = math.sqrt(nsq)
+    if nrm < 1e-9:
+        return vecs
+    hh = [x / nrm for x in wraw]
+    rot = []
+    for v in vecs:
+        d = 0.0
+        for i in range(dim):
+            d += v[i] * hh[i]
+        d2 = d * 2.0
+        rot.append([v[i] - d2 * hh[i] for i in range(dim)])
+    return rot
+
+
+def py_q187_opq_index_serve(con, spark_df, oracle):
+    """OPQ-rotated frozen-index serving: the q144 rotation sequence (power
+    component + Householder reflection, trained on the full corpus) followed
+    by EXACTLY the q145 IVFADC chain over the rotated vectors — probe, ADC
+    and the exact rerank all live in the rotated space, mirroring the
+    store's frozen-rotation lifecycle."""
+    ids, vecs = _embeddings(con)
+    return spark_df, _ivfpq_topk(ids, _opq_rotate(vecs))
 
 
 def py_q156_index_decontaminate(con, spark_df, oracle):
@@ -970,28 +1011,9 @@ def py_q144_opq_ann(con, spark_df, oracle):
     dot, x′ = x − 2(w·x)w, identity when ‖u−t‖ < 1e-9), then EXACTLY the
     q125 PQ pipeline (same Lloyd sequence, integer ADC, 3-dp rerank) over
     the rotated vectors."""
-    import math
     ids, vecs = _embeddings(con)
-    dim = len(vecs[0])
-    _, u = _power_component(vecs, dim, iters=3)
-    t = 1.0 / math.sqrt(float(dim))
-    wraw = [u[i] - t for i in range(dim)]
-    nsq = 0.0
-    for x in wraw:
-        nsq += x * x
-    nrm = math.sqrt(nsq)
-    if nrm < 1e-9:
-        rot = vecs
-    else:
-        hh = [x / nrm for x in wraw]
-        rot = []
-        for v in vecs:
-            d = 0.0
-            for i in range(dim):
-                d += v[i] * hh[i]
-            d2 = d * 2.0
-            rot.append([v[i] - d2 * hh[i] for i in range(dim)])
-    exp = _pq_topk(ids, rot, m=16, ksub=8, iters=3, k=5, shortlist=100)
+    exp = _pq_topk(ids, _opq_rotate(vecs),
+                   m=16, ksub=8, iters=3, k=5, shortlist=100)
     return spark_df, exp
 
 
@@ -1115,6 +1137,33 @@ def py_q180_vector_release(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q186_index_maintain(con, spark_df, oracle):
+    """Unified nightly maintenance oracle: the q180 from-scratch union
+    answer expected under BOTH store tags — the degenerate kCoarse=2 store
+    retrains to the same kCoarse=8 frozen-model params before rolling
+    forward, so both branches provably converge to one answer; the
+    rebalanced flag replays the q183 verdict arithmetic (the kc8 prior
+    store is healthy unless a monster cell tops 300 milli or a target cell
+    is empty; the kc2 store always trips the 8-cell target)."""
+    _, exp = py_q180_vector_release(con, None, None)
+    ids, vecs = _embeddings(con)
+    old = [vecs[i] for i, vid in enumerate(ids)
+           if vid % 50 != 0 and vid % 10 < 8]
+    cents, assign = _lloyd(old, 8, 4)
+    counts = {}
+    for c in assign:
+        counts[c] = counts.get(c, 0) + 1
+    shares = [k * 1000 // len(old) for k in counts.values()]
+    healthy_trips = max(shares) > 300 or len(counts) < 8
+    h = exp.copy()
+    h["store"] = "healthy"
+    h["rebalanced"] = healthy_trips
+    d = exp.copy()
+    d["store"] = "degen"
+    d["rebalanced"] = True
+    return spark_df, pd.concat([h, d], ignore_index=True)
+
+
 def py_q182_recall_dial(con, spark_df, oracle):
     """Recall-targeted serving dial: the q145 full-corpus IVFADC model,
     served over the (nProbe, shortlist) grid, each combo's top-5 measured
@@ -1233,6 +1282,8 @@ def py_q182_recall_dial(con, spark_df, oracle):
 
 PY_ORACLES = {
     "q180_vector_release": py_q180_vector_release,
+    "q186_index_maintain": py_q186_index_maintain,
+    "q187_opq_index_serve": py_q187_opq_index_serve,
     "q182_recall_dial": py_q182_recall_dial,
     "q183_health_verdict": py_q183_health_verdict,
     "q109_kmeans": py_q109_kmeans,
