@@ -265,6 +265,19 @@ object IndexStore {
       .parquet(s"$path/rerank/codes")
   }
 
+  /** JVM-memoized [[buildRerank]] for read-only serving queries sharing a
+    * [[sharedBuild]] store: the tier is deterministic in (store, residents)
+    * and purely ADDITIVE (nothing else reads `rerank/`), so one build per
+    * store path serves every int8 query. */
+  def sharedRerank(spark: SparkSession, path: String,
+                   fullVecs: => DataFrame): String =
+    sharedReranks.computeIfAbsent(path, _ => {
+      buildRerank(spark, path, fullVecs); path
+    })
+
+  private val sharedReranks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** [[query]] served ENTIRELY from the store: the ADC shortlist from the
     * code table as always, the exact rerank against the int8 tier's
     * DEQUANTIZED vectors ([[buildRerank]]) instead of an external raw

@@ -154,6 +154,28 @@ object VectorQueries {
         nProbe = 2, k = 5, shortlist = 100)
     }),
 
+    // INT8-rerank frozen-index serving (the 100 TB scan-budget close): the
+    // ADC shortlist comes from the code table as always, but the exact
+    // rerank reads the store's OWN int8 tier — per-dim scalar-quantized
+    // resident vectors partitioned by the same (cell, release) layout, so
+    // BOTH scans partition-prune to the probed cells and the raw float64
+    // corpus is never touched at query time (4x rerank-scan reduction; the
+    // q184 audit bounds the recall delta of exactly this dequantized
+    // ranking). Python oracle: the q145 chain with the rerank dots taken
+    // against q82-spelling dequantized vectors.
+    "q188_int8_index_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = fullIndex(s, dir)
+      graft.pipeline.IndexStore.sharedRerank(s, path,
+        emb.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb")))
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      graft.pipeline.IndexStore.queryInt8(s, path, qd,
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
     // UNIFIED nightly index maintenance (the operational close of the
     // vector tier): ONE call runs q183's health verdict, q181's conditional
     // rebalance, and q180's append/graph/drop-list roll-forward, crash-safe

@@ -287,6 +287,64 @@ class IndexStoreSpec extends SparkSpec {
       inline.exceptAll(servedHealed).isEmpty)
   }
 
+  test("int8 rerank tier: store-only serve equals inline dequantized serve; both scans partition-prune") {
+    val dir = Files.createTempDirectory("ivfadc_i8").toString + "/index"
+    build(dir, emb)
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    val served = IndexStore.queryInt8(spark, dir, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    // inline twin: the q184 dequantization construction feeding ivfPqServe
+    def dequantOf(df: DataFrame): DataFrame = {
+      val ex = df.select(col("cand_id"),
+        posexplode(col("cand_emb")).as(Seq("i", "v")))
+      val stats = ex.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+        .orderBy("i").collect()
+      val loArr = array(stats.map(r => lit(r.getDouble(1))): _*)
+      val hiArr = array(stats.map(r => lit(r.getDouble(2))): _*)
+      df.select(col("cand_id"),
+        transform(col("cand_emb"), (v, i) => {
+          val lo = element_at(loArr, i + 1)
+          val hi = element_at(hiArr, i + 1)
+          val q = when(hi === lo, lit(0L))
+            .otherwise(round((v - lo) / ((hi - lo) / lit(255d))).cast("long"))
+          lo + q.cast("double") * ((hi - lo) / lit(255.0))
+        }).as("cand_emb"))
+    }
+    val model = IndexStore.readModel(spark, dir)
+    val inline = graft.operators.Similarity.ivfPqServe(queriesDf,
+      IndexStore.readCodes(spark, dir), dequantOf(fullVecs), model,
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty)
+    // the whole point of the (cell, release) rerank layout: BOTH the ADC
+    // code scan and the int8 rerank scan carry literal cell partition
+    // filters — two nonempty PartitionFilters lists in one plan
+    val plan = IndexStore.queryInt8(spark, dir,
+        queriesDf.orderBy("q_id").limit(1), nProbe = 2, k = 5,
+        shortlist = 100)
+      .queryExecution.executedPlan.toString
+    val nPruned = "PartitionFilters: \\[[^\\]]".r.findAllIn(plan).size
+    assert(nPruned >= 2, s"expected 2 pruned scans, got $nPruned in:\n$plan")
+
+    // an OPQ store's tier lives in the ROTATED space: int8 serve equals
+    // the inline rotate→dequantize→serve composition (no double rotation)
+    val dirO = Files.createTempDirectory("ivfadc_i8opq").toString + "/index"
+    IndexStore.build(spark, dirO, emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1", opq = true)
+    IndexStore.buildRerank(spark, dirO, fullVecs)
+    val servedO = IndexStore.queryInt8(spark, dirO, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    val w = IndexStore.readRotation(spark, dirO).get
+    val fvRot = Similarity.householderRotate(fullVecs, "cand_emb", w)
+    val qRot = Similarity.householderRotate(queriesDf, "q_emb", w)
+    val inlineO = Similarity.ivfPqServe(qRot,
+      IndexStore.readCodes(spark, dirO), dequantOf(fvRot),
+      IndexStore.readModel(spark, dirO), nProbe = 2, k = 5, shortlist = 100)
+    assert(servedO.exceptAll(inlineO).isEmpty &&
+      inlineO.exceptAll(servedO).isEmpty)
+  }
+
   test("rebalance refuses a partial vectors frame instead of shrinking the store") {
     val dir = Files.createTempDirectory("ivfadc_partial").toString + "/index"
     build(dir, emb, kCoarse = 2)

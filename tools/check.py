@@ -593,11 +593,13 @@ def py_q145_ivfpq_ann(con, spark_df, oracle):
     return spark_df, _ivfpq_topk(ids, vecs)
 
 
-def _ivfpq_topk(ids, vecs):
+def _ivfpq_topk(ids, vecs, rerank_vecs=None):
     """The q145 IVFADC chain over an arbitrary vector set (queries =
-    vec_id % 50 == 0) — shared by the plain (q145/q146/q181) and the
-    OPQ-rotated (q187) oracles."""
+    vec_id % 50 == 0) — shared by the plain (q145/q146/q181), OPQ-rotated
+    (q187) and int8-rerank (q188, rerank_vecs = dequantized candidates)
+    oracles. The query side of the rerank dot always uses `vecs`."""
     import math
+    rv = vecs if rerank_vecs is None else rerank_vecs
     dim = len(vecs[0])
     kc, citers, nprobe = 8, 4, 2
     m, ksub, iters, k, shortlist = 16, 8, 3, 5, 100
@@ -655,7 +657,7 @@ def _ivfpq_topk(ids, vecs):
         scored.sort(key=lambda t: (-t[0], t[1]))
         rer = []
         for _, cid in scored[:shortlist]:
-            cv2 = vecs[idx_of[cid]]
+            cv2 = rv[idx_of[cid]]
             acc = 0.0
             for i in range(dim):
                 acc += vecs[qi][i] * cv2[i]
@@ -664,6 +666,29 @@ def _ivfpq_topk(ids, vecs):
         for sc, cid in rer[:k]:
             out.append((qid, cid, sc))
     return pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
+
+
+def py_q188_int8_index_serve(con, spark_df, oracle):
+    """Int8-rerank frozen-index serving: the q145 IVFADC chain with the
+    exact rerank taken against q82-spelling DEQUANTIZED candidates — per-dim
+    [lo, hi] over the resident corpus, q = HALF_UP((v−lo)/((hi−lo)/255)),
+    v' = lo + q·(hi−lo)/255 — exactly what IndexStore.queryInt8 reads from
+    the store's rerank tier."""
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    lo = [min(v[i] for v in vecs) for i in range(dim)]
+    hi = [max(v[i] for v in vecs) for i in range(dim)]
+    dq = []
+    for v in vecs:
+        row = []
+        for i in range(dim):
+            if hi[i] == lo[i]:
+                q = 0
+            else:
+                q = int(_spark_round((v[i] - lo[i]) / ((hi[i] - lo[i]) / 255.0), 0))
+            row.append(lo[i] + float(q) * ((hi[i] - lo[i]) / 255.0))
+        dq.append(row)
+    return spark_df, _ivfpq_topk(ids, vecs, rerank_vecs=dq)
 
 
 def _opq_rotate(vecs):
@@ -1284,6 +1309,7 @@ PY_ORACLES = {
     "q180_vector_release": py_q180_vector_release,
     "q186_index_maintain": py_q186_index_maintain,
     "q187_opq_index_serve": py_q187_opq_index_serve,
+    "q188_int8_index_serve": py_q188_int8_index_serve,
     "q182_recall_dial": py_q182_recall_dial,
     "q183_health_verdict": py_q183_health_verdict,
     "q109_kmeans": py_q109_kmeans,
