@@ -77,8 +77,18 @@ object Bench {
       s""""queries":{},"n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""queries_md5":"$qsMd5","detail":"$artifact","sf":"$sfDir"}"""
     println(line)
+    // Attribution for the store-MUTATING queries whose in-harness fixture
+    // builds (prior index/graph/degenerate store — PERSISTED state in
+    // production) cannot share the frozen read-only fixture: the artifact
+    // carries the fixture seconds per query so wall-times are not misread
+    // as operator cost (query-path cost = queries[name] - fixture_build).
+    val fbJson = {
+      import scala.jdk.CollectionConverters._
+      graft.queries.VectorQueries.fixtureBuildSec.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
+    }
     val full = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"fixture_build":$fbJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 /** One-off probe for the driver-local BPE merge path at REALISTIC merge
   * counts (the 10³–10⁵ claim): the fixture corpus has a ~30-word
   * vocabulary, so the probe derives a large deterministic vocabulary from
-  * it — every token 3-gram joined by '_' (tens of thousands of distinct
-  * words at sf0.01, well under [[graft.operators.TextAnalysis
-  * .LocalMergeThreshold]] so training takes the driver-local path) — then:
+  * it — every token 3-gram AND 4-gram joined by '_' (tens of thousands of
+  * distinct words, well under [[graft.operators.TextAnalysis
+  * .LocalMergeThreshold]] so training takes the driver-local path; the
+  * 4-grams double the vocabulary so pair exhaustion sits beyond the full
+  * 32k requested merges at sf0.1) — then:
   *
   *   1. times a full `rounds`-merge local-path training run,
   *   2. re-runs the first `prefix` merges on the DISTRIBUTED path
@@ -27,10 +29,11 @@ object BpeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = split(col("text"), " ")
-    val probe = docs
-      .where(size(toks) >= 3)
-      .select(explode(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws("_", slice(toks, i, lit(3))))).as("text"))
+    def grams(w: Int) = docs
+      .where(size(toks) >= w)
+      .select(explode(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws("_", slice(toks, i, lit(w))))).as("text"))
+    val probe = grams(3).unionByName(grams(4))
       .localCheckpoint() // one tokenize, reused by all three runs below
     val nWords = probe.select(col("text")).distinct().count()
 

@@ -272,6 +272,36 @@ object ScaleProbe {
             run(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("index_serve", t1, tf, o1, of))
         }
+      // Int8-rerank serving (q188's lifecycle): build + rerank-tier build
+      // untimed (persisted state); the timed op serves ENTIRELY from the
+      // store — cell-pruned ADC + cell-pruned dequantized rerank, no raw
+      // corpus access. Same √N kCoarse dial as index_serve; the claim under
+      // probe is that removing the raw-vector dependency keeps the serve
+      // exponent ~0 while cutting the rerank scan 4× at rest.
+      val int8Results =
+        if (!only.forall(_.contains("index_serve_int8"))) Seq.empty
+        else {
+          def run8(e: DataFrame, kCoarse: Int, tag: String): (Double, Long) = {
+            val p = s"$tmp/index_i8$tag"
+            graft.pipeline.IndexStore.build(spark, p, e, "vec_id", "embedding",
+              dim = 64, kCoarse = kCoarse, coarseIters = 4, m = 16, ksub = 8,
+              iters = 3, release = "r1")
+            graft.pipeline.IndexStore.buildRerank(spark, p,
+              e.select(col("vec_id").cast("long").as("cand_id"),
+                col("embedding").cast("array<double>").as("cand_emb")))
+            val qd = e.where(col("vec_id") % 50 === 0 && col("vec_id") < eoff)
+              .select(col("vec_id").cast("long").as("q_id"),
+                col("embedding").cast("array<double>").as("q_emb"))
+            def serve(): DataFrame = graft.pipeline.IndexStore.queryInt8(
+              spark, p, qd, nProbe = 2, k = 5, shortlist = 100)
+            time(serve()) // untimed warmup (codegen, listings)
+            (time(serve()), serve().count())
+          }
+          val (t1, o1) = run8(embs, 8, "1x")
+          val (tf, of) =
+            run8(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("index_serve_int8", t1, tf, o1, of))
+        }
       // Index-served kNN graph (q170's lifecycle): build untimed against the
       // same √N-scaled cell counts; the timed op is the all-nodes batch-ADC
       // graph pass. Per-node work = probed cells' population ~ N/kCoarse,
@@ -343,7 +373,8 @@ object ScaleProbe {
             runVrel(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("vector_release", t1, tf, o1, of))
         }
-      val results = results0 ++ serveResults ++ graphResults ++ vrelResults
+      val results = results0 ++ serveResults ++ int8Results ++
+        graphResults ++ vrelResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

@@ -13,6 +13,28 @@ import graft.sources.Tables
   */
 object VectorQueries {
 
+  /** Wall-seconds of the in-harness FIXTURE builds inside the store-MUTATING
+    * queries (q180/q181/q186) — the prior-night index/graph/degenerate-store
+    * state that is PERSISTED state in production and exists in-query only by
+    * self-containment necessity. Mutating queries cannot share the frozen
+    * [[graft.pipeline.IndexStore.sharedBuild]] fixture by construction, so
+    * the driver's wall-times would otherwise be misread as operator cost;
+    * [[graft.Bench]] reads this map after each pass and emits a
+    * `fixture_build` attribution block in BENCH_FULL/BENCH_STEADY. Keyed by
+    * query name; each query RESETS its entry on entry (reruns overwrite,
+    * never accumulate across passes). */
+  val fixtureBuildSec = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private def addFixtureTime(name: String, sec: Double): Unit =
+    fixtureBuildSec.merge(name, sec, (a, b) => Double.box(a + b))
+
+  private def timedFixture[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    addFixtureTime(name, (System.nanoTime() - t0) / 1e9)
+    a
+  }
+
   /** The one full-corpus frozen IVFADC store every READ-ONLY serving query
     * shares per JVM ([[graft.pipeline.IndexStore.sharedBuild]]): identical
     * params everywhere, so the store is identical to what each query used
@@ -109,20 +131,26 @@ object VectorQueries {
       val corpus = emb.where(!isEval)
       val isNew = col("vec_id") % 10 >= 8
       val path = java.nio.file.Files.createTempDirectory("graft-vrel").toString
-      // nightly state: index + graph built on the prior release (persisted
-      // in production; in-harness by self-containment necessity)
-      graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
-        "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
-        m = 16, ksub = 8, iters = 3, release = "r1")
-      val model = graft.pipeline.IndexStore.readModel(s, path)
       def nodes(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
       def cands(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("cand_id"),
           col("embedding").cast("array<double>").as("cand_emb"))
-      val prior = Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
-        cands(corpus.where(!isNew)), model.centroids, nProbe = 2, k = 3)
+      // nightly state: index + graph built on the prior release (persisted
+      // in production; in-harness by self-containment necessity — timed
+      // into fixtureBuildSec so the bench attributes it as fixture cost,
+      // with the graph materialized here so the attribution is honest)
+      fixtureBuildSec.remove("q180_vector_release")
+      val prior = timedFixture("q180_vector_release") {
+        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
+          "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
+          m = 16, ksub = 8, iters = 3, release = "r1")
+        val model = graft.pipeline.IndexStore.readModel(s, path)
+        Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
+          cands(corpus.where(!isNew)), model.centroids, nProbe = 2, k = 3)
+          .localCheckpoint()
+      }
       graft.pipeline.VectorRelease.rollForward(s, path,
         corpus.where(isNew), corpus.where(!isNew), nodes(emb.where(isEval)),
         prior, "vec_id", "embedding", release = "r2")
@@ -200,18 +228,23 @@ object VectorQueries {
       def cands(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("cand_id"),
           col("embedding").cast("array<double>").as("cand_emb"))
+      fixtureBuildSec.remove("q186_index_maintain")
       def night(kc: Int, tag: String) = {
         val path = java.nio.file.Files.createTempDirectory("graft-mnt").toString
         // prior-night state (persisted in production): index + exact graph
         // built on the prior release under THIS store's own model — for the
         // degenerate store that graph is cell-pruned under the bad
-        // quantizer, and maintain must discard it, not merge it
-        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
-          "vec_id", "embedding", dim = 64, kCoarse = kc, coarseIters = 4,
-          m = 16, ksub = 8, iters = 3, release = "r1")
-        val m0 = graft.pipeline.IndexStore.readModel(s, path)
-        val prior = Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
-          cands(corpus.where(!isNew)), m0.centroids, nProbe = 2, k = 3)
+        // quantizer, and maintain must discard it, not merge it. Both
+        // nights' builds time into ONE fixture_build attribution entry.
+        val prior = timedFixture("q186_index_maintain") {
+          graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
+            "vec_id", "embedding", dim = 64, kCoarse = kc, coarseIters = 4,
+            m = 16, ksub = 8, iters = 3, release = "r1")
+          val m0 = graft.pipeline.IndexStore.readModel(s, path)
+          Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
+            cands(corpus.where(!isNew)), m0.centroids, nProbe = 2, k = 3)
+            .localCheckpoint()
+        }
         graft.pipeline.VectorRelease.maintain(s, path, corpus.where(isNew),
           corpus.where(!isNew), nodes(emb.where(isEval)), prior,
           "vec_id", "embedding", release = "r2",
@@ -233,9 +266,14 @@ object VectorQueries {
     "q181_index_rebalance" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val path = java.nio.file.Files.createTempDirectory("graft-reb").toString
-      graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
+      // the deliberately degenerate prior store is FIXTURE state (persisted
+      // in production) — timed separately for the bench attribution
+      fixtureBuildSec.remove("q181_index_rebalance")
+      timedFixture("q181_index_rebalance") {
+        graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
+          dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8,
+          iters = 3, release = "r1")
+      }
       graft.pipeline.IndexStore.rebalance(s, path, emb, "vec_id",
         "embedding", kCoarse = 8, coarseIters = 4, pqIters = 3)
       val qd = emb.where(col("vec_id") % 50 === 0)
