@@ -156,6 +156,63 @@ object VectorQueries {
         prior, "vec_id", "embedding", release = "r2")
     }),
 
+    // MAINTAINED cross-tier nightly release — the full production close:
+    // ONE release id drives the text tier's roll-forward (q140: signature
+    // dedup, gram decontamination, frozen-classifier gate, novelty — all
+    // against persisted prior-release stores) AND the vector tier's
+    // MAINTAINED nightly (q186: verdict → conditional rebalance → index
+    // append → graph merge → index-served eval drop list), with the q185
+    // cross-tier gate at the end: a document ships only if the text tier
+    // passed it AND its vector escaped the drop list. This mirrors the
+    // reference's orchestrator, where one release id drives every
+    // downstream artifact, now including index maintenance. Python oracle:
+    // the q140 SQL chain (run in DuckDB — gate q189 together with q140 in
+    // partial VerifySome runs) anti-joined with the q180 from-scratch drop
+    // set. The final gate is a broadcast anti-join (the drop list is
+    // eval-bounded).
+    "q189_maintained_release" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      // text tier (exactly q140/q185's half, against prior-release stores)
+      val isNewDoc = col("doc_id") % 10 >= 8
+      val oldDocs = docs.where(!isNewDoc)
+      val w = graft.operators.Classifier.trainWeights(oldDocs, "doc_id",
+        "text", col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      val manifest = graft.pipeline.ReleaseBuild.rollForward(
+        docs.where(isNewDoc), "doc_id", "text", "source", docs,
+        graft.pipeline.SignatureStore.signatures(oldDocs, "doc_id", "text"),
+        graft.pipeline.GramStore.grams(oldDocs, "text"),
+        graft.operators.Classifier.denseWeights(w, 256))
+      // vector tier: the q186 healthy-night fixture, run through maintain
+      val isEval = col("vec_id") % 50 === 0
+      val corpus = emb.where(!isEval)
+      val isNewVec = col("vec_id") % 10 >= 8
+      def nodes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      def cands(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+      val path = java.nio.file.Files.createTempDirectory("graft-q189").toString
+      fixtureBuildSec.remove("q189_maintained_release")
+      val prior = timedFixture("q189_maintained_release") {
+        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNewVec),
+          "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
+          m = 16, ksub = 8, iters = 3, release = "r1")
+        val m0 = graft.pipeline.IndexStore.readModel(s, path)
+        Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNewVec)),
+          cands(corpus.where(!isNewVec)), m0.centroids, nProbe = 2, k = 3)
+          .localCheckpoint()
+      }
+      val night = graft.pipeline.VectorRelease.maintain(s, path,
+        corpus.where(isNewVec), corpus.where(!isNewVec),
+        nodes(emb.where(isEval)), prior, "vec_id", "embedding",
+        release = "r2", kCoarse = 8, maxShareMilli = 300)
+      val drops = night.where(col("dropped"))
+        .select(col("src_id").as("doc_id")).distinct()
+      manifest.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    }),
+
     // OPQ-rotated FROZEN index serving (q144's better quantizer finally
     // shipped in the q146 lifecycle): build trains the Householder
     // direction on the seed corpus, persists it as kilobyte metadata

@@ -1189,6 +1189,21 @@ def py_q186_index_maintain(con, spark_df, oracle):
     return spark_df, pd.concat([h, d], ignore_index=True)
 
 
+def py_q189_maintained_release(con, spark_df, oracle):
+    """Maintained cross-tier nightly release: the q140 text-tier SQL chain
+    (executed in DuckDB — its SQL must ride along, so gate q189 together
+    with q140 in partial VerifySome runs) anti-joined with the vector
+    tier's drop set from the q180 from-scratch union build (maintain on
+    the healthy fixture ≡ q180's roll-forward; q186 pins the degenerate
+    branch separately)."""
+    assert "q140_release_build" in oracle, \
+        "q189 needs q140's SQL — include q140_release_build in the gate"
+    man = con.execute(oracle["q140_release_build"]).df()
+    _, vr = py_q180_vector_release(con, None, None)
+    dropped = set(vr.loc[vr.dropped, "src_id"])
+    return spark_df, man[~man.doc_id.isin(dropped)].reset_index(drop=True)
+
+
 def py_q182_recall_dial(con, spark_df, oracle):
     """Recall-targeted serving dial: the q145 full-corpus IVFADC model,
     served over the (nProbe, shortlist) grid, each combo's top-5 measured
@@ -1310,6 +1325,7 @@ PY_ORACLES = {
     "q186_index_maintain": py_q186_index_maintain,
     "q187_opq_index_serve": py_q187_opq_index_serve,
     "q188_int8_index_serve": py_q188_int8_index_serve,
+    "q189_maintained_release": py_q189_maintained_release,
     "q182_recall_dial": py_q182_recall_dial,
     "q183_health_verdict": py_q183_health_verdict,
     "q109_kmeans": py_q109_kmeans,
