@@ -185,4 +185,82 @@ class VectorReleaseSpec extends SparkSpec {
     assert(flag(dOut2) === Seq(false))
     assert(sameRows(dOut2, hOut))
   }
+
+  test("three-night soak: persisted graph/generation handoff, mid-soak rebalance, no drift") {
+    // the documented operator workflow, run for real over three growing
+    // nights: persist (graph, generation) after each maintain and pass the
+    // pair back the next night. Night 2 runs under a tightened share policy
+    // (50 milli is unsatisfiable for 8 cells, so the verdict must trip) —
+    // the healed quantizer invalidates the persisted night-1 graph via the
+    // generation bump, nights 1 and 3 take the incremental merge path, and
+    // the final store/graph/drop artifacts must equal a from-scratch build
+    // on the full union: no drift accumulates across nights.
+    val root = Files.createTempDirectory("vsoak").toString
+    val idx = s"$root/index"
+    val graphPath = s"$root/graph"
+    val m10 = col("vec_id") % 10
+    val corpus = emb.where(!isEval)
+    val base = corpus.where(m10 <= 5)
+    val evals = nodes(emb.where(isEval))
+    val nights = Seq(
+      ("r2", corpus.where(m10.isin(6, 7)), 300L),
+      ("r3", corpus.where(m10 === 8), 50L),
+      ("r4", corpus.where(m10 === 9), 300L))
+
+    IndexStore.build(spark, idx, base, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    val m0 = IndexStore.readModel(spark, idx)
+    VectorRelease.writeGraph(Similarity.ivfExactGraphEdges(
+      nodes(base), cands(base), m0.centroids, nProbe = 2, k = 3), graphPath)
+
+    var gen = IndexStore.generation(spark, idx)
+    var resident = base
+    var flags = Seq.empty[Boolean]
+    var lastOut: DataFrame = null
+    for ((rel, slice, share) <- nights) {
+      val out = VectorRelease.maintain(spark, idx, slice, resident, evals,
+        VectorRelease.readGraph(spark, graphPath), "vec_id", "embedding",
+        release = rel, kCoarse = 8, maxShareMilli = share,
+        priorGeneration = gen).localCheckpoint()
+      VectorRelease.writeGraph(out, graphPath)
+      gen = IndexStore.generation(spark, idx)
+      resident = resident.unionByName(slice)
+      flags = flags ++
+        out.select("rebalanced").distinct().collect().map(_.getBoolean(0))
+      lastOut = out
+    }
+    assert(flags === Seq(false, true, false),
+      s"exactly night 2's tightened policy must rebalance, got $flags")
+    assert(gen === 1L, "one committed rebalance -> one generation bump")
+
+    // night 3's edges ≡ a from-scratch union graph under the CURRENT
+    // (night-2-healed) quantizer
+    val fm = IndexStore.readModel(spark, idx)
+    val scratch = Similarity.withMutualFlag(Similarity.ivfExactGraphEdges(
+      nodes(resident), cands(resident), fm.centroids, nProbe = 2, k = 3))
+    val got = lastOut.select("src_id", "dst_id", "score", "rank", "mutual")
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty,
+      "three incremental nights must equal the from-scratch union build")
+
+    // release provenance survives the mid-soak rebalance's re-encode:
+    // every resident's code row carries the night (or build) that shipped it
+    val wrongRel = IndexStore.readCodes(spark, idx)
+      .select(col("cand_id"), col("release"))
+      .where(col("release") =!= when(col("cand_id") % 10 <= 5, "r1")
+        .when(col("cand_id") % 10 <= 7, "r2")
+        .when(col("cand_id") % 10 === 8, "r3").otherwise("r4"))
+    assert(wrongRel.isEmpty, "release provenance lost across the soak")
+
+    // drop flags ≡ the frozen-store decontaminate on the final union
+    val drops = IndexStore.decontaminate(spark, idx, evals, cands(resident),
+        nProbe = 2, shortlist = 100, threshold = 0.3)
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val flagged = lastOut.where(col("dropped")).select("src_id").distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val srcs = lastOut.select("src_id").distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(flagged === drops.intersect(srcs))
+  }
 }
