@@ -211,4 +211,24 @@ object VectorRelease {
         col("dst_id").cast("long").as("dst_id"),
         col("score").cast("double").as("score"),
         col("rank").cast("long").as("rank"))
+
+  /** Persist the model generation a just-written graph was built under —
+    * the second half of the (graph, generation) pair [[maintain]]'s
+    * staleness contract asks operators to record after every night. One
+    * kilobyte one-row parquet next to the graph; overwrite is atomic
+    * enough for the contract because a crash that loses this write only
+    * leaves a STALE generation behind, and a stale generation can at worst
+    * force the conservative branch (the from-scratch graph rebuild), never
+    * an incorrect incremental merge. */
+  def writeGeneration(spark: SparkSession, genPath: String, gen: Long): Unit = {
+    import spark.implicits._
+    Seq(gen).toDF("generation").coalesce(1)
+      .write.mode("overwrite").parquet(genPath)
+  }
+
+  /** The persisted generation stamp (see [[writeGeneration]]). */
+  def readGeneration(spark: SparkSession, genPath: String): Long = {
+    spark.catalog.refreshByPath(genPath)
+    spark.read.parquet(genPath).collect()(0).getLong(0)
+  }
 }

@@ -307,6 +307,67 @@ object StreamEntry {
           .parquet(vecStorePath)
       }
 
+  /** Streaming UNIFIED index maintenance — the stream twin of
+    * [[graft.pipeline.VectorRelease.maintain]] (q186/q189): every
+    * micro-batch is a "night" — verdict → conditional rebalance → index
+    * append → graph merge → eval drop list — so a degenerate store
+    * SELF-HEALS mid-stream while the index keeps rolling forward. The
+    * (graph, generation) pair maintain's staleness contract asks operators
+    * to persist between nights lives on disk here (`graphPath` +
+    * `$graphPath.gen`), exactly as a production scheduler would keep it.
+    *
+    * The caller seeds persisted state at store-build time: the raw-vector
+    * side store (release-partitioned, like [[rollForwardGraph]]'s), the
+    * resident corpus's edge list, and the generation stamp
+    * ([[graft.pipeline.VectorRelease.writeGeneration]]).
+    *
+    * Replay converges through the same three mechanisms as the batch path:
+    * the batch's own release partition is excluded from the old side and
+    * dynamically re-overwritten (index codes AND side store), its nodes'
+    * rows are dropped from the prior graph before the merge, and a
+    * rebalance committed by a crashed attempt is converged by maintain's
+    * leading `recover` + the persisted-generation mismatch (the gen stamp
+    * is written AFTER the graph, so a crash between the two leaves a stale
+    * stamp that can only force the conservative from-scratch graph rebuild,
+    * never a wrong merge). StreamingSpec pins stream ≡ the batch
+    * three-night sequence and replay convergence. */
+  def maintainIndex(vecs: DataFrame, indexPath: String, vecStorePath: String,
+                    graphPath: String, evals: DataFrame, kCoarse: Int,
+                    maxShareMilli: Long,
+                    p: graft.pipeline.VectorRelease.Params =
+                      graft.pipeline.VectorRelease.Params()): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val s = batch0.sparkSession
+        val release = s"b$id"
+        val batch = batch0.select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val genPath = s"$graphPath.gen"
+        s.catalog.refreshByPath(vecStorePath)
+        val old = s.read.parquet(vecStorePath)
+          .where(col("release") =!= release)
+          .select(col("vec_id"), col("embedding"))
+        s.catalog.refreshByPath(graphPath)
+        val prior = graft.pipeline.VectorRelease.readGraph(s, graphPath)
+          .join(batch.select(col("vec_id").cast("long").as("src_id")),
+            Seq("src_id"), "left_anti")
+        val out = graft.pipeline.VectorRelease.maintain(s, indexPath, batch,
+            old, evals, prior, "vec_id", "embedding", release,
+            kCoarse, maxShareMilli,
+            priorGeneration =
+              graft.pipeline.VectorRelease.readGeneration(s, genPath),
+            p = p)
+          .localCheckpoint()
+        graft.pipeline.VectorRelease.writeGraph(out, graphPath)
+        graft.pipeline.VectorRelease.writeGeneration(s, genPath,
+          graft.pipeline.IndexStore.generation(s, indexPath))
+        batch.withColumn("release", lit(release))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("release")
+          .parquet(vecStorePath)
+      }
+
   /** Frozen-vocabulary BPE token counting on a document stream — the
     * tokenizer's serving twin (the encodeVectors / scoreDocs idiom): each
     * micro-batch counts tokens under a vocabulary trained ONCE on a prior

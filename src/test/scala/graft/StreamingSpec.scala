@@ -473,6 +473,84 @@ class StreamingSpec extends SparkSpec {
     assert(again.exceptAll(scratch).isEmpty && scratch.exceptAll(again).isEmpty)
   }
 
+  test("streaming unified maintenance self-heals a degenerate store; stream equals from-scratch; replay converges") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isEval = col("vec_id") % 50 === 0
+    val corpus = emb.where(!isEval)
+    val m10 = col("vec_id") % 10
+    val base = corpus.where(m10 <= 5)
+    val evals = emb.where(isEval)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    def nodes(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    def cands(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+    val dir = Files.createTempDirectory("maintstream").toString
+    val idx = s"$dir/index"
+    // a DEGENERATE initial store (kc2 vs the target 8 cells) — batch 1 of
+    // the stream must heal it, later batches must roll forward healthily
+    graft.pipeline.IndexStore.build(spark, idx, base, "vec_id", "embedding",
+      dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    // seed the persisted (side store, graph, generation) triple
+    base.select("vec_id", "embedding").withColumn("release", lit("r1"))
+      .write.partitionBy("release").parquet(s"$dir/vecs")
+    val m0 = graft.pipeline.IndexStore.readModel(spark, idx)
+    graft.pipeline.VectorRelease.writeGraph(
+      graft.operators.Similarity.ivfExactGraphEdges(nodes(base), cands(base),
+        m0.centroids, nProbe = 2, k = 3), s"$dir/graph")
+    graft.pipeline.VectorRelease.writeGeneration(spark, s"$dir/graph.gen",
+      graft.pipeline.IndexStore.generation(spark, idx))
+    // three ordered micro-batch "nights"
+    corpus.where(m10.isin(6, 7)).coalesce(1).write.parquet(s"$dir/in/a")
+    corpus.where(m10 === 8).coalesce(1).write.parquet(s"$dir/in/b")
+    corpus.where(m10 === 9).coalesce(1).write.parquet(s"$dir/in/c")
+    def part(sub: String) = new java.io.File(s"$dir/in/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    part("a").setLastModified(1_000_000_000_000L)
+    part("b").setLastModified(1_000_000_002_000L)
+    part("c").setLastModified(1_000_000_004_000L)
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.maintainIndex(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+        idx, s"$dir/vecs", s"$dir/graph", evals,
+        kCoarse = 8, maxShareMilli = 300)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    // exactly one committed rebalance (batch 1's heal), stamped on disk
+    assert(graft.pipeline.IndexStore.generation(spark, idx) === 1L)
+    assert(graft.pipeline.VectorRelease.readGeneration(
+      spark, s"$dir/graph.gen") === 1L)
+    // the persisted graph ≡ a from-scratch union build under the healed model
+    val fm = graft.pipeline.IndexStore.readModel(spark, idx)
+    val scratch = graft.operators.Similarity.ivfExactGraphEdges(
+      nodes(corpus), cands(corpus), fm.centroids, nProbe = 2, k = 3)
+    val got = graft.pipeline.VectorRelease.readGraph(spark, s"$dir/graph")
+    val scr4 = scratch.select("src_id", "dst_id", "score", "rank")
+    assert(got.count() > 0)
+    assert(got.exceptAll(scr4).isEmpty && scr4.exceptAll(got).isEmpty)
+    // release provenance: the heal's re-encode kept r1, each night its batch
+    spark.catalog.refreshByPath(s"$idx/codes")
+    val wrongRel = graft.pipeline.IndexStore.readCodes(spark, idx)
+      .select(col("cand_id"), col("release"))
+      .where(col("release") =!= when(col("cand_id") % 10 <= 5, "r1")
+        .when(col("cand_id") % 10 <= 7, "b0")
+        .when(col("cand_id") % 10 === 8, "b1").otherwise("b2"))
+    assert(wrongRel.isEmpty, "release provenance lost across the stream")
+    // full replay (fresh query, same files) converges — the healed store
+    // skips the second rebalance but every artifact lands identically
+    runOnceThrough()
+    assert(graft.pipeline.IndexStore.generation(spark, idx) === 1L)
+    val again = graft.pipeline.VectorRelease.readGraph(spark, s"$dir/graph")
+    assert(again.exceptAll(scr4).isEmpty && scr4.exceptAll(again).isEmpty)
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(
