@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -249,19 +249,68 @@ object IndexStore {
       posexplode(col("cand_emb")).as(Seq("i", "v")))
     val stats = ex.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/rerank/stats")
-    // identical IEEE spelling to Similarity.quantizeInt8 / the q184 audit
+    writeRerankCodes(spark, path, ex, stats, dynamic = false)
+  }
+
+  /** True when the store carries the int8 rerank tier. */
+  def hasRerank(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/rerank/stats")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The rerank tier's per-dim quantization range — kilobytes; FROZEN at
+    * [[buildRerank]] time exactly like the centroids and codebooks (a
+    * rebalance-triggered rebuild retrains it, an append does not). */
+  def readRerankStats(spark: SparkSession, path: String): DataFrame = {
+    spark.catalog.refreshByPath(s"$path/rerank/stats")
+    spark.read.parquet(s"$path/rerank/stats")
+      .select(col("i").cast("int").as("i"), col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi"))
+  }
+
+  /** Roll the int8 rerank tier FORWARD with a nightly append: the new
+    * release's vectors quantize under the store's FROZEN stats (the stats
+    * are model state, like the codebooks — retrained only by a rebalance's
+    * rebuild) and dynamic-overwrite exactly their own (cell, release)
+    * partitions, so reruns converge and prior releases are never re-read.
+    * A delta value outside the frozen [lo, hi] clamps to the range edge —
+    * the standard frozen-quantizer saturation, bounded like everything on
+    * this path by the q184 recall audit. Call AFTER [[append]] (the cell
+    * lookup reads the release's just-written codes);
+    * [[graft.pipeline.VectorRelease.maintain]] does both. */
+  def appendRerank(spark: SparkSession, path: String, newVecs: DataFrame,
+                   release: String): Unit = {
+    val fv = rotate(newVecs, "cand_emb", readRotation(spark, path))
+    val ex = fv.select(col("cand_id"),
+      posexplode(col("cand_emb")).as(Seq("i", "v")))
+    writeRerankCodes(spark, path, ex, readRerankStats(spark, path),
+      dynamic = true, codesFilter = col("release") === release)
+  }
+
+  /** Shared quantize-and-write tail of [[buildRerank]]/[[appendRerank]]:
+    * identical IEEE spelling to Similarity.quantizeInt8 / the q184 audit,
+    * plus range clamping (a no-op when `stats` derive from `ex` itself, so
+    * a full build is unchanged by it; only a frozen-stats append can
+    * saturate). */
+  private def writeRerankCodes(spark: SparkSession, path: String,
+                               ex: DataFrame, stats: DataFrame,
+                               dynamic: Boolean,
+                               codesFilter: Column = lit(true)): Unit = {
     val q8 = ex.join(broadcast(stats), Seq("i"))
       .withColumn("q", when(col("hi") === col("lo"), 0L)
-        .otherwise(round((col("v") - col("lo")) /
-          ((col("hi") - col("lo")) / 255d)).cast("long")))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          round((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / 255d)).cast("long")))))
       .groupBy(col("cand_id"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("q")))),
         x => x.getField("q")).cast("array<int>").as("q8"))
-    q8.join(readCodes(spark, path).select("cand_id", "cell", "release"),
-        Seq("cand_id"))
+    val out = q8.join(readCodes(spark, path).where(codesFilter)
+        .select("cand_id", "cell", "release"), Seq("cand_id"))
       .repartition(col("cell"), pmod(xxhash64(col("cand_id")),
         lit(EavStore.FilesPerPartition)))
-      .write.mode("overwrite").partitionBy("cell", "release")
+      .write.mode("overwrite")
+    (if (dynamic) out.option("partitionOverwriteMode", "dynamic") else out)
+      .partitionBy("cell", "release")
       .parquet(s"$path/rerank/codes")
   }
 
@@ -291,25 +340,36 @@ object IndexStore {
     val q = rotate(queries, "q_emb", readRotation(spark, path))
     val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val inProbed = (c: org.apache.spark.sql.Column) =>
-      c.isin(probedCells.map(Int.box): _*)
-    val enc = readCodes(spark, path).where(inProbed(col("cell")))
-    val stats = spark.read.parquet(s"$path/rerank/stats")
-      .select(col("i").cast("int"), col("lo").cast("double"),
-        col("hi").cast("double"))
+    val enc = readCodes(spark, path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+    Similarity.ivfPqServe(q, enc, rerankVecs(spark, path, probedCells),
+      model, nProbe, k, shortlist)
+  }
+
+  /** The rerank tier's candidates for the probed cells, DEQUANTIZED to the
+    * q184 audit's exact IEEE spelling (lo + q·(hi−lo)/255, per-dim [lo, hi]
+    * as kilobyte driver literals) — the shared rerank side of [[queryInt8]]
+    * and [[decontaminateInt8]]. Partition-pruned to `probedCells`; for an
+    * OPQ store the values are already rotated (the space every serve-side
+    * dot is computed in). */
+  private def rerankVecs(spark: SparkSession, path: String,
+                         probedCells: Array[Int]): DataFrame = {
+    val stats = readRerankStats(spark, path)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     val loArr = array(stats.map(s => lit(s._2)): _*)
     val hiArr = array(stats.map(s => lit(s._3)): _*)
-    val fv = spark.read.parquet(s"$path/rerank/codes")
-      .where(inProbed(col("cell").cast("int")))
+    // an appendRerank may have dynamically grown this table since a prior
+    // read in this session — drop any cached file listing first
+    spark.catalog.refreshByPath(s"$path/rerank/codes")
+    spark.read.parquet(s"$path/rerank/codes")
+      .where(col("cell").cast("int").isin(probedCells.map(Int.box): _*))
       .select(col("cand_id").cast("long").as("cand_id"),
         transform(col("q8"), (v, i) => {
           val lo = element_at(loArr, i + 1)
           val hi = element_at(hiArr, i + 1)
           lo + v.cast("double") * ((hi - lo) / lit(255.0))
         }).as("cand_emb"))
-    Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
   }
 
   /** Eval-set decontamination served FROM the frozen index — the 100 TB
@@ -336,6 +396,28 @@ object IndexStore {
     Similarity.dropListFromMatches(
       Similarity.ivfPqServe(ev, enc, fv, model, nProbe,
         k = shortlist, shortlist = shortlist),
+      threshold)
+  }
+
+  /** [[decontaminate]] served ENTIRELY from the store: the exact-rerank
+    * pass reads the int8 tier's dequantized vectors ([[rerankVecs]])
+    * instead of an external raw-vector corpus — the [[queryInt8]] move
+    * applied to the decontamination path, removing its last raw-corpus
+    * dependency (at 100 TB the drop-list job's dominant scan). Both scans
+    * partition-prune to the evals' probed cells; the recall delta of the
+    * dequantized ranking is exactly what the q184 audit bounds. */
+  def decontaminateInt8(spark: SparkSession, path: String, evals: DataFrame,
+                        nProbe: Int, shortlist: Int,
+                        threshold: Double): DataFrame = {
+    val model = readModel(spark, path)
+    val ev = rotate(evals, "q_emb", readRotation(spark, path))
+    val probedCells = Similarity.ivfPqProbe(ev, model, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val enc = readCodes(spark, path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+    Similarity.dropListFromMatches(
+      Similarity.ivfPqServe(ev, enc, rerankVecs(spark, path, probedCells),
+        model, nProbe, k = shortlist, shortlist = shortlist),
       threshold)
   }
 

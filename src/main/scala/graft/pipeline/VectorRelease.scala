@@ -152,6 +152,13 @@ object VectorRelease {
     * [[writeGraph]]'s output and pass it back as `priorGeneration` the
     * following night.
     *
+    * When the store carries the int8 rerank tier ([[IndexStore.hasRerank]])
+    * the night rolls it forward too, under the same staleness rule as the
+    * graph: generation mismatch rebuilds the tier on the resident corpus
+    * (healed cells, stats retrained on exactly the population the
+    * rebalance retrained the quantizer on), a healthy night appends the
+    * delta under the frozen stats.
+    *
     * Returns [[rollForward]]'s frame plus a `rebalanced` flag so one output
     * pins the decision branch taken alongside the three artifacts. */
   def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
@@ -176,20 +183,36 @@ object VectorRelease {
     //    rebalance this run, or one committed by a crashed predecessor,
     //    bumps the generation and forces the from-scratch rebuild under
     //    the healed model (see scaladoc).
+    val stale = IndexStore.generation(spark, path) != priorGeneration
+    val hasTier = IndexStore.hasRerank(spark, path)
+    def cands(d: DataFrame) = d.select(
+      col(idCol).cast("long").as("cand_id"),
+      col(embCol).cast("array<double>").as("cand_emb"))
+    // 2b. the int8 rerank tier is derived model state, so it shares the
+    //     graph's staleness rule: a quantizer change (this run's rebalance,
+    //     or a crashed predecessor's — both visible as the generation
+    //     mismatch) rebuilds the tier on the RESIDENT corpus, exactly the
+    //     population the rebalance retrained the quantizer on — so a healed
+    //     store converges to the state of one that was healthy all along
+    //     (stats included). The night's delta then appends under those
+    //     stats below, like any healthy night.
+    if (stale && hasTier) IndexStore.buildRerank(spark, path, cands(oldVecs))
     val graphBase =
-      if (IndexStore.generation(spark, path) == priorGeneration) priorGraph
+      if (!stale) priorGraph
       else {
         val healed = IndexStore.readModel(spark, path)
         Similarity.ivfExactGraphEdges(
           oldVecs.select(col(idCol).cast("long").as("q_id"),
             col(embCol).cast("array<double>").as("q_emb")),
-          oldVecs.select(col(idCol).cast("long").as("cand_id"),
-            col(embCol).cast("array<double>").as("cand_emb")),
-          healed.centroids, p.nProbe, p.k)
+          cands(oldVecs), healed.centroids, p.nProbe, p.k)
       }
-    rollForward(spark, path, newVecs, oldVecs, evals, graphBase,
-        idCol, embCol, release, p)
-      .withColumn("rebalanced", lit(needsRebalance))
+    val out = rollForward(spark, path, newVecs, oldVecs, evals, graphBase,
+      idCol, embCol, release, p)
+    // 4. append the delta to the rerank tier under the FROZEN stats
+    //    (map-only, dynamic-overwrite idempotent) — after rollForward so
+    //    the cell lookup reads the release's just-appended codes.
+    if (hasTier) IndexStore.appendRerank(spark, path, cands(newVecs), release)
+    out.withColumn("rebalanced", lit(needsRebalance))
   }
 
   /** Persist the rolled-forward edge list. The graph is rewritten whole —

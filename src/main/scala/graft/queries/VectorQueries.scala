@@ -654,6 +654,30 @@ object VectorQueries {
         nProbe = 2, shortlist = 100, threshold = 0.3)
     }),
 
+    // Int8-served decontamination: exactly q156's chain, but the exact
+    // rerank reads the store's int8 tier (dequantized per the frozen
+    // per-dim stats over the residents) instead of the raw float corpus —
+    // the q188 move applied to the drop-list path
+    // (IndexStore.decontaminateInt8). At 100 TB this removes the
+    // decontamination job's dominant scan: the raw-vector side. The tier
+    // is additive, so it piggybacks on q156's shared store.
+    "q190_int8_decontaminate" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isEval = col("vec_id") % 50 === 0
+      val path = graft.pipeline.IndexStore.sharedBuild(s,
+        s"$dir|embeddings|noneval50", emb.where(!isEval), "vec_id",
+        "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+        ksub = 8, iters = 3, release = "r1")
+      graft.pipeline.IndexStore.sharedRerank(s, path,
+        emb.where(!isEval).select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb")))
+      val evals = emb.where(isEval)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      graft.pipeline.IndexStore.decontaminateInt8(s, path, evals,
+        nProbe = 2, shortlist = 100, threshold = 0.3)
+    }),
+
     // Embedding-space eval-set decontamination: eval = vec_id % 50 == 0,
     // corpus = the rest; a corpus vector is dropped when its cosine with any
     // eval vector reaches 0.3, searched only inside the eval vectors'

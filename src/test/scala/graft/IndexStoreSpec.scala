@@ -326,6 +326,15 @@ class IndexStoreSpec extends SparkSpec {
     val nPruned = "PartitionFilters: \\[[^\\]]".r.findAllIn(plan).size
     assert(nPruned >= 2, s"expected 2 pruned scans, got $nPruned in:\n$plan")
 
+    // int8-served decontamination ≡ the float path fed the dequantized
+    // candidates inline (the q190 kernel)
+    val dropsI8 = IndexStore.decontaminateInt8(spark, dir, queriesDf,
+      nProbe = 2, shortlist = 100, threshold = 0.3)
+    val dropsInline = IndexStore.decontaminate(spark, dir, queriesDf,
+      dequantOf(fullVecs), nProbe = 2, shortlist = 100, threshold = 0.3)
+    assert(dropsI8.exceptAll(dropsInline).isEmpty &&
+      dropsInline.exceptAll(dropsI8).isEmpty)
+
     // an OPQ store's tier lives in the ROTATED space: int8 serve equals
     // the inline rotate→dequantize→serve composition (no double rotation)
     val dirO = Files.createTempDirectory("ivfadc_i8opq").toString + "/index"
@@ -343,6 +352,93 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.readModel(spark, dirO), nProbe = 2, k = 5, shortlist = 100)
     assert(servedO.exceptAll(inlineO).isEmpty &&
       inlineO.exceptAll(servedO).isEmpty)
+  }
+
+  test("appendRerank rolls the int8 tier forward under frozen stats; clamps; rerun idempotent") {
+    val dir = Files.createTempDirectory("ivfadc_i8app").toString + "/index"
+    val old = emb.where(!isNew)
+    val fresh = emb.where(isNew)
+    def cands(d: DataFrame) = d.select(
+      col("vec_id").cast("long").as("cand_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+    build(dir, old)
+    IndexStore.buildRerank(spark, dir, cands(old))
+    assert(IndexStore.hasRerank(spark, dir))
+    val statsBefore = IndexStore.readRerankStats(spark, dir).collect().toSet
+
+    IndexStore.append(spark, dir, fresh, "vec_id", "embedding", "r2")
+    IndexStore.appendRerank(spark, dir, cands(fresh), "r2")
+
+    // stats are FROZEN by the append (model state, like the codebooks)
+    assert(IndexStore.readRerankStats(spark, dir).collect().toSet
+      === statsBefore)
+    // the tier now covers the union, release-partitioned
+    spark.catalog.refreshByPath(s"$dir/rerank/codes")
+    val tier = spark.read.parquet(s"$dir/rerank/codes")
+    assert(tier.count() === emb.count())
+    assert(tier.select("release").distinct().collect().map(_.getString(0))
+      .toSet === Set("r1", "r2"))
+
+    // the delta's q8 rows equal the frozen-stats quantization (the shared
+    // IEEE spelling, clamped), recomputed inline
+    val st = IndexStore.readRerankStats(spark, dir).orderBy("i").collect()
+    val loArr = array(st.map(r => lit(r.getDouble(1))): _*)
+    val hiArr = array(st.map(r => lit(r.getDouble(2))): _*)
+    def q8Of(d: DataFrame): DataFrame = d.select(col("cand_id"),
+      transform(col("cand_emb"), (v, i) => {
+        val lo = element_at(loArr, i + 1)
+        val hi = element_at(hiArr, i + 1)
+        when(hi === lo, lit(0L)).otherwise(least(lit(255L),
+          greatest(lit(0L),
+            round((v - lo) / ((hi - lo) / lit(255d))).cast("long"))))
+      }).cast("array<int>").as("q8"))
+    val gotDelta = tier.where(col("release") === "r2")
+      .select(col("cand_id").cast("long").as("cand_id"), col("q8"))
+    val expDelta = q8Of(cands(fresh))
+    assert(gotDelta.exceptAll(expDelta).isEmpty &&
+      expDelta.exceptAll(gotDelta).isEmpty)
+
+    // store-only serve over the union equals the inline serve with
+    // candidates dequantized under the FROZEN stats
+    val dq = cands(emb).select(col("cand_id"),
+      transform(col("cand_emb"), (v, i) => {
+        val lo = element_at(loArr, i + 1)
+        val hi = element_at(hiArr, i + 1)
+        val q = when(hi === lo, lit(0L)).otherwise(least(lit(255L),
+          greatest(lit(0L),
+            round((v - lo) / ((hi - lo) / lit(255d))).cast("long"))))
+        lo + q.cast("double") * ((hi - lo) / lit(255.0))
+      }).as("cand_emb"))
+    val served = IndexStore.queryInt8(spark, dir, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    val inline = Similarity.ivfPqServe(queriesDf,
+      IndexStore.readCodes(spark, dir), dq, IndexStore.readModel(spark, dir),
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty)
+
+    // an out-of-range delta saturates at the range edge instead of escaping
+    // the int8 domain: a 10x-scaled vector must clamp to 255 somewhere and
+    // never leave [0, 255]
+    val big = fresh.limit(1).select(col("vec_id"),
+      transform(col("embedding"), v => v * 10).as("embedding"))
+    IndexStore.append(spark, dir, big, "vec_id", "embedding", "r3")
+    IndexStore.appendRerank(spark, dir, cands(big), "r3")
+    spark.catalog.refreshByPath(s"$dir/rerank/codes")
+    val bigQ = spark.read.parquet(s"$dir/rerank/codes")
+      .where(col("release") === "r3")
+      .select(explode(col("q8")).as("q"))
+    val mm = bigQ.agg(min("q"), max("q")).collect()(0)
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) === 255,
+      s"clamp failed: q range [${mm.getInt(0)}, ${mm.getInt(1)}]")
+
+    // rerun idempotence: the delta's dynamic overwrite lands identically
+    val before = spark.read.parquet(s"$dir/rerank/codes")
+      .where(col("release") =!= "r3").collect().toSet
+    IndexStore.appendRerank(spark, dir, cands(fresh), "r2")
+    spark.catalog.refreshByPath(s"$dir/rerank/codes")
+    val after = spark.read.parquet(s"$dir/rerank/codes")
+      .where(col("release") =!= "r3").collect().toSet
+    assert(after === before)
   }
 
   test("rebalance refuses a partial vectors frame instead of shrinking the store") {

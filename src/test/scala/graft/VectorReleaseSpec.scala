@@ -186,6 +186,59 @@ class VectorReleaseSpec extends SparkSpec {
     assert(sameRows(dOut2, hOut))
   }
 
+  test("maintain rolls the int8 rerank tier forward: frozen-stats append on healthy, rebuild on heal") {
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    def cands(d: DataFrame) = d.select(
+      col("vec_id").cast("long").as("cand_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+    def mkStore(kc: Int): String = {
+      val idx = Files.createTempDirectory("vmnt8").toString + "/index"
+      IndexStore.build(spark, idx, old, "vec_id", "embedding",
+        dim = 64, kCoarse = kc, coarseIters = 4, m = 16, ksub = 8,
+        iters = 3, release = "r1")
+      IndexStore.buildRerank(spark, idx, cands(old))
+      idx
+    }
+    def priorOf(idx: String): DataFrame = {
+      val m = IndexStore.readModel(spark, idx)
+      Similarity.ivfExactGraphEdges(nodes(old), cands(old), m.centroids,
+        nProbe = 2, k = 3)
+    }
+    def run(idx: String): DataFrame = VectorRelease.maintain(spark, idx,
+      fresh, old, nodes(emb.where(isEval)), priorOf(idx),
+      "vec_id", "embedding", release = "r2",
+      kCoarse = 8, maxShareMilli = 300).localCheckpoint()
+    def int8Serve(idx: String): DataFrame = IndexStore.queryInt8(spark, idx,
+      nodes(emb.where(isEval)), nProbe = 2, k = 5, shortlist = 100)
+
+    // healthy night: the delta appends under FROZEN stats — stats unchanged,
+    // tier covers the union, release-partitioned
+    val hIdx = mkStore(8)
+    val statsBefore = IndexStore.readRerankStats(spark, hIdx).collect().toSet
+    run(hIdx)
+    assert(IndexStore.readRerankStats(spark, hIdx).collect().toSet
+      === statsBefore, "a healthy night must not retrain the stats")
+    spark.catalog.refreshByPath(s"$hIdx/rerank/codes")
+    val hTier = spark.read.parquet(s"$hIdx/rerank/codes")
+    assert(hTier.count() === old.count() + fresh.count())
+    assert(hTier.select("release").distinct().collect().map(_.getString(0))
+      .toSet === Set("r1", "r2"))
+
+    // degenerate night: the rebalance rebuilds the tier under the healed
+    // cells with retrained stats — the healed store's int8 serve equals a
+    // store that was healthy all along (the dOut ≡ hOut pattern extended
+    // to the derived tier)
+    val dIdx = mkStore(2)
+    val dOut = run(dIdx)
+    assert(dOut.select("rebalanced").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true))
+    val (hServe, dServe) = (int8Serve(hIdx), int8Serve(dIdx))
+    assert(hServe.count() > 0)
+    assert(dServe.exceptAll(hServe).isEmpty && hServe.exceptAll(dServe).isEmpty,
+      "healed store's int8 serve must equal the healthy store's")
+  }
+
   test("three-night soak: persisted graph/generation handoff, mid-soak rebalance, no drift") {
     // the documented operator workflow, run for real over three growing
     // nights: persist (graph, generation) after each maintain and pass the

@@ -732,6 +732,19 @@ def py_q156_index_decontaminate(con, spark_df, oracle):
     (% 50 == 0) probing 2 cells, integer-ADC shortlist of 100, 3-dp exact
     rerank, threshold 0.3, then the flip — per corpus vector its best eval
     match (cosine desc, eval id asc)."""
+    return spark_df, _index_decontaminate(con, dequant=False)
+
+
+def py_q190_int8_decontaminate(con, spark_df, oracle):
+    """Int8-served decontamination: exactly the q156 chain, but the 3-dp
+    exact rerank dots each shortlisted candidate's q82-spelling DEQUANTIZED
+    vector (per-dim [lo, hi] over the CORPUS residents — the store's rerank
+    tier covers exactly its residents) instead of the raw float — what
+    IndexStore.decontaminateInt8 reads from the tier."""
+    return spark_df, _index_decontaminate(con, dequant=True)
+
+
+def _index_decontaminate(con, dequant):
     import math
     ids, vecs = _embeddings(con)
     dim = len(vecs[0])
@@ -741,6 +754,23 @@ def py_q156_index_decontaminate(con, spark_df, oracle):
     cidx = [i for i, vid in enumerate(ids) if vid % 50 != 0]
     cids = [ids[i] for i in cidx]
     cvecs = [vecs[i] for i in cidx]
+    # the store's rerank tier: per-dim [lo, hi] over the residents only,
+    # q82 spelling (HALF_UP), decode lo + q*(hi-lo)/255
+    rvecs = cvecs
+    if dequant:
+        lo = [min(v[i] for v in cvecs) for i in range(dim)]
+        hi = [max(v[i] for v in cvecs) for i in range(dim)]
+        rvecs = []
+        for v in cvecs:
+            row = []
+            for i in range(dim):
+                if hi[i] == lo[i]:
+                    q = 0
+                else:
+                    q = int(_spark_round(
+                        (v[i] - lo[i]) / ((hi[i] - lo[i]) / 255.0), 0))
+                row.append(lo[i] + float(q) * ((hi[i] - lo[i]) / 255.0))
+            rvecs.append(row)
     cents, assign = _lloyd(cvecs, kc, citers)
     resid = [[v[i] - cents[c][i] for i in range(dim)]
              for v, c in zip(cvecs, assign)]
@@ -791,7 +821,7 @@ def py_q156_index_decontaminate(con, spark_df, oracle):
                 scored.append((sc, cids[ci]))
         scored.sort(key=lambda t: (-t[0], t[1]))
         for _, cid in scored[:shortlist]:
-            cv2 = cvecs[idx_of[cid]]
+            cv2 = rvecs[idx_of[cid]]
             acc = 0.0
             for i in range(dim):
                 acc += qv[i] * cv2[i]
@@ -804,10 +834,9 @@ def py_q156_index_decontaminate(con, spark_df, oracle):
         # best match = cosine desc, eval id asc (max(struct(cosine, -qid)))
         if cur is None or (sc, -qid) > (cur[1], -cur[0]):
             best[cid] = (qid, sc)
-    exp = pd.DataFrame(
+    return pd.DataFrame(
         [(cid, q, s) for cid, (q, s) in sorted(best.items())],
         columns=["vec_id", "eval_id", "cosine"])
-    return spark_df, exp
 
 
 def py_q170_index_knn(con, spark_df, oracle):
@@ -1343,6 +1372,7 @@ PY_ORACLES = {
     # index IS a fresh q145-model build — the oracle is shared verbatim
     "q181_index_rebalance": py_q145_ivfpq_ann,
     "q156_index_decontaminate": py_q156_index_decontaminate,
+    "q190_int8_decontaminate": py_q190_int8_decontaminate,
     "q170_index_knn": py_q170_index_knn,
     "q175_index_recall": py_q175_index_recall,
     "q176_incremental_knn": py_q176_incremental_knn,
