@@ -373,8 +373,55 @@ object ScaleProbe {
             runVrel(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("vector_release", t1, tf, o1, of))
         }
+      // UNIFIED nightly maintenance (q186's lifecycle): the vector_release
+      // fixture plus a seeded int8 rerank tier, run through the ONE
+      // maintain call. Claim under probe: a HEALTHY maintained night costs
+      // the rollForward shape plus only a kilobyte verdict and a
+      // delta-sized tier append — same exponent as vector_release, the
+      // composition adds no corpus-sized term. Verdict target = the
+      // store's own populated-cell count with a never-tripping share cap,
+      // so the probed branch is deterministically the healthy one.
+      val mntResults =
+        if (!only.forall(_.contains("index_maintain"))) Seq.empty
+        else {
+          def runMnt(e: DataFrame, kCoarse: Int, tag: String): (Double, Long) = {
+            val isEval = col("vec_id") % 50 === 0
+            val isDelta = col("vec_id") % 10 >= 8 && col("vec_id") < eoff
+            val old = e.where(!isEval && !isDelta)
+            val fresh = e.where(!isEval && isDelta)
+            val p = s"$tmp/mnt_$tag"
+            graft.pipeline.IndexStore.build(spark, p, old, "vec_id",
+              "embedding", dim = 64, kCoarse = kCoarse, coarseIters = 4,
+              m = 16, ksub = 8, iters = 3, release = "r1")
+            def nodes(d: DataFrame) = d.select(
+              col("vec_id").cast("long").as("q_id"),
+              col("embedding").cast("array<double>").as("q_emb"))
+            def cands(d: DataFrame) = d.select(
+              col("vec_id").cast("long").as("cand_id"),
+              col("embedding").cast("array<double>").as("cand_emb"))
+            graft.pipeline.IndexStore.buildRerank(spark, p, cands(old))
+            val model = graft.pipeline.IndexStore.readModel(spark, p)
+            val prior = graft.operators.Similarity.ivfExactGraphEdges(
+                nodes(old), cands(old), model.centroids, 2, 3)
+              .localCheckpoint() // persisted state, not part of the night
+            val evals = nodes(e.where(isEval && col("vec_id") < eoff))
+            // Lloyd's may leave a target cell empty at any scale; the
+            // healthy-branch claim needs a verdict that cannot trip
+            val kcPop = graft.pipeline.IndexStore.readCodes(spark, p)
+              .select("cell").distinct().count().toInt
+            def night(): DataFrame = graft.pipeline.VectorRelease.maintain(
+              spark, p, fresh, old, evals, prior, "vec_id", "embedding",
+              "r2", kCoarse = kcPop, maxShareMilli = 1000)
+            time(night()) // untimed warmup
+            (time(night()), night().count())
+          }
+          val (t1, o1) = runMnt(embs, 8, "1x")
+          val (tf, of) =
+            runMnt(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("index_maintain", t1, tf, o1, of))
+        }
       val results = results0 ++ serveResults ++ int8Results ++
-        graphResults ++ vrelResults
+        graphResults ++ vrelResults ++ mntResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""
