@@ -31,7 +31,11 @@ object Bench {
     // every round measures the same schedule.
     SparkEntry.queries("q04_rolling_sum_7d")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
-    def onePass(): Seq[(String, Double)] =
+    def onePass(): Seq[(String, Double)] = {
+      // each pass reports its OWN fixture spend: pass 1 pays the shared
+      // read-only store builds, a steady second pass legitimately records
+      // ~0 for them (memoized) while mutating queries rebuild per pass
+      graft.queries.VectorQueries.fixtureBuildSec.clear()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column —
@@ -47,6 +51,7 @@ object Bench {
           }
         name -> sec
       }
+    }
     // SPARK_GRAFT_BENCH_PASSES=2 reports the SECOND pass per query —
     // steady-state numbers with codegen/IO caches warm, the figure that
     // round-over-round comparison should use. Default stays one cold pass

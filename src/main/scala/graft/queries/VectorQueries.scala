@@ -40,12 +40,18 @@ object VectorQueries {
     * params everywhere, so the store is identical to what each query used
     * to build privately — the production build-once/serve-many lifecycle
     * instead of ~8 s of quantizer re-training per query. Mutating queries
-    * (q180 append, q181 rebalance) build private copies. */
-  private def fullIndex(s: SparkSession, dir: String): String =
-    graft.pipeline.IndexStore.sharedBuild(s, s"$dir|embeddings|full",
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-      release = "r1")
+    * (q180 append, q181 rebalance) build private copies. `caller` is the
+    * query paying for the build THIS pass (whichever runs first) — the
+    * memoized cost lands in its `fixture_build` attribution, so the bench's
+    * wall-time for the first read-only server is not misread as serve
+    * cost. */
+  private def fullIndex(s: SparkSession, dir: String, caller: String): String =
+    timedFixture(caller) {
+      graft.pipeline.IndexStore.sharedBuild(s, s"$dir|embeddings|full",
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+        release = "r1")
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -74,7 +80,7 @@ object VectorQueries {
     // plus the reciprocal-edge flag.
     "q170_index_knn" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = fullIndex(s, dir)
+      val path = fullIndex(s, dir, "q170_index_knn")
       graft.pipeline.IndexStore.knnGraph(s, path,
         emb.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb")),
@@ -226,10 +232,12 @@ object VectorQueries {
     // ivfPqTopK and rotation survival/retrain across append/rebalance.
     "q187_opq_index_serve" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = graft.pipeline.IndexStore.sharedBuild(s,
-        s"$dir|embeddings|full-opq", emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1", opq = true)
+      val path = timedFixture("q187_opq_index_serve") {
+        graft.pipeline.IndexStore.sharedBuild(s,
+          s"$dir|embeddings|full-opq", emb, "vec_id", "embedding",
+          dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+          release = "r1", opq = true)
+      }
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -250,10 +258,12 @@ object VectorQueries {
     // against q82-spelling dequantized vectors.
     "q188_int8_index_serve" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = fullIndex(s, dir)
-      graft.pipeline.IndexStore.sharedRerank(s, path,
-        emb.select(col("vec_id").cast("long").as("cand_id"),
-          col("embedding").cast("array<double>").as("cand_emb")))
+      val path = fullIndex(s, dir, "q188_int8_index_serve")
+      timedFixture("q188_int8_index_serve") {
+        graft.pipeline.IndexStore.sharedRerank(s, path,
+          emb.select(col("vec_id").cast("long").as("cand_id"),
+            col("embedding").cast("array<double>").as("cand_emb")))
+      }
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -350,7 +360,7 @@ object VectorQueries {
     // replays the served grid with the q145 machinery and the same argmin.
     "q182_recall_dial" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = fullIndex(s, dir)
+      val path = fullIndex(s, dir, "q182_recall_dial")
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -369,11 +379,13 @@ object VectorQueries {
     // extends the q178 Lloyd histogram with the same arithmetic.
     "q183_health_verdict" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val degen = graft.pipeline.IndexStore.sharedBuild(s,
-        s"$dir|embeddings|full-kc2", emb, "vec_id", "embedding",
-        dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
-        release = "r1")
-      graft.pipeline.IndexStore.healthVerdict(s, fullIndex(s, dir),
+      val degen = timedFixture("q183_health_verdict") {
+        graft.pipeline.IndexStore.sharedBuild(s,
+          s"$dir|embeddings|full-kc2", emb, "vec_id", "embedding",
+          dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+          release = "r1")
+      }
+      graft.pipeline.IndexStore.healthVerdict(s, fullIndex(s, dir, "q183_health_verdict"),
           kCoarse = 8, maxShareMilli = 300)
         .withColumn("store", lit("kc8"))
         .unionByName(
@@ -395,7 +407,7 @@ object VectorQueries {
     // before it shows up as recall loss or a hot serving partition. One
     // cell-keyed count over the codes table; |cells| rows out.
     "q178_index_health" -> ((s, dir) => {
-      val codes = graft.pipeline.IndexStore.readCodes(s, fullIndex(s, dir))
+      val codes = graft.pipeline.IndexStore.readCodes(s, fullIndex(s, dir, "q178_index_health"))
       val tot = codes.agg(count(lit(1)).as("n_total"))
       codes.groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_codes"))
@@ -412,7 +424,7 @@ object VectorQueries {
     "q175_index_recall" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val isQ = col("vec_id") % 50 === 0
-      val path = fullIndex(s, dir)
+      val path = fullIndex(s, dir, "q175_index_recall")
       val qd = emb.where(isQ)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -566,7 +578,7 @@ object VectorQueries {
     // rebuild idempotence and append ≡ frozen-encode).
     "q146_index_serve" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = fullIndex(s, dir)
+      val path = fullIndex(s, dir, "q146_index_serve")
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -640,10 +652,12 @@ object VectorQueries {
     "q156_index_decontaminate" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val isEval = col("vec_id") % 50 === 0
-      val path = graft.pipeline.IndexStore.sharedBuild(s,
-        s"$dir|embeddings|noneval50", emb.where(!isEval), "vec_id",
-        "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
-        ksub = 8, iters = 3, release = "r1")
+      val path = timedFixture("q156_index_decontaminate") {
+        graft.pipeline.IndexStore.sharedBuild(s,
+          s"$dir|embeddings|noneval50", emb.where(!isEval), "vec_id",
+          "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+          ksub = 8, iters = 3, release = "r1")
+      }
       val evals = emb.where(isEval)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -664,13 +678,16 @@ object VectorQueries {
     "q190_int8_decontaminate" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val isEval = col("vec_id") % 50 === 0
-      val path = graft.pipeline.IndexStore.sharedBuild(s,
-        s"$dir|embeddings|noneval50", emb.where(!isEval), "vec_id",
-        "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
-        ksub = 8, iters = 3, release = "r1")
-      graft.pipeline.IndexStore.sharedRerank(s, path,
-        emb.where(!isEval).select(col("vec_id").cast("long").as("cand_id"),
-          col("embedding").cast("array<double>").as("cand_emb")))
+      val path = timedFixture("q190_int8_decontaminate") {
+        val p = graft.pipeline.IndexStore.sharedBuild(s,
+          s"$dir|embeddings|noneval50", emb.where(!isEval), "vec_id",
+          "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+          ksub = 8, iters = 3, release = "r1")
+        graft.pipeline.IndexStore.sharedRerank(s, p,
+          emb.where(!isEval).select(col("vec_id").cast("long").as("cand_id"),
+            col("embedding").cast("array<double>").as("cand_emb")))
+        p
+      }
       val evals = emb.where(isEval)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
