@@ -538,11 +538,15 @@ object IndexStore {
     * re-encodes that release map-only. */
   def vacuum(spark: SparkSession, path: String,
              keep: String => Boolean): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else {
-      val dropped = for {
+    // the rerank tier mirrors the code table's (cell, release) layout and
+    // must vacuum with it — a rejected release's tier rows are never
+    // servable (the shortlist can no longer contain its ids) but would
+    // accumulate as dead scan bytes in every probed-cell rerank pass
+    def sweep(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Seq.empty
+      else for {
         cell <- fs.listStatus(root).toSeq
         if cell.isDirectory && cell.getPath.getName.startsWith("cell=")
         rel <- fs.listStatus(cell.getPath).toSeq
@@ -556,8 +560,8 @@ object IndexStore {
           s"vacuum failed to delete ${rel.getPath}")
         name
       }
-      dropped.distinct
     }
+    (sweep("codes") ++ sweep("rerank/codes")).distinct
   }
 
   /** Rebalance a degenerate index (q178's detector found empty/monster
@@ -655,6 +659,16 @@ object IndexStore {
     val fs = fsOf(spark, path)
     fs.create(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), true).close()
     finishSwap(spark, path)
+    // the int8 rerank tier is keyed by the OLD cell layout — after the swap
+    // its partition-pruned scan would silently drop shortlisted candidates
+    // whose tier rows sit under stale cell numbers, so rebuild it on the
+    // resident population (the same vectors the quantizer just retrained
+    // on). A crash between the swap and this rebuild converges through
+    // VectorRelease.maintain's generation-mismatch rebuild.
+    if (hasRerank(spark, path))
+      buildRerank(spark, path, vectors.select(
+        col(idCol).cast("long").as("cand_id"),
+        col(embCol).cast("array<double>").as("cand_emb")))
   }
 
   /** Converge an interrupted [[rebalance]]: with the `_SWAP_READY` marker

@@ -189,14 +189,16 @@ object VectorRelease {
       col(idCol).cast("long").as("cand_id"),
       col(embCol).cast("array<double>").as("cand_emb"))
     // 2b. the int8 rerank tier is derived model state, so it shares the
-    //     graph's staleness rule: a quantizer change (this run's rebalance,
-    //     or a crashed predecessor's — both visible as the generation
-    //     mismatch) rebuilds the tier on the RESIDENT corpus, exactly the
-    //     population the rebalance retrained the quantizer on — so a healed
-    //     store converges to the state of one that was healthy all along
-    //     (stats included). The night's delta then appends under those
-    //     stats below, like any healthy night.
-    if (stale && hasTier) IndexStore.buildRerank(spark, path, cands(oldVecs))
+    //     graph's staleness rule. This run's own rebalance (step 2) already
+    //     rebuilt the tier on the resident corpus — the remaining stale
+    //     case is a CRASHED PREDECESSOR that committed its swap but died
+    //     before the tier rebuild: rebuild here on the residents, exactly
+    //     the population the rebalance retrained the quantizer on, so a
+    //     healed store converges to the state of one that was healthy all
+    //     along (stats included). The night's delta then appends under
+    //     those stats below, like any healthy night.
+    if (stale && !needsRebalance && hasTier)
+      IndexStore.buildRerank(spark, path, cands(oldVecs))
     val graphBase =
       if (!stale) priorGraph
       else {

@@ -185,8 +185,14 @@ class IndexStoreSpec extends SparkSpec {
   test("vacuum drops exactly the rejected releases' code partitions") {
     val dir = Files.createTempDirectory("ivfadc_vac").toString + "/index"
     build(dir, emb.where(!isNew), release = "r1")
+    IndexStore.buildRerank(spark, dir,
+      emb.where(!isNew).select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb")))
     IndexStore.append(spark, dir, emb.where(isNew), "vec_id", "embedding",
       release = "r2")
+    IndexStore.appendRerank(spark, dir,
+      emb.where(isNew).select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb")), "r2")
     val model = IndexStore.readModel(spark, dir)
     val dropped = IndexStore.vacuum(spark, dir, keep = _ == "r2")
     assert(dropped === Seq("r1"))
@@ -194,6 +200,12 @@ class IndexStoreSpec extends SparkSpec {
     assert(left.select("release").distinct().collect().map(_.getString(0)).toSeq
       === Seq("r2"))
     assert(left.count() === emb.where(isNew).count())
+    // the rerank tier vacuums WITH the code table — no dead scan bytes
+    spark.catalog.refreshByPath(s"$dir/rerank/codes")
+    val tier = spark.read.parquet(s"$dir/rerank/codes")
+    assert(tier.select("release").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("r2"))
+    assert(tier.count() === emb.where(isNew).count())
     // quantizer metadata is release-independent and survives the vacuum
     val after = IndexStore.readModel(spark, dir)
     assert(after.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
@@ -228,6 +240,28 @@ class IndexStoreSpec extends SparkSpec {
       col("vec_id") % 50 === 0, dim = 64, kCoarse = 8, coarseIters = 4,
       nProbe = 2, m = 16, ksub = 8, iters = 3, k = 5, shortlist = 100)
     assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
+  }
+
+  test("a direct rebalance rebuilds the int8 tier under the healed cells") {
+    // without the rebuild, the tier keeps the DEGENERATE cell keys and the
+    // partition-pruned rerank scan silently drops shortlisted candidates
+    // whose rows sit under stale cells — the worst kind of wrong answer
+    val dir = Files.createTempDirectory("ivfadc_rebt").toString + "/index"
+    build(dir, emb, kCoarse = 2)
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    IndexStore.rebalance(spark, dir, emb, "vec_id", "embedding",
+      kCoarse = 8, coarseIters = 4, pqIters = 3)
+    val served = IndexStore.queryInt8(spark, dir, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    // a fresh kc8 store with a fresh tier is the converged target
+    val dirF = Files.createTempDirectory("ivfadc_rebtF").toString + "/index"
+    build(dirF, emb, kCoarse = 8)
+    IndexStore.buildRerank(spark, dirF, fullVecs)
+    val freshServe = IndexStore.queryInt8(spark, dirF, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(served.count() > 0)
+    assert(served.exceptAll(freshServe).isEmpty &&
+      freshServe.exceptAll(served).isEmpty)
   }
 
   test("OPQ store: frozen-disk serve equals inline rotate+ivfPqTopK; rotation survives append and retrains on rebalance") {
