@@ -63,7 +63,9 @@ object VectorRelease {
     * @param evals      eval/benchmark vectors (q_id long, q_emb
     *                   array<double>)
     * @param priorGraph prior release's edge list (src_id, dst_id, score,
-    *                   rank[, mutual])
+    *                   rank[, mutual]); for an OPQ store it must have been
+    *                   built in the store's rotated space (true of any
+    *                   graph a previous rollForward/maintain night emitted)
     * @param release    the new release id (code-partition key)
     */
   def rollForward(spark: SparkSession, path: String, newVecs: DataFrame,
@@ -77,10 +79,25 @@ object VectorRelease {
     // 1. map-only frozen-model append of the new release's codes
     IndexStore.append(spark, path, newVecs, idCol, embCol, release)
     val model = IndexStore.readModel(spark, path)
-
-    def nodes(d: DataFrame) = d.select(col(idCol).cast("long").as("q_id"),
-      col(embCol).cast("array<double>").as("q_emb"))
-    def cands(d: DataFrame) = d.select(col(idCol).cast("long").as("cand_id"),
+    // the store's centroids live in its ROTATED space when it carries an
+    // OPQ rotation — build the graph there too, or the cell pruning would
+    // probe rotated centroids with unrotated vectors. The reflection is
+    // orthogonal, so scores are the same dot products; identity (and
+    // bit-identical plans) for a plain store. Prior graphs from earlier
+    // nights were built in the same frozen space, so merges stay exact.
+    val rot = IndexStore.readRotation(spark, path)
+    def nodes(d: DataFrame) = {
+      val n = d.select(col(idCol).cast("long").as("q_id"),
+        col(embCol).cast("array<double>").as("q_emb"))
+      rot.fold(n)(w => Similarity.householderRotate(n, "q_emb", w))
+    }
+    def cands(d: DataFrame) = {
+      val c = d.select(col(idCol).cast("long").as("cand_id"),
+        col(embCol).cast("array<double>").as("cand_emb"))
+      rot.fold(c)(w => Similarity.householderRotate(c, "cand_emb", w))
+    }
+    def candsRaw(d: DataFrame) = d.select(
+      col(idCol).cast("long").as("cand_id"),
       col(embCol).cast("array<double>").as("cand_emb"))
     val union = oldVecs.unionByName(newVecs)
 
@@ -93,8 +110,9 @@ object VectorRelease {
       Similarity.mergeKnnEdges(priorGraph, oldDelta, p.k)
         .unionByName(newEdges))
 
-    // 3. eval drop list served FROM the just-appended index
-    val drops = IndexStore.decontaminate(spark, path, evals, cands(union),
+    // 3. eval drop list served FROM the just-appended index — which
+    //    rotates its own inputs, so it gets the RAW candidates
+    val drops = IndexStore.decontaminate(spark, path, evals, candsRaw(union),
       p.nProbe, p.shortlist, p.threshold)
 
     // one frame pinning all three artifacts: edge rows + the source's
@@ -202,11 +220,19 @@ object VectorRelease {
     val graphBase =
       if (!stale) priorGraph
       else {
+        // rebuild in the healed store's native space: an OPQ rebalance
+        // retrains the rotation too, so reflect the resident vectors
+        // through the NEW frozen w before cell pruning (identity for a
+        // plain store — see rollForward's rotation note)
         val healed = IndexStore.readModel(spark, path)
+        val rot = IndexStore.readRotation(spark, path)
+        val n0 = oldVecs.select(col(idCol).cast("long").as("q_id"),
+          col(embCol).cast("array<double>").as("q_emb"))
         Similarity.ivfExactGraphEdges(
-          oldVecs.select(col(idCol).cast("long").as("q_id"),
-            col(embCol).cast("array<double>").as("q_emb")),
-          cands(oldVecs), healed.centroids, p.nProbe, p.k)
+          rot.fold(n0)(w => Similarity.householderRotate(n0, "q_emb", w)),
+          rot.fold(cands(oldVecs))(w =>
+            Similarity.householderRotate(cands(oldVecs), "cand_emb", w)),
+          healed.centroids, p.nProbe, p.k)
       }
     val out = rollForward(spark, path, newVecs, oldVecs, evals, graphBase,
       idCol, embCol, release, p)

@@ -239,6 +239,76 @@ class VectorReleaseSpec extends SparkSpec {
       "healed store's int8 serve must equal the healthy store's")
   }
 
+  test("maintain on an OPQ store: graph in the rotated space, heal retrains the rotation, tier converges") {
+    // the store's centroids live in the rotated space, so the night's graph
+    // must be built there too — probing rotated centroids with unrotated
+    // vectors would cell-prune in a mismatched geometry. The heal must
+    // retrain the rotation with the quantizer and still converge to a
+    // store that was healthy (OPQ included) all along.
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    def mkStore(kc: Int): String = {
+      val idx = Files.createTempDirectory("vmntq").toString + "/index"
+      IndexStore.build(spark, idx, old, "vec_id", "embedding",
+        dim = 64, kCoarse = kc, coarseIters = 4, m = 16, ksub = 8,
+        iters = 3, release = "r1", opq = true)
+      IndexStore.buildRerank(spark, idx, cands(old))
+      idx
+    }
+    def rotated(idx: String, d: DataFrame, embC: String): DataFrame =
+      IndexStore.readRotation(spark, idx)
+        .fold(d)(w => Similarity.householderRotate(d, embC, w))
+    def priorOf(idx: String): DataFrame = {
+      val m = IndexStore.readModel(spark, idx)
+      Similarity.ivfExactGraphEdges(rotated(idx, nodes(old), "q_emb"),
+        rotated(idx, cands(old), "cand_emb"), m.centroids, nProbe = 2, k = 3)
+    }
+    def run(idx: String): DataFrame = VectorRelease.maintain(spark, idx,
+      fresh, old, nodes(emb.where(isEval)), priorOf(idx),
+      "vec_id", "embedding", release = "r2",
+      kCoarse = 8, maxShareMilli = 300).localCheckpoint()
+    def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+      val (x, y) = (a.drop("rebalanced"), b.drop("rebalanced"))
+      x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+    }
+
+    // healthy OPQ night: no rebalance, rotation frozen, and the rolled
+    // graph ≡ a from-scratch union build in the store's rotated space
+    val hIdx = mkStore(8)
+    val wBefore = IndexStore.readRotation(spark, hIdx)
+    assert(wBefore.nonEmpty, "fixture must actually train a rotation")
+    val hOut = run(hIdx)
+    assert(hOut.select("rebalanced").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+    assert(IndexStore.readRotation(spark, hIdx).get.toSeq
+      === wBefore.get.toSeq, "a healthy night must not touch the rotation")
+    val m = IndexStore.readModel(spark, hIdx)
+    val unionAll = old.unionByName(fresh)
+    val scratch = Similarity.withMutualFlag(Similarity.ivfExactGraphEdges(
+      rotated(hIdx, nodes(unionAll), "q_emb"),
+      rotated(hIdx, cands(unionAll), "cand_emb"),
+      m.centroids, nProbe = 2, k = 3))
+    val got = hOut.select("src_id", "dst_id", "score", "rank", "mutual")
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty,
+      "rolled OPQ graph must equal the from-scratch rotated-space build")
+
+    // degenerate OPQ heal: rebalance retrains rotation + quantizer on the
+    // residents; rows AND the int8 serve converge to healthy-all-along
+    val dIdx = mkStore(2)
+    val dOut = run(dIdx)
+    assert(dOut.select("rebalanced").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true))
+    assert(IndexStore.readRotation(spark, dIdx).get.toSeq
+      === wBefore.get.toSeq,
+      "heal must retrain the rotation to the fresh-build answer")
+    assert(sameRows(dOut, hOut), "healed OPQ night must equal the healthy one")
+    def int8Serve(idx: String): DataFrame = IndexStore.queryInt8(spark, idx,
+      nodes(emb.where(isEval)), nProbe = 2, k = 5, shortlist = 100)
+    val (hServe, dServe) = (int8Serve(hIdx), int8Serve(dIdx))
+    assert(hServe.count() > 0)
+    assert(dServe.exceptAll(hServe).isEmpty && hServe.exceptAll(dServe).isEmpty)
+  }
+
   test("three-night soak: persisted graph/generation handoff, mid-soak rebalance, no drift") {
     // the documented operator workflow, run for real over three growing
     // nights: persist (graph, generation) after each maintain and pass the
