@@ -247,9 +247,23 @@ object IndexStore {
     val fv = rotate(fullVecs, "cand_emb", readRotation(spark, path))
     val ex = fv.select(col("cand_id"),
       posexplode(col("cand_emb")).as(Seq("i", "v")))
+    // stamp the tier with the model generation it was built under: the
+    // tier's (cell, q8) rows are derived model state, and a serve against
+    // a tier from another generation would partition-prune on stale cell
+    // keys — [[rerankVecs]] refuses the mismatch loudly (the crash window
+    // between a rebalance's swap-commit and its tier rebuild)
     val stats = ex.groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+      .withColumn("gen", lit(generation(spark, path)))
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/rerank/stats")
     writeRerankCodes(spark, path, ex, stats, dynamic = false)
+  }
+
+  /** The model generation the rerank tier was last (re)built under — None
+    * for a tier persisted before generation stamping existed. */
+  def rerankGeneration(spark: SparkSession, path: String): Option[Long] = {
+    val s = readRawRerankStats(spark, path)
+    if (s.columns.contains("gen")) Some(s.select("gen").head().getLong(0))
+    else None
   }
 
   /** True when the store carries the int8 rerank tier. */
@@ -261,11 +275,15 @@ object IndexStore {
   /** The rerank tier's per-dim quantization range — kilobytes; FROZEN at
     * [[buildRerank]] time exactly like the centroids and codebooks (a
     * rebalance-triggered rebuild retrains it, an append does not). */
-  def readRerankStats(spark: SparkSession, path: String): DataFrame = {
-    spark.catalog.refreshByPath(s"$path/rerank/stats")
-    spark.read.parquet(s"$path/rerank/stats")
+  def readRerankStats(spark: SparkSession, path: String): DataFrame =
+    readRawRerankStats(spark, path)
       .select(col("i").cast("int").as("i"), col("lo").cast("double").as("lo"),
         col("hi").cast("double").as("hi"))
+
+  private def readRawRerankStats(spark: SparkSession,
+                                 path: String): DataFrame = {
+    spark.catalog.refreshByPath(s"$path/rerank/stats")
+    spark.read.parquet(s"$path/rerank/stats")
   }
 
   /** Roll the int8 rerank tier FORWARD with a nightly append: the new
@@ -354,6 +372,18 @@ object IndexStore {
     * dot is computed in). */
   private def rerankVecs(spark: SparkSession, path: String,
                          probedCells: Array[Int]): DataFrame = {
+    // refuse a tier from another model generation: its (cell, release)
+    // partitions are keyed by a different coarse layout, so the pruned
+    // scan below would silently drop shortlisted candidates. This window
+    // exists only when a rebalance committed its swap and crashed before
+    // the tier rebuild — VectorRelease.maintain heals it on rerun.
+    rerankGeneration(spark, path).foreach { g =>
+      val cur = generation(spark, path)
+      require(g == cur,
+        s"int8 rerank tier was built under model generation $g but the " +
+          s"store is at generation $cur — rebuild it (IndexStore." +
+          "buildRerank on the residents, or rerun VectorRelease.maintain)")
+    }
     val stats = readRerankStats(spark, path)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)

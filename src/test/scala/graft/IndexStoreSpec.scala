@@ -242,6 +242,38 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
   }
 
+  test("serve refuses an int8 tier stamped under a stale model generation") {
+    // the crash window: a rebalance commits its swap (generation bump rides
+    // the staged meta) and dies BEFORE the tier rebuild. The tier's
+    // partitions are then keyed by the dead quantizer's cells and the
+    // pruned rerank scan would silently drop candidates — the guard turns
+    // that into a loud refusal. Emulate the window by advancing the
+    // persisted generation stamp, the only observable the guard keys on.
+    val dir = Files.createTempDirectory("ivfadc_gen").toString + "/index"
+    build(dir, emb)
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    val genPath = new org.apache.hadoop.fs.Path(s"$dir/meta/_generation")
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(genPath, true)
+    out.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val e1 = intercept[IllegalArgumentException] {
+      IndexStore.queryInt8(spark, dir, queriesDf,
+        nProbe = 2, k = 5, shortlist = 100).collect()
+    }
+    assert(e1.getMessage.contains("generation"))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.decontaminateInt8(spark, dir, queriesDf,
+        nProbe = 2, shortlist = 100, threshold = 0.3).collect()
+    }
+    assert(e2.getMessage.contains("generation"))
+    // the documented fix re-stamps the tier and serving resumes
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    assert(IndexStore.rerankGeneration(spark, dir) === Some(1L))
+    assert(IndexStore.queryInt8(spark, dir, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100).count() > 0)
+  }
+
   test("a direct rebalance rebuilds the int8 tier under the healed cells") {
     // without the rebuild, the tier keeps the DEGENERATE cell keys and the
     // partition-pruned rerank scan silently drops shortlisted candidates

@@ -237,6 +237,27 @@ class VectorReleaseSpec extends SparkSpec {
     assert(hServe.count() > 0)
     assert(dServe.exceptAll(hServe).isEmpty && hServe.exceptAll(dServe).isEmpty,
       "healed store's int8 serve must equal the healthy store's")
+
+    // crashed predecessor: a committed swap bumped the generation but died
+    // before the tier rebuild (emulated by advancing the persisted stamp).
+    // The night's rerun sees a healthy verdict + a generation mismatch and
+    // must rebuild the tier on the residents — serving converges to the
+    // healthy-all-along store instead of tripping the staleness guard.
+    val cIdx = mkStore(8)
+    val genPath = new org.apache.hadoop.fs.Path(s"$cIdx/meta/_generation")
+    val hfs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = hfs.create(genPath, true)
+    o.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8)); o.close()
+    val cOut = VectorRelease.maintain(spark, cIdx, fresh, old,
+      nodes(emb.where(isEval)), priorOf(cIdx), "vec_id", "embedding",
+      release = "r2", kCoarse = 8, maxShareMilli = 300,
+      priorGeneration = 0L).localCheckpoint()
+    assert(cOut.select("rebalanced").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+    assert(IndexStore.rerankGeneration(spark, cIdx) === Some(1L),
+      "the heal must re-stamp the tier at the store's generation")
+    val cServe = int8Serve(cIdx)
+    assert(cServe.exceptAll(hServe).isEmpty && hServe.exceptAll(cServe).isEmpty)
   }
 
   test("maintain on an OPQ store: graph in the rotated space, heal retrains the rotation, tier converges") {
