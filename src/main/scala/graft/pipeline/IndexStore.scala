@@ -298,6 +298,15 @@ object IndexStore {
     * [[graft.pipeline.VectorRelease.maintain]] does both. */
   def appendRerank(spark: SparkSession, path: String, newVecs: DataFrame,
                    release: String): Unit = {
+    // same epoch guard as the serve path: appending under another
+    // generation's frozen stats would quantize with dead ranges and mix
+    // quantizer epochs in one tier — rebuild first (see [[rerankVecs]])
+    rerankGeneration(spark, path).foreach { g =>
+      val cur = generation(spark, path)
+      require(g == cur,
+        s"int8 rerank tier is stamped with model generation $g but the " +
+          s"store is at generation $cur — rebuild it before appending")
+    }
     val fv = rotate(newVecs, "cand_emb", readRotation(spark, path))
     val ex = fv.select(col("cand_id"),
       posexplode(col("cand_emb")).as(Seq("i", "v")))

@@ -267,6 +267,11 @@ class IndexStoreSpec extends SparkSpec {
         nProbe = 2, shortlist = 100, threshold = 0.3).collect()
     }
     assert(e2.getMessage.contains("generation"))
+    // appending under another epoch's frozen stats is refused too
+    val e3 = intercept[IllegalArgumentException] {
+      IndexStore.appendRerank(spark, dir, fullVecs.limit(5), "r2")
+    }
+    assert(e3.getMessage.contains("generation"))
     // the documented fix re-stamps the tier and serving resumes
     IndexStore.buildRerank(spark, dir, fullVecs)
     assert(IndexStore.rerankGeneration(spark, dir) === Some(1L))
