@@ -603,6 +603,64 @@ object IndexStore {
     (sweep("codes") ++ sweep("rerank/codes")).distinct
   }
 
+  /** Compact the selected releases' (cell, release) partitions — code table
+    * and int8 rerank tier alike — down to ONE file each.
+    *
+    * Every nightly [[append]]/[[appendRerank]] bounds its files per
+    * partition at write time ([[EavStore.FilesPerPartition]]), but the
+    * bound is per WRITE: a year of releases still accumulates
+    * cells × releases × that bound, and every probed-cell serve pays the
+    * listing/open tax on all of them — the classic small-files problem.
+    * Compaction rewrites the targeted partitions in place with rows,
+    * provenance, layout and pruning untouched, so serve answers are
+    * bit-identical and append/vacuum/rebalance see the same table.
+    *
+    * Operational contract, sized for 100 TB: call with a BOUNDED `target`
+    * batch (e.g. the releases older than the retention watermark, or last
+    * week's, one batch per night) — the batch's rows pin in executor
+    * storage for the rewrite (the repo's localCheckpoint overwrite idiom),
+    * so a batch should be night-delta-sized, not corpus-sized. The write
+    * is a dynamic partition overwrite of exactly the partitions read: a
+    * crash before the job commit leaves the originals in place, and the
+    * rerun converges (idempotent by construction — same rows, same
+    * partitions). Returns the release ids compacted per table. */
+  def compact(spark: SparkSession, path: String,
+              target: String => Boolean): Map[String, Seq[String]] = {
+    def one(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val rels = (for {
+          cell <- fs.listStatus(root).toSeq
+          if cell.isDirectory && cell.getPath.getName.startsWith("cell=")
+          rel <- fs.listStatus(cell.getPath).toSeq
+          if rel.isDirectory && rel.getPath.getName.startsWith("release=")
+          name = rel.getPath.getName.stripPrefix("release=")
+          if target(name)
+        } yield name).distinct.sorted
+        if (rels.isEmpty) Seq.empty
+        else {
+          spark.catalog.refreshByPath(s"$path/$sub")
+          // pin the batch's rows before overwriting the files they came
+          // from (the rollForwardOnDisk self-overwrite contract), then
+          // route each (cell, release) combo to one task → one file
+          val pinned = spark.read.parquet(s"$path/$sub")
+            .where(col("release").isin(rels.map(r => r: Any): _*))
+            .localCheckpoint()
+          pinned.repartition(col("cell"), col("release"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "release")
+            .parquet(s"$path/$sub")
+          spark.catalog.refreshByPath(s"$path/$sub")
+          rels
+        }
+      }
+    }
+    Map("codes" -> one("codes"), "rerank/codes" -> one("rerank/codes"))
+  }
+
   /** Rebalance a degenerate index (q178's detector found empty/monster
     * cells): retrain the coarse quantizer on the raw vectors — sampled by
     * `sampleMod` (deterministic id-mod sample, the repo's RNG-free idiom;

@@ -242,6 +242,76 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
   }
 
+  test("compact rewrites targeted release partitions to one file each; serve is bit-identical") {
+    val dir = Files.createTempDirectory("ivfadc_cpt").toString + "/index"
+    // at spec scale AQE coalesces the write into one task per partition —
+    // turn it off for the fixture build so the (cell, hash-bucket)
+    // repartition fragments partitions the way corpus-sized writes do
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      build(dir, emb.where(!isNew), release = "r1")
+      IndexStore.buildRerank(spark, dir,
+        emb.where(!isNew).select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb")))
+      IndexStore.append(spark, dir, emb.where(isNew), "vec_id", "embedding",
+        release = "r2")
+      IndexStore.appendRerank(spark, dir,
+        emb.where(isNew).select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb")), "r2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def partFiles(sub: String): Map[String, Int] = {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (for {
+        cell <- fs.listStatus(root).toSeq
+        if cell.isDirectory && cell.getPath.getName.startsWith("cell=")
+        rel <- fs.listStatus(cell.getPath).toSeq
+        if rel.isDirectory && rel.getPath.getName.startsWith("release=")
+      } yield s"${cell.getPath.getName}/${rel.getPath.getName}" ->
+        fs.listStatus(rel.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))).toMap
+    }
+    def serveBoth(): (Set[org.apache.spark.sql.Row], Set[org.apache.spark.sql.Row]) = (
+      IndexStore.query(spark, dir, queriesDf, fullVecs,
+        nProbe = 2, k = 5, shortlist = 100).collect().toSet,
+      IndexStore.queryInt8(spark, dir, queriesDf,
+        nProbe = 2, k = 5, shortlist = 100).collect().toSet)
+
+    val before = partFiles("codes")
+    val beforeT = partFiles("rerank/codes")
+    val (q0, q8a) = serveBoth()
+    assert(before.filterKeys(_.endsWith("release=r1")).values.sum >
+      before.count { case (k, _) => k.endsWith("release=r1") },
+      "fixture must fragment r1 across multiple files for the test to bite")
+
+    val res = IndexStore.compact(spark, dir, target = _ == "r1")
+    assert(res("codes") === Seq("r1") && res("rerank/codes") === Seq("r1"))
+    val after = partFiles("codes")
+    val afterT = partFiles("rerank/codes")
+    // every r1 partition now holds exactly one file, in both tables
+    assert(after.filterKeys(_.endsWith("release=r1")).values.forall(_ == 1))
+    assert(afterT.filterKeys(_.endsWith("release=r1")).values.forall(_ == 1))
+    // r2 partitions untouched
+    assert(after.filterKeys(_.endsWith("release=r2")).toMap
+      === before.filterKeys(_.endsWith("release=r2")).toMap)
+    assert(afterT.filterKeys(_.endsWith("release=r2")).toMap
+      === beforeT.filterKeys(_.endsWith("release=r2")).toMap)
+    // rows and serve answers bit-identical (float path AND int8 path)
+    val (q1, q8b) = serveBoth()
+    assert(q1 === q0 && q8b === q8a)
+    assert(IndexStore.readCodes(spark, dir).count()
+      === emb.count())
+
+    // rerun is a no-op-shaped idempotent rewrite; vacuum still composes
+    val res2 = IndexStore.compact(spark, dir, target = _ == "r1")
+    assert(res2("codes") === Seq("r1"))
+    assert(partFiles("codes") === after)
+    assert(IndexStore.vacuum(spark, dir, keep = _ == "r2") === Seq("r1"))
+    assert(IndexStore.readCodes(spark, dir).select("release").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("r2"))
+  }
+
   test("serve refuses an int8 tier stamped under a stale model generation") {
     // the crash window: a rebalance commits its swap (generation bump rides
     // the staged meta) and dies BEFORE the tier rebuild. The tier's
