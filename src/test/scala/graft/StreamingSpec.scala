@@ -495,6 +495,10 @@ class StreamingSpec extends SparkSpec {
     graft.pipeline.IndexStore.build(spark, idx, base, "vec_id", "embedding",
       dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8, iters = 3,
       release = "r1")
+    // seed the int8 rerank tier too: batch 1's heal must rebuild it under
+    // the healed cells and later batches append — pinned against a
+    // healthy-all-along twin at the end
+    graft.pipeline.IndexStore.buildRerank(spark, idx, cands(base))
     // seed the persisted (side store, graph, generation) triple
     base.select("vec_id", "embedding").withColumn("release", lit("r1"))
       .write.partitionBy("release").parquet(s"$dir/vecs")
@@ -543,6 +547,32 @@ class StreamingSpec extends SparkSpec {
         .when(col("cand_id") % 10 <= 7, "b0")
         .when(col("cand_id") % 10 === 8, "b1").otherwise("b2"))
     assert(wrongRel.isEmpty, "release provenance lost across the stream")
+    // the int8 tier rolled with the stream: re-stamped by batch 1's heal,
+    // appended by batches 2-3, serving ≡ a healthy-all-along twin
+    assert(graft.pipeline.IndexStore.rerankGeneration(spark, idx)
+      === Some(1L))
+    // the twin runs the healthy-all-along sequence: built at the target
+    // geometry on the SAME population the heal retrained on (the batch-0
+    // residents), tier stats frozen there, then the same three appends
+    val twin = s"$dir/twin"
+    graft.pipeline.IndexStore.build(spark, twin, base, "vec_id",
+      "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+      ksub = 8, iters = 3, release = "r1")
+    graft.pipeline.IndexStore.buildRerank(spark, twin, cands(base))
+    for ((rel, slice) <- Seq(("b0", m10.isin(6, 7)), ("b1", m10 === 8),
+        ("b2", m10 === 9))) {
+      val d = corpus.where(slice)
+      graft.pipeline.IndexStore.append(spark, twin, d, "vec_id",
+        "embedding", rel)
+      graft.pipeline.IndexStore.appendRerank(spark, twin, cands(d), rel)
+    }
+    val s8 = graft.pipeline.IndexStore.queryInt8(spark, idx, evals,
+      nProbe = 2, k = 5, shortlist = 100)
+    val t8 = graft.pipeline.IndexStore.queryInt8(spark, twin, evals,
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(s8.count() > 0)
+    assert(s8.exceptAll(t8).isEmpty && t8.exceptAll(s8).isEmpty,
+      "stream-maintained int8 serve must equal the healthy-all-along twin")
     // full replay (fresh query, same files) converges — the healed store
     // skips the second rebalance but every artifact lands identically
     runOnceThrough()
