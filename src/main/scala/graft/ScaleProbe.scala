@@ -420,8 +420,46 @@ object ScaleProbe {
             runMnt(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("index_maintain", t1, tf, o1, of))
         }
+      // Store compaction (round 10): persisted fixture = prior corpus as
+      // r1 (grows with the factor) plus a FIXED delta appended as r2; the
+      // timed op compacts ONLY the r2 batch, code table and int8 tier
+      // together. Claim under probe: compact cost tracks the targeted
+      // batch plus the partition listing (cells ∝ √N), never the resident
+      // store — the rewrite reads and writes only the batch's partitions.
+      val cptResults =
+        if (!only.forall(_.contains("index_compact"))) Seq.empty
+        else {
+          def runCpt(e: DataFrame, kCoarse: Int, tag: String): (Double, Long) = {
+            val isDelta = col("vec_id") % 10 >= 8 && col("vec_id") < eoff
+            val old = e.where(!isDelta)
+            val fresh = e.where(isDelta)
+            val p = s"$tmp/cpt_$tag"
+            graft.pipeline.IndexStore.build(spark, p, old, "vec_id",
+              "embedding", dim = 64, kCoarse = kCoarse, coarseIters = 4,
+              m = 16, ksub = 8, iters = 3, release = "r1")
+            def cands(d: DataFrame) = d.select(
+              col("vec_id").cast("long").as("cand_id"),
+              col("embedding").cast("array<double>").as("cand_emb"))
+            graft.pipeline.IndexStore.buildRerank(spark, p, cands(old))
+            graft.pipeline.IndexStore.append(spark, p, fresh, "vec_id",
+              "embedding", "r2")
+            graft.pipeline.IndexStore.appendRerank(spark, p,
+              cands(fresh), "r2")
+            def cpt(): Double = {
+              val t0 = System.nanoTime()
+              graft.pipeline.IndexStore.compact(spark, p, _ == "r2")
+              (System.nanoTime() - t0) / 1e9
+            }
+            cpt() // untimed warmup (listings, codegen); rewrite idempotent
+            (cpt(), fresh.count())
+          }
+          val (t1, o1) = runCpt(embs, 8, "1x")
+          val (tf, of) =
+            runCpt(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("index_compact", t1, tf, o1, of))
+        }
       val results = results0 ++ serveResults ++ int8Results ++
-        graphResults ++ vrelResults ++ mntResults
+        graphResults ++ vrelResults ++ mntResults ++ cptResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""
