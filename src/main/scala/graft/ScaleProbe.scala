@@ -176,7 +176,12 @@ object ScaleProbe {
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("k_true"),
           coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
-    })
+    },
+    // greedy k-center: k map-only passes over the pool, each ending in a
+    // bounded TakeOrdered top-1 — time should track the corpus linearly
+    // with FIXED k (output is always k rows)
+    "kcenter_select" -> (e => graft.operators.Retrieval.kCenterSelect(
+      e, "vec_id", "embedding", k = 8)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -458,8 +463,36 @@ object ScaleProbe {
             runCpt(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("index_compact", t1, tf, o1, of))
         }
+      // Hybrid RRF (q191's shape): both arms scan their corpus once (BM25
+      // aggregation chain / broadcast-1-query dot map) and collapse to ≤n
+      // rows via the bounded top-k aggregate BEFORE fusion, so the fusion
+      // itself is constant-size work — time should track the two linear
+      // scans, output stays ≤ 2n rows at any factor.
+      val hybridResults =
+        if (!only.forall(_.contains("hybrid_rrf"))) Seq.empty
+        else {
+          def hybrid(d: DataFrame, e: DataFrame): DataFrame = {
+            val lex = TextAnalysis.bm25(d, "doc_id", "text",
+              Seq("vector", "merge", "window", "stream"))
+            val q0 = e.where(col("vec_id") === 0)
+              .select(col("embedding").cast("array<double>").as("q_emb"))
+            val vec = e.where(col("vec_id") =!= 0)
+              .join(broadcast(q0))
+              .select(col("vec_id").as("doc_id"),
+                round(graft.operators.Similarity.dot(col("embedding"),
+                  col("q_emb")), 3).as("score"))
+            graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id",
+              n = 20, rrfK = 60)
+          }
+          time(hybrid(docs, embs)) // untimed warmup
+          val t1 = time(hybrid(docs, embs))
+          val tf = time(hybrid(bigDocs, bigEmbs))
+          Seq(("hybrid_rrf", t1, tf,
+            hybrid(docs, embs).count(), hybrid(bigDocs, bigEmbs).count()))
+        }
       val results = results0 ++ serveResults ++ int8Results ++
-        graphResults ++ vrelResults ++ mntResults ++ cptResults
+        graphResults ++ vrelResults ++ mntResults ++ cptResults ++
+        hybridResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+
+/** Corpus-level retrieval compositions: hybrid lexical+vector rank fusion
+  * and diversity-maximizing subset selection — the two selection primitives
+  * a training-data pipeline runs after scoring (pick what's RELEVANT across
+  * modalities; pick what's DIFFERENT within a pool).
+  *
+  * Both are deterministic and oracle-verifiable: ranks derive from scores
+  * that are integer-quantized (BM25) or rounded-before-ranking (dots), and
+  * every tie breaks on the document id.
+  */
+object Retrieval {
+
+  /** Global top-`n` rank list of a scored frame: `(idCol, rank)` with rank
+    * 1-based by (score desc, id asc).
+    *
+    * Why an aggregate and not a window: a global `row_number()` is a
+    * single-partition WindowExec over the whole scored corpus. The bounded
+    * [[graft.functions.TopKAggregator]] reduces each input partition to ≤2n
+    * rows before the exchange, and `posexplode` of the (already rank-sorted)
+    * buffer yields the rank with no window at all — the only thing that
+    * crosses the wire is O(n × partitions) rows. */
+  def rankTopN(scored: DataFrame, idCol: String, scoreCol: String,
+               n: Int): DataFrame =
+    scored
+      .where(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .agg(TopKAgg.topK(n)(col(scoreCol), col(idCol).cast("long")).as("tk"))
+      .select(posexplode(col("tk").getField("items")).as(Seq("pos", "c")))
+      .select(col("c").getField("id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"))
+
+  /** Reciprocal-rank fusion of a lexical and a vector arm (Cormack et al.
+    * 2009): each arm contributes `floor(1e6 / (rrfK + rank))` integer
+    * micro-units for its top-`n` documents, and a document's fused score is
+    * the sum over the arms that ranked it. Integer contributions commute, so
+    * the fused score is bit-identical under any partition order and in the
+    * SQL oracle.
+    *
+    * Inputs are pre-scored frames `(idCol, scoreCol)` — e.g.
+    * [[TextAnalysis.bm25]] for the lexical arm and rounded dot products for
+    * the vector arm. Output: `(idCol, lex_rank, vec_rank, rrf_micro)`, one
+    * row per document in the union of the two top-`n` lists; an arm that did
+    * not rank the document leaves its rank null.
+    *
+    * Scale shape: each arm collapses to ≤`n` rows via the bounded top-k
+    * aggregate BEFORE fusion, so the fusion group-by touches ≤2n rows no
+    * matter the corpus size — the arms' own scans are the only corpus-sized
+    * work. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, idCol: String,
+              scoreCol: String = "score", n: Int = 20,
+              rrfK: Int = 60): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val arms =
+      rankTopN(lex, idCol, scoreCol, n).withColumn("arm", lit("lex"))
+        .unionByName(
+          rankTopN(vec, idCol, scoreCol, n).withColumn("arm", lit("vec")))
+    arms
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("arm") === "lex", col("rank"))).as("lex_rank"),
+        max(when(col("arm") === "vec", col("rank"))).as("vec_rank"),
+        sum(floor(lit(1000000.0) / (lit(rrfK) + col("rank"))).cast("long"))
+          .as("rrf_micro"))
+  }
+
+  /** Greedy k-center (farthest-point) selection over an embedding pool —
+    * the coreset/diversity primitive behind "pick k maximally-different
+    * exemplars" (Sener & Savarese 2018's k-Center-Greedy, in cosine form):
+    * seed with the smallest id, then repeatedly add the candidate whose
+    * MAXIMUM similarity to the already-selected set is MINIMAL (ties on the
+    * smaller id). Dots are rounded to `scale` decimals before the max, so
+    * the argmin is stable across engines — the q48 determinism contract.
+    *
+    * Output: `(sel_ord, vec_id, max_prior_sim)` — selection order from 0,
+    * the chosen id, and its max similarity to the previously-selected set
+    * (null for the seed). `max_prior_sim` is non-decreasing in `sel_ord`
+    * (the classic k-center monotonicity, spec-pinned).
+    *
+    * Scale shape: k map-only passes over the pool. The selected set (≤ k
+    * rows of kilobytes) is inlined as literal arrays, so each pass is
+    * `greatest(dot(emb, sel_1), …, dot(emb, sel_i))` + a global top-1 via
+    * TakeOrdered — no join, no window, no corpus-sized shuffle; driver state
+    * is exactly the k selected vectors. Inherently k sequential rounds, the
+    * same round structure as Lloyd's iterations in
+    * [[Similarity.kMeansCentroids]]. */
+  def kCenterSelect(pool: DataFrame, idCol: String, embCol: String, k: Int,
+                    scale: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val base = pool
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+    val seedRows = base.orderBy(col("vec_id")).limit(1).collect()
+    // (ord, id, emb, maxPriorSim) — bounded driver state: ≤ k vectors
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[Double], Option[Double])]
+    seedRows.foreach { r =>
+      selected += ((0L, r.getLong(0), r.getSeq[Double](1), None))
+    }
+    var exhausted = seedRows.isEmpty
+    while (!exhausted && selected.length < k) {
+      val selIds = selected.map(_._2).toSet
+      // max over selected of the ROUNDED dot: each term rounds before the
+      // greatest(), matching the oracle's max over per-pair rounded sums
+      val sims = selected.toSeq.map { case (_, _, e, _) =>
+        round(Similarity.dot(col("emb"), array(e.map(lit): _*)), scale)
+      }
+      val maxSim = if (sims.lengthIs == 1) sims.head else greatest(sims: _*)
+      val pick = base
+        .where(!col("vec_id").isin(selIds.toSeq: _*))
+        .select(col("vec_id"), maxSim.as("ms"))
+        .orderBy(col("ms").asc, col("vec_id").asc)
+        .limit(1)
+        .collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        val id = pick.head.getLong(0)
+        val ms = pick.head.getDouble(1)
+        val emb = base.where(col("vec_id") === id)
+          .select(col("emb")).collect().head.getSeq[Double](0)
+        selected += ((selected.length.toLong, id, emb, Some(ms)))
+      }
+    }
+    selected.toSeq
+      .map { case (ord, id, _, ms) => (ord, id, ms) }
+      .toDF("sel_ord", "vec_id", "max_prior_sim")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Retrieval, Similarity}
 import graft.sources.Tables
 
 /** Vector-similarity queries over the `embeddings` table (`Array[Float]`,
@@ -53,6 +53,47 @@ object VectorQueries {
         release = "r1")
     }
 
+  /** q191's fixed lexical query terms — q112's term set, so the lexical arm
+    * carries the already-hash-checked BM25 spelling. */
+  private val hybridTerms = Seq("vector", "merge", "window", "stream")
+
+  private def hybridTermsSql: String =
+    hybridTerms.map(t => s"'$t'").mkString(", ")
+
+  /** q192's oracle: the greedy k-center recurrence unrolled as chained CTEs
+    * — `pick_i` = argmin over the remaining pool of max rounded similarity
+    * to `acc_{i-1}` (ties on id), `acc_i` = `acc_{i-1} ∪ pick_i`. The same
+    * per-pair round-to-3dp the Spark side applies before its greatest(). */
+  private def kcenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |ex AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM pool),
+        |dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) AS s
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |),
+        |sel0 AS (SELECT CAST(0 AS BIGINT) AS sel_ord, CAST(min(vec_id) AS BIGINT) AS vec_id,
+        |                CAST(NULL AS DOUBLE) AS max_prior_sim FROM pool)""".stripMargin)
+    for (i <- 1 until k) {
+      val prev = if (i == 1) "sel0" else s"acc${i - 1}"
+      sb.append(s""",
+        |pick$i AS (
+        |  SELECT CAST($i AS BIGINT) AS sel_ord, CAST(d.a_id AS BIGINT) AS vec_id,
+        |         max(d.s) AS max_prior_sim
+        |  FROM dots d JOIN $prev p ON d.b_id = p.vec_id
+        |  WHERE d.a_id NOT IN (SELECT vec_id FROM $prev)
+        |  GROUP BY d.a_id
+        |  ORDER BY max_prior_sim ASC, vec_id ASC LIMIT 1
+        |),
+        |acc$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT sel_ord, vec_id, max_prior_sim FROM acc${k - 1}")
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-5: queries = vec_id % 50 == 0, all others are
@@ -65,6 +106,36 @@ object VectorQueries {
       Similarity.bruteForceTopK(q, emb.select(col("vec_id").as("cand_id"),
         col("embedding").as("cand_emb")), k = 5)
     }),
+
+    // HYBRID retrieval with reciprocal-rank fusion: the q112 BM25 arm and a
+    // single-query cosine arm (query = doc 0's embedding), each collapsed to
+    // a top-20 rank list by the bounded top-k aggregate (no window), fused
+    // as integer micro-unit RRF contributions. Arms and fusion are all
+    // integer-quantized or rounded-before-ranking, so the fused table is
+    // bit-identical in the SQL oracle.
+    "q191_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = graft.operators.TextAnalysis
+        .bm25(docs, "doc_id", "text", hybridTerms)
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("q_emb"))
+      val vec = emb.where(col("vec_id") =!= 0)
+        .join(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.dot(col("embedding"), col("q_emb")), 3).as("score"))
+      Retrieval.rrfFuse(lex, vec, "doc_id", n = 20, rrfK = 60)
+    }),
+
+    // Greedy k-center diversity selection (cosine form): seed = min id of
+    // the pool (vec_id % 10 == 0), then 7 rounds of argmin-of-max-rounded-
+    // similarity with id tie-breaks. The oracle replays the identical greedy
+    // recurrence as chained SQL CTEs, so the whole selection sequence is
+    // hash-checked, not just the final set.
+    "q192_kcenter_select" -> ((s, dir) =>
+      Retrieval.kCenterSelect(
+        Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 8)),
 
     // IVF ANN: label-cell centroids as the coarse quantizer, probe the 2
     // nearest cells, exact rerank — deterministic, fully oracle-verified.
@@ -1124,6 +1195,53 @@ object VectorQueries {
         |       round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) AS cosine
         |FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
         |GROUP BY 1, 2
-        |HAVING round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) >= 0.9""".stripMargin
+        |HAVING round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) >= 0.9""".stripMargin,
+
+    // The lexical arm re-spells q112's hash-checked BM25 chain (same IEEE
+    // constant expressions, same integer micro-unit quantization); the
+    // vector arm is q48's dots spelling with the single query vec_id = 0;
+    // ranks and the final fusion are exact integer arithmetic.
+    "q191_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |toks AS (SELECT doc_id, unnest(t) AS term FROM d),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ($hybridTermsSql) GROUP BY 1, 2
+         |),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |           * (tf * (1.2 + 1))
+         |           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         |           * 1e6 + 0.5) AS BIGINT) AS c
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+         |),
+         |bm AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) / 1e6 AS score
+         |       FROM contrib GROUP BY doc_id),
+         |lexr AS (SELECT doc_id, r FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM bm) WHERE r <= 20),
+         |ex AS (SELECT vec_id, unnest(embedding) AS v,
+         |              generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |dots AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS score
+         |  FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> 0
+         |  WHERE q.vec_id = 0 GROUP BY 1
+         |),
+         |vecr AS (SELECT doc_id, r FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM dots) WHERE r <= 20)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |       CAST(l.r AS BIGINT) AS lex_rank, CAST(v.r AS BIGINT) AS vec_rank,
+         |       COALESCE(CAST(floor(1000000.0 / (60 + l.r)) AS BIGINT), 0)
+         |     + COALESCE(CAST(floor(1000000.0 / (60 + v.r)) AS BIGINT), 0) AS rrf_micro
+         |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id""".stripMargin,
+
+    "q192_kcenter_select" -> kcenterOracleSql(8)
   )
 }

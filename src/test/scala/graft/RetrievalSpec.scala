@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Hybrid RRF fusion and greedy k-center selection on hand-checkable
+  * fixtures: rank lists, fusion arithmetic, tie-breaks, greedy order,
+  * and the k-center monotonicity invariant. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankTopN ranks by score desc with id tie-break and caps at n") {
+    val scored = Seq(
+      (10L, 3.0), (11L, 5.0), (12L, 5.0), (13L, 1.0), (14L, 4.0)
+    ).toDF("doc_id", "score")
+    val got = Retrieval.rankTopN(scored, "doc_id", "score", 3)
+      .as[(Long, Long)].collect().toMap
+    // 5.0 ties: 11 before 12; then 4.0; 3.0/1.0 fall outside n=3
+    assert(got === Map(11L -> 1L, 12L -> 2L, 14L -> 3L))
+  }
+
+  test("rrfFuse sums integer micro-unit contributions over the arm union") {
+    val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val vec = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(lex, vec, "doc_id", n = 2, rrfK = 60)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+    def c(r: Long): Long = math.floor(1000000.0 / (60 + r)).toLong
+    // n=2: lex keeps 1,2; vec keeps 2,4; 3 is cut by the lexical top-n
+    assert(got === Array(
+      (1L, Some(1L), None, c(1)),
+      (2L, Some(2L), Some(1L), c(2) + c(1)),
+      (4L, None, Some(2L), c(2))))
+  }
+
+  test("rrfFuse: a doc ranked first in both arms leads the fused order") {
+    val lex = Seq((1L, 9.0), (2L, 8.0)).toDF("doc_id", "score")
+    val vec = Seq((1L, 0.9), (3L, 0.8)).toDF("doc_id", "score")
+    val top = Retrieval.rrfFuse(lex, vec, "doc_id", n = 2, rrfK = 60)
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(top.head === 1L)
+  }
+
+  test("kCenterSelect: orthogonal axes are picked before correlated vectors") {
+    // e0/e1/e2 mutually orthogonal; 13 is nearly parallel to e0 — greedy
+    // min-max-similarity must take all three axes before the near-duplicate.
+    val pool = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f, 0.0f)),
+      (12L, Seq(0.0f, 0.0f, 1.0f)),
+      (13L, Seq(0.999f, 0.04f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval.kCenterSelect(pool, "vec_id", "embedding", k = 4)
+      .orderBy("sel_ord")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.map(_._2).toSeq === Seq(10L, 11L, 12L, 13L))
+    assert(got.head._3.isEmpty) // seed has no prior
+    // the near-duplicate's max prior sim is its rounded dot with 10
+    assert(got.last._3.contains(0.999))
+  }
+
+  test("kCenterSelect: max_prior_sim is non-decreasing in selection order") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") % 5 === 0)
+    val sims = Retrieval.kCenterSelect(emb, "vec_id", "embedding", k = 6)
+      .orderBy("sel_ord")
+      .select("max_prior_sim").as[Option[Double]].collect().flatten
+    assert(sims.nonEmpty)
+    assert(sims.zip(sims.tail).forall { case (a, b) => b >= a },
+      s"max_prior_sim not monotone: ${sims.mkString(", ")}")
+  }
+
+  test("kCenterSelect: pool smaller than k returns the whole pool, seeded at min id") {
+    val pool = Seq((7L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.kCenterSelect(pool, "vec_id", "embedding", k = 5)
+      .orderBy("sel_ord").as[(Long, Long, Option[Double])].collect()
+    assert(got.map(_._2).toSeq === Seq(3L, 7L))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L))
+  }
+}
