@@ -181,7 +181,20 @@ object ScaleProbe {
     // bounded TakeOrdered top-1 — time should track the corpus linearly
     // with FIXED k (output is always k rows)
     "kcenter_select" -> (e => graft.operators.Retrieval.kCenterSelect(
-      e, "vec_id", "embedding", k = 8)))
+      e, "vec_id", "embedding", k = 8)),
+    // MMR: ONE corpus-sized pass (broadcast-1-query dot + bounded TopK
+    // shortlist); the greedy rerank is ≤ n driver-local rows — time should
+    // track the scan, output is always k rows
+    "mmr_select" -> { e =>
+      val q0 = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("q_emb"))
+      val pool = e.where(col("vec_id") =!= 0).join(broadcast(q0))
+        .select(col("vec_id"), col("embedding"),
+          round(graft.operators.Similarity.dot(col("embedding"),
+            col("q_emb")), 3).as("rel"))
+      graft.operators.Retrieval.mmrSelect(pool, "vec_id", "embedding",
+        "rel", k = 8, n = 20)
+    })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

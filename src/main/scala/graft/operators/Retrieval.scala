@@ -69,6 +69,87 @@ object Retrieval {
           .as("rrf_micro"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) over
+    * a relevance-shortlisted candidate pool: seed with the most relevant
+    * candidate, then repeatedly add the candidate maximizing
+    * `lambdaMilli·rel − (1000−lambdaMilli)·maxSimToSelected` — the
+    * relevance/diversity dial between q191's pure ranking and q192's pure
+    * spread. All arithmetic is integer milli/micro units over
+    * rounded-to-3dp dots, so the greedy sequence is bit-identical in the
+    * SQL oracle.
+    *
+    * Inputs: `pool(idCol, embCol)` with a `relevance` column of rounded
+    * similarity-to-query (double, 3dp); `n` bounds the shortlist (top-n by
+    * relevance desc, id asc — MMR is a rerank of a retrieval shortlist, so
+    * the greedy loop never touches more than n candidates), `k` the
+    * selection size. Output: `(sel_ord, vec_id, mmr_micro)` — micro-unit
+    * MMR objective of each pick at selection time (null for the seed, which
+    * is chosen on relevance alone).
+    *
+    * Scale shape: the shortlist is a bounded TopK aggregate over the scored
+    * corpus (the only corpus-sized step); the greedy loop then runs on ≤ n
+    * driver-local rows — n is a serving constant (tens), so this is
+    * kilobyte driver state like the k-means centroid loop. */
+  def mmrSelect(pool: DataFrame, idCol: String, embCol: String,
+                relCol: String, k: Int, n: Int = 20,
+                lambdaMilli: Long = 700L): DataFrame = {
+    require(k > 0 && n >= k, s"need 0 < k <= n, got k=$k n=$n")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    // bounded shortlist: top-n by (relevance desc, id asc), then the greedy
+    // loop is driver-local over ≤ n rows
+    val clean = pool.where(col(idCol).isNotNull && col(relCol).isNotNull &&
+      col(embCol).isNotNull)
+    val shortIds = clean
+      .agg(TopKAgg.topK(n)(col(relCol), col(idCol).cast("long")).as("tk"))
+      .select(explode(col("tk").getField("items")).as("c"))
+      .select(col("c").getField("id").as("__id"),
+        col("c").getField("score").as("__rel"))
+    // fetch the ≤ n shortlist embeddings with the n-row side BROADCAST, so
+    // the corpus streams map-side and never shuffles for the lookup
+    val short = clean
+      .select(col(idCol).cast("long").as("__id"),
+        col(embCol).cast("array<double>").as("__emb"))
+      .join(broadcast(shortIds), Seq("__id"))
+      .select(col("__id"), col("__rel"), col("__emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def simMilli(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0d; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      // same two-step quantization as the distributed dots: round the
+      // double dot to 3dp first, then scale to exact milli units
+      math.round(BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1000d)
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      short.map { case (id, rel, emb) =>
+        id -> ((math.round(rel * 1000d), emb))
+      }.toSeq: _*)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long])]
+    if (remaining.nonEmpty) {
+      // seed: max relevance, id tie-break (the shortlist's rank-1 row)
+      val (seedId, (_, _)) = remaining.minBy { case (id, (rm, _)) => (-rm, id) }
+      val selEmbs = scala.collection.mutable.ArrayBuffer(remaining(seedId)._2)
+      remaining.remove(seedId)
+      picked += ((0L, seedId, None))
+      while (picked.length < k && remaining.nonEmpty) {
+        val (bestId, bestScore) = remaining.iterator.map {
+          case (id, (relMilli, emb)) =>
+            val maxSim = selEmbs.iterator.map(simMilli(emb, _)).max
+            (id, lambdaMilli * relMilli - (1000L - lambdaMilli) * maxSim)
+        }.minBy { case (id, s) => (-s, id) }
+        selEmbs += remaining(bestId)._2
+        remaining.remove(bestId)
+        picked += ((picked.length.toLong, bestId, Some(bestScore)))
+      }
+    }
+    picked.toSeq.toDF("sel_ord", "vec_id", "mmr_micro")
+  }
+
   /** Greedy k-center (farthest-point) selection over an embedding pool —
     * the coreset/diversity primitive behind "pick k maximally-different
     * exemplars" (Sener & Savarese 2018's k-Center-Greedy, in cosine form):

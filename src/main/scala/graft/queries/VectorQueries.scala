@@ -69,13 +69,13 @@ object VectorQueries {
     sb.append(
       """WITH pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
         |ex AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM pool),
-        |dots AS (
+        |dots AS MATERIALIZED (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |         round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) AS s
         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2
         |),
-        |sel0 AS (SELECT CAST(0 AS BIGINT) AS sel_ord, CAST(min(vec_id) AS BIGINT) AS vec_id,
+        |sel0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS sel_ord, CAST(min(vec_id) AS BIGINT) AS vec_id,
         |                CAST(NULL AS DOUBLE) AS max_prior_sim FROM pool)""".stripMargin)
     for (i <- 1 until k) {
       val prev = if (i == 1) "sel0" else s"acc${i - 1}"
@@ -88,9 +88,65 @@ object VectorQueries {
         |  GROUP BY d.a_id
         |  ORDER BY max_prior_sim ASC, vec_id ASC LIMIT 1
         |),
-        |acc$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin)
+        |acc$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin)
     }
     sb.append(s"\nSELECT sel_ord, vec_id, max_prior_sim FROM acc${k - 1}")
+    sb.toString
+  }
+
+  /** q193's oracle: relevance shortlist (top-`n` by rounded dot with vec 0,
+    * id tie-break), pairwise milli-sims within the shortlist, then the MMR
+    * greedy recurrence unrolled — `pick_i` = argmax of
+    * `λ·rel_milli − (1000−λ)·max_sim_milli` over the remaining shortlist
+    * against `macc_{i-1}` (ties on id). Identical integer arithmetic to
+    * `Retrieval.mmrSelect`. */
+  private def mmrOracleSql(k: Int, n: Int, lambdaMilli: Long): String = {
+    val mu = 1000L - lambdaMilli
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+         |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |rel AS (
+         |  SELECT c.vec_id AS vec_id,
+         |         round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS rel
+         |  FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> 0
+         |  WHERE q.vec_id = 0 GROUP BY 1
+         |),
+         |shortr AS MATERIALIZED (
+         |  SELECT vec_id, CAST(round(rel * 1000) AS BIGINT) AS rel_milli
+         |  FROM (SELECT vec_id, rel,
+         |               row_number() OVER (ORDER BY rel DESC, vec_id) AS r
+         |        FROM rel) WHERE r <= $n
+         |),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(round(round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) * 1000) AS BIGINT) AS sim_milli
+         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM shortr)
+         |    AND b.vec_id IN (SELECT vec_id FROM shortr)
+         |  GROUP BY 1, 2
+         |),
+         |macc0 AS MATERIALIZED (
+         |  SELECT CAST(0 AS BIGINT) AS sel_ord, CAST(vec_id AS BIGINT) AS vec_id,
+         |         CAST(NULL AS BIGINT) AS mmr_micro
+         |  FROM (SELECT vec_id FROM shortr ORDER BY rel_milli DESC, vec_id LIMIT 1)
+         |)""".stripMargin)
+    for (i <- 1 until k) {
+      val prev = s"macc${i - 1}"
+      sb.append(s""",
+        |mpick$i AS (
+        |  SELECT CAST($i AS BIGINT) AS sel_ord, CAST(c.vec_id AS BIGINT) AS vec_id,
+        |         $lambdaMilli * c.rel_milli - $mu * max(s.sim_milli) AS mmr_micro
+        |  FROM shortr c
+        |  JOIN sims s ON s.a_id = c.vec_id
+        |  JOIN $prev p ON s.b_id = p.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+        |  GROUP BY c.vec_id, c.rel_milli
+        |  ORDER BY mmr_micro DESC, vec_id ASC LIMIT 1
+        |),
+        |macc$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM mpick$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT sel_ord, vec_id, mmr_micro FROM macc${k - 1}")
     sb.toString
   }
 
@@ -136,6 +192,22 @@ object VectorQueries {
       Retrieval.kCenterSelect(
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
+
+    // MMR rerank of the q191-style relevance shortlist (λ = 0.7): seed =
+    // most relevant, then 7 greedy rounds of max(700·rel_milli −
+    // 300·max_sim_milli) with id tie-breaks — all integer arithmetic over
+    // rounded dots, so the oracle unrolls the identical recurrence.
+    "q193_mmr_select" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("q_emb"))
+      val pool = emb.where(col("vec_id") =!= 0)
+        .join(broadcast(q0))
+        .select(col("vec_id"), col("embedding"),
+          round(Similarity.dot(col("embedding"), col("q_emb")), 3).as("rel"))
+      Retrieval.mmrSelect(pool, "vec_id", "embedding", "rel",
+        k = 8, n = 20, lambdaMilli = 700L)
+    }),
 
     // IVF ANN: label-cell centroids as the coarse quantizer, probe the 2
     // nearest cells, exact rerank — deterministic, fully oracle-verified.
@@ -1242,6 +1314,8 @@ object VectorQueries {
          |     + COALESCE(CAST(floor(1000000.0 / (60 + v.r)) AS BIGINT), 0) AS rrf_micro
          |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id""".stripMargin,
 
-    "q192_kcenter_select" -> kcenterOracleSql(8)
+    "q192_kcenter_select" -> kcenterOracleSql(8),
+
+    "q193_mmr_select" -> mmrOracleSql(k = 8, n = 20, lambdaMilli = 700L)
   )
 }

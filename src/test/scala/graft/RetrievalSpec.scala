@@ -71,6 +71,44 @@ class RetrievalSpec extends SparkSpec {
       s"max_prior_sim not monotone: ${sims.mkString(", ")}")
   }
 
+  test("mmrSelect: lambda=1000 reduces to pure relevance ranking") {
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.9), (2L, Seq(0.0f, 1.0f), 0.7),
+      (3L, Seq(0.9f, 0.1f), 0.8), (4L, Seq(0.5f, 0.5f), 0.6)
+    ).toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrSelect(pool, "vec_id", "embedding", "rel",
+        k = 3, n = 4, lambdaMilli = 1000L)
+      .orderBy("sel_ord").select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 3L, 2L))
+  }
+
+  test("mmrSelect: lambda=0 spreads like k-center after the relevance seed") {
+    // 3 is nearly parallel to the seed (1) — with pure diversity it must
+    // lose to the orthogonal 2 even though its relevance is higher
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.9), (2L, Seq(0.0f, 1.0f), 0.5),
+      (3L, Seq(0.999f, 0.04f), 0.8)
+    ).toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrSelect(pool, "vec_id", "embedding", "rel",
+        k = 2, n = 3, lambdaMilli = 0L)
+      .orderBy("sel_ord").select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("mmrSelect: mmr_micro is the exact integer objective at pick time") {
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.9), (2L, Seq(0.6f, 0.8f), 0.7)
+    ).toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrSelect(pool, "vec_id", "embedding", "rel",
+        k = 2, n = 2, lambdaMilli = 700L)
+      .orderBy("sel_ord")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got(0) === ((0L, 1L, None)))
+    // pick 2: rel_milli=700, sim to seed = round(0.6,3)*1000 = 600
+    // mmr = 700*700 - 300*600 = 490000 - 180000 = 310000
+    assert(got(1) === ((1L, 2L, Some(310000L))))
+  }
+
   test("kCenterSelect: pool smaller than k returns the whole pool, seeded at min id") {
     val pool = Seq((7L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
