@@ -182,6 +182,12 @@ object ScaleProbe {
     // with FIXED k (output is always k rows)
     "kcenter_select" -> (e => graft.operators.Retrieval.kCenterSelect(
       e, "vec_id", "embedding", k = 8)),
+    // stratified k-center: one stratum-keyed shuffle + per-group local
+    // greedy; labels stay fixed under copying while per-stratum pools grow
+    // k×, so time should track the pool linearly (k·pool local work per
+    // stratum) and output stays |strata|·k rows
+    "kcenter_stratified" -> (e => graft.operators.Retrieval
+      .kCenterPerStratum(e, "vec_id", "embedding", "label", k = 4)),
     // MMR: ONE corpus-sized pass (broadcast-1-query dot + bounded TopK
     // shortlist); the greedy rerank is ≤ n driver-local rows — time should
     // track the scan, output is always k rows

@@ -214,4 +214,60 @@ object Retrieval {
       .map { case (ord, id, _, ms) => (ord, id, ms) }
       .toDF("sel_ord", "vec_id", "max_prior_sim")
   }
+
+  /** Stratified greedy k-center: [[kCenterSelect]]'s exact recurrence run
+    * independently inside every stratum (source, cluster, language …) — the
+    * scale path for large total selection sizes, since the global greedy is
+    * inherently sequential while strata select in parallel. One shuffle on
+    * the stratum key, then each group's greedy runs locally via
+    * `flatMapGroups` (the rare justified per-group imperative kernel: the
+    * recurrence is k sequential argmins, not expressible as joins without k
+    * rounds of jobs PER STRATUM).
+    *
+    * Contract: one stratum's pool must fit in executor memory (the same
+    * contract as any collect_list-per-key aggregation); strata are the
+    * natural corpus shards (a source, a near-dup cluster), bounded by
+    * construction. Output: `(stratum, sel_ord, vec_id, max_prior_sim)`,
+    * ≤ k rows per stratum; per-stratum rows are EXACTLY what
+    * [[kCenterSelect]] returns on that stratum alone (spec-pinned), so all
+    * determinism and monotonicity properties carry over. */
+  def kCenterPerStratum(pool: DataFrame, idCol: String, embCol: String,
+                        stratumCol: String, k: Int,
+                        scale: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val typed = pool
+      .where(col(idCol).isNotNull && col(embCol).isNotNull &&
+        col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("long").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        col(embCol).cast("array<double>").as("_3"))
+      .as[(Long, Long, Seq[Double])]
+    def roundedDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      // same index-order accumulation + HALF_UP rounding as the distributed
+      // round(graft_dot(...), scale) the single-pool form plans
+      BigDecimal(s).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    typed.groupByKey(_._1).flatMapGroups { (stratum, it) =>
+      val rows = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val selected = scala.collection.mutable.ArrayBuffer(
+          (0L, rows.head._1, rows.head._2, Option.empty[Double]))
+        val remaining = scala.collection.mutable.LinkedHashMap(rows.tail: _*)
+        while (selected.length < k && remaining.nonEmpty) {
+          val (id, ms) = remaining.iterator.map { case (cid, emb) =>
+            (cid, selected.iterator.map(s => roundedDot(emb, s._3)).max)
+          }.minBy { case (cid, m) => (m, cid) }
+          selected += ((selected.length.toLong, id, remaining(id), Some(ms)))
+          remaining.remove(id)
+        }
+        selected.iterator.map { case (ord, id, _, ms) => (stratum, ord, id, ms) }
+      }
+    }.toDF("stratum", "sel_ord", "vec_id", "max_prior_sim")
+  }
 }

@@ -94,6 +94,47 @@ object VectorQueries {
     sb.toString
   }
 
+  /** q194's oracle: q192's greedy recurrence with a per-stratum argmin each
+    * round (`row_number() OVER (PARTITION BY label ...)` = 1), seeds = each
+    * label's min id. */
+  private def kcenterStratOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ex AS (SELECT vec_id, label, unnest(embedding) AS v,
+        |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |sdots AS MATERIALIZED (
+        |  SELECT CAST(a.label AS BIGINT) AS stratum, a.vec_id AS a_id, b.vec_id AS b_id,
+        |         round(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 3) AS s
+        |  FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3
+        |),
+        |sacc0 AS MATERIALIZED (
+        |  SELECT CAST(label AS BIGINT) AS stratum, CAST(0 AS BIGINT) AS sel_ord,
+        |         CAST(min(vec_id) AS BIGINT) AS vec_id,
+        |         CAST(NULL AS DOUBLE) AS max_prior_sim
+        |  FROM embeddings GROUP BY label
+        |)""".stripMargin)
+    for (i <- 1 until k) {
+      val prev = s"sacc${i - 1}"
+      sb.append(s""",
+        |spick$i AS MATERIALIZED (
+        |  SELECT stratum, sel_ord, vec_id, max_prior_sim FROM (
+        |    SELECT d.stratum, CAST($i AS BIGINT) AS sel_ord,
+        |           CAST(d.a_id AS BIGINT) AS vec_id, max(d.s) AS max_prior_sim,
+        |           row_number() OVER (PARTITION BY d.stratum
+        |                              ORDER BY max(d.s) ASC, d.a_id ASC) AS rn
+        |    FROM sdots d JOIN $prev p ON d.stratum = p.stratum AND d.b_id = p.vec_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM $prev q
+        |                      WHERE q.stratum = d.stratum AND q.vec_id = d.a_id)
+        |    GROUP BY d.stratum, d.a_id
+        |  ) WHERE rn = 1
+        |),
+        |sacc$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM spick$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT stratum, sel_ord, vec_id, max_prior_sim FROM sacc${k - 1}")
+    sb.toString
+  }
+
   /** q193's oracle: relevance shortlist (top-`n` by rounded dot with vec 0,
     * id tie-break), pairwise milli-sims within the shortlist, then the MMR
     * greedy recurrence unrolled — `pick_i` = argmax of
@@ -192,6 +233,15 @@ object VectorQueries {
       Retrieval.kCenterSelect(
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
+
+    // STRATIFIED greedy k-center: q192's exact recurrence run independently
+    // per label — the parallel scale path for large total selections (the
+    // global greedy is sequential; strata select concurrently after one
+    // stratum-keyed shuffle). Oracle unrolls the same recurrence with a
+    // per-stratum argmin each round.
+    "q194_kcenter_stratified" -> ((s, dir) =>
+      Retrieval.kCenterPerStratum(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 4)),
 
     // MMR rerank of the q191-style relevance shortlist (λ = 0.7): seed =
     // most relevant, then 7 greedy rounds of max(700·rel_milli −
@@ -1316,6 +1366,8 @@ object VectorQueries {
 
     "q192_kcenter_select" -> kcenterOracleSql(8),
 
-    "q193_mmr_select" -> mmrOracleSql(k = 8, n = 20, lambdaMilli = 700L)
+    "q193_mmr_select" -> mmrOracleSql(k = 8, n = 20, lambdaMilli = 700L),
+
+    "q194_kcenter_stratified" -> kcenterStratOracleSql(4)
   )
 }

@@ -109,6 +109,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1) === ((1L, 2L, Some(310000L))))
   }
 
+  test("kCenterPerStratum equals kCenterSelect run on each stratum alone") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("label") < 3)
+    val strat = Retrieval.kCenterPerStratum(emb, "vec_id", "embedding",
+        "label", k = 4)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq)
+      .toMap
+    (0L until 3L).foreach { l =>
+      val solo = Retrieval.kCenterSelect(emb.where(col("label") === l),
+          "vec_id", "embedding", k = 4)
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+      assert(strat(l) === solo, s"stratum $l diverges from the solo greedy")
+    }
+  }
+
   test("kCenterSelect: pool smaller than k returns the whole pool, seeded at min id") {
     val pool = Seq((7L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
