@@ -220,6 +220,43 @@ object IndexStore {
     Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
   }
 
+  /** FILTERED serving: [[query]] with a metadata predicate, expressed as a
+    * keep-set of candidate ids — the "filtered vector search" every
+    * production retrieval stack needs (serve within a source, a language, a
+    * licence class, not-in-a-blocklist …).
+    *
+    * The filter applies to the PRUNED CODE SCAN, before the ADC shortlist —
+    * pre-filtering, not post-filtering: dropping excluded candidates after
+    * the shortlist would waste shortlist slots on them and can starve the
+    * final top-k entirely when the filter is selective. With the filter
+    * first, the shortlist and rerank see only eligible candidates, so the
+    * answer is exactly the unfiltered chain run on the eligible
+    * sub-corpus under the SAME frozen quantizer (cells are probed by query
+    * geometry, unchanged by the filter).
+    *
+    * Scale shape: identical to [[query]] plus one broadcast left-semi join
+    * on the probed cells' code rows. The keep-set is distinct-projected and
+    * broadcast — right for id-bounded filters (blocklists, eval sets,
+    * sampled sources). A filter too large to broadcast belongs in the
+    * store's layout instead: make it a partition column of the code table
+    * (release already works this way) and prune, don't join. */
+  def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                    fullVecs: DataFrame, keepIds: DataFrame, nProbe: Int,
+                    k: Int, shortlist: Int): DataFrame = {
+    val model = readModel(spark, path)
+    val rot = readRotation(spark, path)
+    val q = rotate(queries, "q_emb", rot)
+    val fv = rotate(fullVecs, "cand_emb", rot)
+    val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val keep = keepIds
+      .select(col("cand_id").cast("long").as("cand_id")).distinct()
+    val enc = readCodes(spark, path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(keep), Seq("cand_id"), "left_semi")
+    Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
+  }
+
   /** Build the INT8 RERANK TIER: the store's own at-rest copy of the
     * resident vectors, scalar-quantized per dimension (q82's 4× compression)
     * and partitioned by the SAME (cell, release) layout as the ADC codes —

@@ -234,6 +234,25 @@ object VectorQueries {
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
 
+    // FILTERED frozen-index serving: top-5 among candidates passing a
+    // metadata predicate (label % 2 == 0), filter applied to the pruned
+    // code scan BEFORE the ADC shortlist so a selective filter can never
+    // starve the final top-k. Shares the read-only fixture store; Python
+    // oracle = the q145 chain with excluded candidates skipped pre-shortlist.
+    "q195_filtered_index_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = fullIndex(s, dir, "q195_filtered_index_serve")
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      val keep = emb.where(col("label") % 2 === 0)
+        .select(col("vec_id").cast("long").as("cand_id"))
+      graft.pipeline.IndexStore.queryFiltered(s, path, qd, fv, keep,
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
     // STRATIFIED greedy k-center: q192's exact recurrence run independently
     // per label — the parallel scale path for large total selections (the
     // global greedy is sequential; strata select concurrently after one

@@ -45,6 +45,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.exceptAll(inJob).isEmpty && inJob.exceptAll(served).isEmpty)
   }
 
+  test("queryFiltered: all-ids keep equals query; selective keep pre-filters before the shortlist") {
+    val dir = Files.createTempDirectory("ivfadc_filt").toString + "/index"
+    build(dir, emb)
+    val allIds = emb.select(col("vec_id").cast("long").as("cand_id"))
+    val plain = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+    val allKeep = IndexStore.queryFiltered(spark, dir, queriesDf, fullVecs,
+      allIds, nProbe = 2, k = 5, shortlist = 100)
+    assert(allKeep.exceptAll(plain).isEmpty && plain.exceptAll(allKeep).isEmpty,
+      "an unrestricted keep set must not change the served answer")
+    // selective keep: the answer is the serve chain over ONLY eligible code
+    // rows — compare against the white-box manual pre-filter of the scan
+    val keep = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id").cast("long").as("cand_id"))
+    val got = IndexStore.queryFiltered(spark, dir, queriesDf, fullVecs, keep,
+      nProbe = 2, k = 5, shortlist = 100).cache()
+    val model = IndexStore.readModel(spark, dir)
+    val manual = Similarity.ivfPqServe(queriesDf,
+      IndexStore.readCodes(spark, dir)
+        .join(broadcast(keep), Seq("cand_id"), "left_semi"),
+      fullVecs, model, nProbe = 2, k = 5, shortlist = 100)
+    assert(got.exceptAll(manual).isEmpty && manual.exceptAll(got).isEmpty)
+    // every served candidate passes the predicate, and the filter did not
+    // starve the top-k (pre-filtering keeps all shortlist slots eligible)
+    val oddServed = got.join(
+      emb.where(col("label") % 2 =!= 0)
+        .select(col("vec_id").cast("long").as("cand_id")), Seq("cand_id"))
+    assert(oddServed.isEmpty, "filtered serve leaked an excluded candidate")
+    import spark.implicits._
+    val perQuery = got.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 5L),
+      "a half-corpus filter must still fill k=5 per query")
+  }
+
   test("frozen-store kNN graph equals the inline-encode twin; mutual is reciprocal membership") {
     val dir = Files.createTempDirectory("ivfadc_knn").toString + "/index"
     build(dir, emb)

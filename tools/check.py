@@ -593,10 +593,11 @@ def py_q145_ivfpq_ann(con, spark_df, oracle):
     return spark_df, _ivfpq_topk(ids, vecs)
 
 
-def _ivfpq_topk(ids, vecs, rerank_vecs=None):
+def _ivfpq_topk(ids, vecs, rerank_vecs=None, keep=None):
     """The q145 IVFADC chain over an arbitrary vector set (queries =
     vec_id % 50 == 0) — shared by the plain (q145/q146/q181), OPQ-rotated
-    (q187) and int8-rerank (q188, rerank_vecs = dequantized candidates)
+    (q187), int8-rerank (q188, rerank_vecs = dequantized candidates) and
+    filtered (q195, keep = eligible cand-id set, applied pre-shortlist)
     oracles. The query side of the rerank dot always uses `vecs`."""
     import math
     rv = vecs if rerank_vecs is None else rerank_vecs
@@ -650,6 +651,8 @@ def _ivfpq_topk(ids, vecs, rerank_vecs=None):
                 cid = ids[ci]
                 if cid == qid:
                     continue
+                if keep is not None and cid not in keep:
+                    continue
                 sc = 0
                 for s in range(m):
                     sc += parts[s][codes[ci][s]]
@@ -666,6 +669,18 @@ def _ivfpq_topk(ids, vecs, rerank_vecs=None):
         for sc, cid in rer[:k]:
             out.append((qid, cid, sc))
     return pd.DataFrame(out, columns=["q_id", "cand_id", "score"])
+
+
+def py_q195_filtered_index_serve(con, spark_df, oracle):
+    """Filtered frozen-index serving: the q145 chain with a metadata keep
+    set (label % 2 == 0) applied to the probed cells' candidates BEFORE the
+    ADC shortlist — exactly IndexStore.queryFiltered's pre-filter contract
+    (post-filtering the unfiltered shortlist would rank differently and can
+    starve k)."""
+    ids, vecs = _embeddings(con)
+    keep = {r[0] for r in con.execute(
+        "SELECT vec_id FROM embeddings WHERE label % 2 = 0").fetchall()}
+    return spark_df, _ivfpq_topk(ids, vecs, keep=keep)
 
 
 def py_q188_int8_index_serve(con, spark_df, oracle):
@@ -1353,6 +1368,7 @@ PY_ORACLES = {
     "q180_vector_release": py_q180_vector_release,
     "q186_index_maintain": py_q186_index_maintain,
     "q187_opq_index_serve": py_q187_opq_index_serve,
+    "q195_filtered_index_serve": py_q195_filtered_index_serve,
     "q188_int8_index_serve": py_q188_int8_index_serve,
     "q189_maintained_release": py_q189_maintained_release,
     "q182_recall_dial": py_q182_recall_dial,
