@@ -69,6 +69,51 @@ object Retrieval {
           .as("rrf_micro"))
   }
 
+  /** Positional discount table for [[rankingMetrics]]: `floor(1e6 /
+    * log2(i+1) + 0.5)` for ranks 1..k — integer micro-units, so DCG sums
+    * are exact under any aggregation order (the oracle spells the SAME
+    * numbers as literals, generated from this method). */
+  def dcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Ranked-retrieval quality card: per-query hit count, MRR and nDCG@k of
+    * a served ranking against a ground-truth top-k — the audit every ANN
+    * serving dial (q175/q182) reports recall for, extended to the
+    * rank-sensitive metrics retrieval teams actually tune on.
+    *
+    * Inputs: `served(q_id, cand_id, rank)` (rank 1-based) and
+    * `truth(q_id, cand_id)` (the ideal top-k set, binary relevance).
+    * All metrics are exact integers: MRR = floor(1e6 / best hit rank),
+    * DCG = Σ [[dcgDiscountsMicro]] over hit positions, nDCG =
+    * floor(1000·DCG / IDCG) with IDCG the full-k discount sum — no float
+    * logs at evaluation time, so the card is bit-identical in SQL.
+    *
+    * Scale shape: one equi-join of two k-bounded rank lists + one q-keyed
+    * aggregation — both sides are |queries|·k rows, never corpus-sized. */
+  def rankingMetrics(served: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val disc = dcgDiscountsMicro(k)
+    val idcg = disc.sum
+    val discCol = (1 to k).foldRight(lit(0L): Column) { (i, acc) =>
+      when(col("rank") === i, lit(disc(i - 1))).otherwise(acc)
+    }
+    served
+      .join(truth.select(col("q_id"), col("cand_id"))
+        .withColumn("__hit", lit(1L)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        coalesce(max(when(col("__hit") === 1L,
+          floor(lit(1000000.0) / col("rank")).cast("long"))), lit(0L))
+          .as("mrr_micro"),
+        coalesce(sum(when(col("__hit") === 1L, discCol).otherwise(lit(0L))),
+          lit(0L)).as("dcg_micro"))
+      .withColumn("ndcg_milli",
+        floor(col("dcg_micro") * lit(1000.0) / lit(idcg.toDouble))
+          .cast("long"))
+  }
+
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) over
     * a relevance-shortlisted candidate pool: seed with the most relevant
     * candidate, then repeatedly add the candidate maximizing

@@ -135,6 +135,87 @@ object VectorQueries {
     sb.toString
   }
 
+  /** q196's oracle: the q72 IVF chain (kept with its rank), the q48-style
+    * brute-force truth at k, and the exact integer metric arithmetic — the
+    * positional discounts are the SAME numbers
+    * [[graft.operators.Retrieval.dcgDiscountsMicro]] computes, spelled as
+    * literals. */
+  private def retrievalMetricsOracleSql(k: Int): String = {
+    val disc = graft.operators.Retrieval.dcgDiscountsMicro(k)
+    val idcg = disc.sum
+    val discCase = disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT label, i, round(avg(CAST(v AS DOUBLE)), 4) AS c
+       |  FROM ex GROUP BY 1, 2
+       |),
+       |qx AS (SELECT vec_id AS q_id, v, i FROM ex WHERE vec_id % 50 = 0),
+       |ascore AS (
+       |  SELECT qx.q_id, cent.label, round(SUM(CAST(qx.v AS DOUBLE) * cent.c), 3) AS cscore
+       |  FROM qx JOIN cent ON qx.i = cent.i GROUP BY 1, 2
+       |),
+       |assign AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS rn
+       |    FROM ascore
+       |  ) WHERE rn <= 2
+       |),
+       |pairs AS (
+       |  SELECT a.q_id, e.vec_id AS cand_id
+       |  FROM assign a JOIN embeddings e ON e.label = a.label AND e.vec_id <> a.q_id
+       |),
+       |sscores AS (
+       |  SELECT p.q_id, p.cand_id,
+       |         round(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE)), 3) AS score
+       |  FROM pairs p
+       |  JOIN ex qe ON qe.vec_id = p.q_id
+       |  JOIN ex ce ON ce.vec_id = p.cand_id AND ce.i = qe.i
+       |  GROUP BY 1, 2
+       |),
+       |served AS (
+       |  SELECT q_id, cand_id, rn AS rank FROM (
+       |    SELECT q_id, cand_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+       |    FROM sscores
+       |  ) WHERE rn <= $k
+       |),
+       |tdots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |         round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS s
+       |  FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id) AS rn
+       |    FROM tdots
+       |  ) WHERE rn <= $k
+       |),
+       |j AS (
+       |  SELECT sv.q_id, sv.rank,
+       |         CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM served sv LEFT JOIN truth t
+       |    ON sv.q_id = t.q_id AND sv.cand_id = t.cand_id
+       |),
+       |agg AS (
+       |  SELECT q_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |         CAST(COALESCE(MAX(CASE WHEN hit = 1
+       |             THEN CAST(floor(1000000.0 / rank) AS BIGINT) END), 0) AS BIGINT) AS mrr_micro,
+       |         CAST(SUM(CASE WHEN hit = 1
+       |             THEN CASE rank $discCase ELSE 0 END ELSE 0 END) AS BIGINT) AS dcg_micro
+       |  FROM j GROUP BY q_id
+       |)
+       |SELECT q_id, n_hits, mrr_micro, dcg_micro,
+       |       CAST(floor(dcg_micro * 1000.0 / $idcg) AS BIGINT) AS ndcg_milli
+       |FROM agg""".stripMargin
+  }
+
   /** q193's oracle: relevance shortlist (top-`n` by rounded dot with vec 0,
     * id tie-break), pairwise milli-sims within the shortlist, then the MMR
     * greedy recurrence unrolled — `pick_i` = argmax of
@@ -233,6 +314,25 @@ object VectorQueries {
       Retrieval.kCenterSelect(
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
+
+    // Ranked-retrieval quality card: MRR + nDCG@3 of the q72 IVF serving
+    // against the q48 brute-force truth, per query — exact integer metric
+    // arithmetic (micro-unit positional discounts generated once in Scala
+    // and spelled as the same literals in the oracle).
+    "q196_retrieval_metrics" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val served = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+          col("vec_id") % 50 === 0, k = 3)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("cand_id"))))
+      val truth = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        emb.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cand_emb")), k = 3)
+      Retrieval.rankingMetrics(served, truth, k = 3)
+    }),
 
     // FILTERED frozen-index serving: top-5 among candidates passing a
     // metadata predicate (label % 2 == 0), filter applied to the pruned
@@ -1387,6 +1487,8 @@ object VectorQueries {
 
     "q193_mmr_select" -> mmrOracleSql(k = 8, n = 20, lambdaMilli = 700L),
 
-    "q194_kcenter_stratified" -> kcenterStratOracleSql(4)
+    "q194_kcenter_stratified" -> kcenterStratOracleSql(4),
+
+    "q196_retrieval_metrics" -> retrievalMetricsOracleSql(3)
   )
 }

@@ -71,6 +71,31 @@ class RetrievalSpec extends SparkSpec {
       s"max_prior_sim not monotone: ${sims.mkString(", ")}")
   }
 
+  test("rankingMetrics: exact integer MRR/DCG/nDCG, perfect ranking scores 1000") {
+    assert(Retrieval.dcgDiscountsMicro(3) === Seq(1000000L, 630930L, 500000L))
+    val served = Seq(
+      // q 1: perfect (all 3 served are truth)
+      (1L, 11L, 1L), (1L, 12L, 2L), (1L, 13L, 3L),
+      // q 2: only rank-2 hits
+      (2L, 21L, 1L), (2L, 22L, 2L), (2L, 23L, 3L),
+      // q 3: no hits
+      (3L, 31L, 1L), (3L, 32L, 2L), (3L, 33L, 3L)
+    ).toDF("q_id", "cand_id", "rank")
+    val truth = Seq(
+      (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 22L), (2L, 90L), (2L, 91L),
+      (3L, 92L), (3L, 93L), (3L, 94L)
+    ).toDF("q_id", "cand_id")
+    val got = Retrieval.rankingMetrics(served, truth, k = 3)
+      .orderBy("q_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got(0) === ((1L, 3L, 1000000L, 2130930L, 1000L)))
+    // q 2: mrr = floor(1e6/2) = 500000; dcg = disc(2) = 630930
+    assert(got(1) === ((2L, 1L, 500000L, 630930L,
+      math.floor(630930L * 1000.0 / 2130930L).toLong)))
+    assert(got(2) === ((3L, 0L, 0L, 0L, 0L)))
+  }
+
   test("mmrSelect: lambda=1000 reduces to pure relevance ranking") {
     val pool = Seq(
       (1L, Seq(1.0f, 0.0f), 0.9), (2L, Seq(0.0f, 1.0f), 0.7),
