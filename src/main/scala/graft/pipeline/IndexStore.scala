@@ -257,6 +257,36 @@ object IndexStore {
     Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
   }
 
+  /** AS-OF serving: [[query]] restricted to a set of release tags — the
+    * time-travel read the (cell, release) layout exists to make free. The
+    * release predicate is a SECOND static partition filter on the code
+    * scan (alongside the probed-cell one), so serving "what release N saw"
+    * reads exactly release-N partitions of the probed cells and costs no
+    * more than a plain serve of that era's corpus.
+    *
+    * Semantics: as-of selects the RESIDENT SET, under the store's CURRENT
+    * frozen quantizer. Appends never retrain (so before any rebalance the
+    * answer is bit-identical to what the store served when `releases` was
+    * its whole population — spec-pinned); after a rebalance the healed
+    * model re-encoded every release with provenance kept, so as-of reads
+    * the old residents through the healed cells — the only sound choice,
+    * since a swapped-out quantizer epoch is vacuumed by the swap. */
+  def queryAsOf(spark: SparkSession, path: String, queries: DataFrame,
+                fullVecs: DataFrame, releases: Seq[String], nProbe: Int,
+                k: Int, shortlist: Int): DataFrame = {
+    require(releases.nonEmpty, "queryAsOf needs at least one release tag")
+    val model = readModel(spark, path)
+    val rot = readRotation(spark, path)
+    val q = rotate(queries, "q_emb", rot)
+    val fv = rotate(fullVecs, "cand_emb", rot)
+    val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val enc = readCodes(spark, path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*) &&
+        col("release").isin(releases: _*))
+    Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
+  }
+
   /** Build the INT8 RERANK TIER: the store's own at-rest copy of the
     * resident vectors, scalar-quantized per dimension (q82's 4× compression)
     * and partitioned by the SAME (cell, release) layout as the ADC codes —

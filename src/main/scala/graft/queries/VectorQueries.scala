@@ -315,6 +315,33 @@ object VectorQueries {
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
 
+    // AS-OF (time-travel) frozen-index serving: a two-release store serves
+    // restricted to r1's partitions — bit-identical to what the store
+    // answered before r2 was appended (appends never retrain). The r2
+    // append is part of the claim under test, so the store build is the
+    // fixture and the as-of serve is the timed op. Python oracle = the
+    // q145 chain over the r1 subset alone.
+    "q197_asof_index_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isOld = col("vec_id") % 10 < 8
+      val path = java.nio.file.Files.createTempDirectory("graft-asof").toString
+      fixtureBuildSec.remove("q197_asof_index_serve")
+      timedFixture("q197_asof_index_serve") {
+        graft.pipeline.IndexStore.build(s, path, emb.where(isOld), "vec_id",
+          "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+          ksub = 8, iters = 3, release = "r1")
+        graft.pipeline.IndexStore.append(s, path, emb.where(!isOld),
+          "vec_id", "embedding", "r2")
+      }
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      graft.pipeline.IndexStore.queryAsOf(s, path, qd, fv, Seq("r1"),
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
     // Ranked-retrieval quality card: MRR + nDCG@3 of the q72 IVF serving
     // against the q48 brute-force truth, per query — exact integer metric
     // arithmetic (micro-unit positional discounts generated once in Scala

@@ -79,6 +79,26 @@ class IndexStoreSpec extends SparkSpec {
       "a half-corpus filter must still fill k=5 per query")
   }
 
+  test("queryAsOf: r1-restricted serve is bit-identical to the pre-append answer") {
+    val dir = Files.createTempDirectory("ivfadc_asof").toString + "/index"
+    val isOld = col("vec_id") % 10 < 8
+    build(dir, emb.where(isOld))
+    // what the store answered when r1 WAS the whole population
+    val before = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).collect()
+    IndexStore.append(spark, dir, emb.where(!isOld), "vec_id", "embedding", "r2")
+    val asOf = IndexStore.queryAsOf(spark, dir, queriesDf, fullVecs,
+      Seq("r1"), nProbe = 2, k = 5, shortlist = 100).collect()
+    assert(asOf.toSet === before.toSet,
+      "appending r2 must not change the r1 as-of answer")
+    // the full release set serves exactly like the unrestricted query
+    val both = IndexStore.queryAsOf(spark, dir, queriesDf, fullVecs,
+      Seq("r1", "r2"), nProbe = 2, k = 5, shortlist = 100)
+    val plain = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(both.exceptAll(plain).isEmpty && plain.exceptAll(both).isEmpty)
+  }
+
   test("frozen-store kNN graph equals the inline-encode twin; mutual is reciprocal membership") {
     val dir = Files.createTempDirectory("ivfadc_knn").toString + "/index"
     build(dir, emb)

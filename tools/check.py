@@ -683,6 +683,17 @@ def py_q195_filtered_index_serve(con, spark_df, oracle):
     return spark_df, _ivfpq_topk(ids, vecs, keep=keep)
 
 
+def py_q197_asof_index_serve(con, spark_df, oracle):
+    """As-of (time-travel) frozen-index serving: the store holds r1 (vec_id
+    % 10 < 8, the build) plus an appended r2, and serves restricted to r1's
+    release partitions. Appends never retrain, so the answer is exactly the
+    q145 chain over the r1 subset alone (every %50 query id is itself in
+    r1, matching the Spark fixture's query set)."""
+    ids, vecs = _embeddings(con)
+    sub = [(i, v) for i, v in zip(ids, vecs) if i % 10 < 8]
+    return spark_df, _ivfpq_topk([i for i, _ in sub], [v for _, v in sub])
+
+
 def py_q188_int8_index_serve(con, spark_df, oracle):
     """Int8-rerank frozen-index serving: the q145 IVFADC chain with the
     exact rerank taken against q82-spelling DEQUANTIZED candidates — per-dim
@@ -1369,6 +1380,7 @@ PY_ORACLES = {
     "q186_index_maintain": py_q186_index_maintain,
     "q187_opq_index_serve": py_q187_opq_index_serve,
     "q195_filtered_index_serve": py_q195_filtered_index_serve,
+    "q197_asof_index_serve": py_q197_asof_index_serve,
     "q188_int8_index_serve": py_q188_int8_index_serve,
     "q189_maintained_release": py_q189_maintained_release,
     "q182_recall_dial": py_q182_recall_dial,
