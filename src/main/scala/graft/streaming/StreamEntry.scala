@@ -243,6 +243,37 @@ object StreamEntry {
           "vec_id", "embedding", release = s"b$id")
       }
 
+  /** Streaming SERVING twin of the q146 read path: each micro-batch of
+    * query vectors is answered against the FROZEN index store — the same
+    * cell-pruned ADC + exact-rerank chain [[graft.pipeline.IndexStore.query]]
+    * plans in batch — and lands batch-partitioned, so a replayed micro-batch
+    * overwrites exactly its own partition (the [[ingestDocs]] idempotence
+    * contract). The store's kilobyte metadata is re-read per batch, so an
+    * append or rebalance committed mid-stream is picked up at the next
+    * trigger: queries keep flowing while [[maintainIndex]] mutates the
+    * store underneath — together they are the full serve-while-maintaining
+    * architecture. */
+  def serveQueries(queries: DataFrame, indexPath: String,
+                   fullVecsPath: String, outPath: String, nProbe: Int = 2,
+                   k: Int = 5, shortlist: Int = 100)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val fv = s.read.parquet(fullVecsPath)
+          .select(col("vec_id").cast("long").as("cand_id"),
+            col("embedding").cast("array<double>").as("cand_emb"))
+        graft.pipeline.IndexStore.query(s, indexPath,
+            batch.select(col("vec_id").cast("long").as("q_id"),
+              col("embedding").cast("array<double>").as("q_emb")),
+            fv, nProbe, k, shortlist)
+          .withColumn("qbatch", lit(s"b$id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("qbatch")
+          .parquet(outPath)
+      }
+
   /** Streaming mutual-kNN graph maintenance — the stream twin of the q180
     * vector-tier roll-forward's graph step (the q176 merge kernel per
     * micro-batch): under the FROZEN coarse quantizer, the persisted edge

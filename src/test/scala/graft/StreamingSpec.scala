@@ -422,6 +422,47 @@ class StreamingSpec extends SparkSpec {
       === emb.count())
   }
 
+  test("streaming serving equals the batch frozen-store serve; replay converges") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = Files.createTempDirectory("servestream").toString
+    val store = s"$dir/index"
+    graft.pipeline.IndexStore.build(spark, store, emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    emb.select("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    // the query workload arrives as two files → two micro-batches
+    val isQ = col("vec_id") % 50 === 0
+    emb.where(isQ && col("vec_id") < 250).select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/in/f1")
+    emb.where(isQ && col("vec_id") >= 250).select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/in/f2")
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.serveQueries(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+        store, s"$dir/vecs", s"$dir/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("q_id", "cand_id", "score")
+    val batchTwin = graft.pipeline.IndexStore.query(spark, store,
+      emb.where(isQ).select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb")),
+      emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb")),
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(got.count() > 0, "streamed serving must answer the fixture queries")
+    assert(got.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(got).isEmpty,
+      "streamed per-batch serving must equal the one-shot batch serve")
+    // replay converges: each batch dynamic-overwrites its own partition
+    val n = got.count()
+    runOnceThrough()
+    spark.catalog.refreshByPath(s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() === n)
+  }
+
   test("streaming graph roll-forward equals the from-scratch union graph; replay converges") {
     val emb = Tables.load(spark, sf, "embeddings")
     val isNew = col("vec_id") % 10 >= 8
