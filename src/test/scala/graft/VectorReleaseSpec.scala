@@ -368,6 +368,12 @@ class VectorReleaseSpec extends SparkSpec {
         release = rel, kCoarse = 8, maxShareMilli = share,
         priorGeneration = gen).localCheckpoint()
       VectorRelease.writeGraph(out, graphPath)
+      // mid-soak compaction after night 1: squeezing the fresh append to
+      // one file per partition must be invisible to every later night —
+      // night 2's rebalance re-encodes THROUGH the compacted rows and
+      // night 3 appends after it; the final no-drift assertions below
+      // prove the composition
+      if (rel == "r2") IndexStore.compact(spark, idx, _ == "r2")
       gen = IndexStore.generation(spark, idx)
       resident = resident.unionByName(slice)
       flags = flags ++
