@@ -240,9 +240,11 @@ object Retrieval {
         round(Similarity.dot(col("emb"), array(e.map(lit): _*)), scale)
       }
       val maxSim = if (sims.lengthIs == 1) sims.head else greatest(sims: _*)
+      // the winner's embedding rides in the same TakeOrdered row, so each
+      // round is exactly ONE job over the pool
       val pick = base
         .where(!col("vec_id").isin(selIds.toSeq: _*))
-        .select(col("vec_id"), maxSim.as("ms"))
+        .select(col("vec_id"), maxSim.as("ms"), col("emb"))
         .orderBy(col("ms").asc, col("vec_id").asc)
         .limit(1)
         .collect()
@@ -250,9 +252,8 @@ object Retrieval {
       else {
         val id = pick.head.getLong(0)
         val ms = pick.head.getDouble(1)
-        val emb = base.where(col("vec_id") === id)
-          .select(col("emb")).collect().head.getSeq[Double](0)
-        selected += ((selected.length.toLong, id, emb, Some(ms)))
+        selected += ((selected.length.toLong, id,
+          pick.head.getSeq[Double](2), Some(ms)))
       }
     }
     selected.toSeq

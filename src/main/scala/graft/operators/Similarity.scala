@@ -654,6 +654,45 @@ object Similarity {
         .as("codes"))
   }
 
+  /** PQ distortion audit — the geometric counterpart of the q184 recall
+    * audit: per subspace, the quantized squared reconstruction error
+    * ‖v_s − c_{s,code(v)}‖² of every vector against its assigned codeword,
+    * reduced to (count, sum, max, mean) in integer micro-units. This is the
+    * card a quantizer owner reads to pick m/ksub and to catch a subspace
+    * whose codebook collapsed (one giant cell ⇒ max_err explodes) before
+    * recall quietly degrades.
+    *
+    * Determinism: each (vector, subspace) error is rounded ONCE
+    * (floor(err·1e6 + 0.5)) before aggregation — integer sums commute, so
+    * the card is identical under any partitioning and in the Python oracle.
+    *
+    * Scale shape: train is [[pqCodebooks]] (codebooks are kilobyte driver
+    * literals); the audit itself is ONE map-only pass (assign + reconstruct
+    * + error, all inside the row projection) and one m-row aggregation with
+    * map-side partials. */
+  def pqDistortion(df: DataFrame, idCol: String, embCol: String, dim: Int,
+                   m: Int, ksub: Int, iters: Int): DataFrame = {
+    val cb = pqCodebooks(df, idCol, embCol, dim, m, ksub, iters)
+    val dsub = dim / m
+    val perSub = array((0 until m).map { s =>
+      val sl = slice(col(embCol).cast("array<double>"), s * dsub + 1, dsub)
+      val cents = array(cb(s).map(c => array(c.map(lit): _*)): _*)
+      val chosen = element_at(cents, assignExpr(cb(s), sl) + 1)
+      val sq = aggregate(zip_with(sl, chosen, (a, b) => (a - b) * (a - b)),
+        lit(0d), (acc, x) => acc + x)
+      struct(lit(s).as("sub"), floor(sq * 1e6 + 0.5).cast("long").as("err"))
+    }: _*)
+    df.where(col(embCol).isNotNull)
+      .select(explode(perSub).as("z"))
+      .select(col("z.sub").as("sub"), col("z.err").as("err_micro"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micro")).as("sum_err_micro"),
+        max(col("err_micro")).as("max_err_micro"))
+      .withColumn("mean_err_micro",
+        floor(col("sum_err_micro") / col("n_vecs")).cast("long"))
+  }
+
   /** PQ asymmetric-distance top-k with exact rerank: an ADC pass scores
     * every candidate from its codes alone — the query precomputes one
     * inner-product lookup table per subspace

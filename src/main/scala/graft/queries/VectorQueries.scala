@@ -315,6 +315,15 @@ object VectorQueries {
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
 
+    // PQ distortion audit: per-subspace quantized squared reconstruction
+    // error of every vector against its assigned codeword — the geometric
+    // counterpart of the q184 recall audit (catch a collapsed codebook
+    // before recall quietly degrades). Python oracle replays the q125
+    // codebook sequence + identical integer error arithmetic.
+    "q198_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, m = 16, ksub = 8, iters = 3)),
+
     // AS-OF (time-travel) frozen-index serving: a two-release store serves
     // restricted to r1's partitions — bit-identical to what the store
     // answered before r2 was appended (appends never retrain). The r2

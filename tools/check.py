@@ -683,6 +683,37 @@ def py_q195_filtered_index_serve(con, spark_df, oracle):
     return spark_df, _ivfpq_topk(ids, vecs, keep=keep)
 
 
+def py_q198_pq_distortion(con, spark_df, oracle):
+    """PQ distortion audit: per-subspace Lloyd codebooks (the exact q125
+    sequence), assignment, then the quantized squared reconstruction error
+    floor(||v_s - c||^2 * 1e6 + 0.5) of every vector — reduced to
+    (count, sum, max, floor-mean) per subspace with integer sums."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    m, ksub, iters = 16, 8, 3
+    dsub = dim // m
+    rows = []
+    for s in range(m):
+        sub = [v[s * dsub:(s + 1) * dsub] for v in vecs]
+        cents, assign = _lloyd(sub, ksub, iters)
+        n = 0
+        tot = 0
+        mx = 0
+        for v, j in zip(sub, assign):
+            sq = 0.0
+            for i in range(dsub):
+                d = v[i] - cents[j][i]
+                sq += d * d
+            e = math.floor(sq * 1e6 + 0.5)
+            n += 1
+            tot += e
+            mx = max(mx, e)
+        rows.append((s, n, tot, mx, math.floor(float(tot) / float(n))))
+    return spark_df, pd.DataFrame(rows, columns=[
+        "sub", "n_vecs", "sum_err_micro", "max_err_micro", "mean_err_micro"])
+
+
 def py_q197_asof_index_serve(con, spark_df, oracle):
     """As-of (time-travel) frozen-index serving: the store holds r1 (vec_id
     % 10 < 8, the build) plus an appended r2, and serves restricted to r1's
@@ -1381,6 +1412,7 @@ PY_ORACLES = {
     "q187_opq_index_serve": py_q187_opq_index_serve,
     "q195_filtered_index_serve": py_q195_filtered_index_serve,
     "q197_asof_index_serve": py_q197_asof_index_serve,
+    "q198_pq_distortion": py_q198_pq_distortion,
     "q188_int8_index_serve": py_q188_int8_index_serve,
     "q189_maintained_release": py_q189_maintained_release,
     "q182_recall_dial": py_q182_recall_dial,
