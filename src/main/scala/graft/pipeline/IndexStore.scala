@@ -440,6 +440,27 @@ object IndexStore {
       model, nProbe, k, shortlist)
   }
 
+  /** [[queryFiltered]] on the int8 tier: the production serve path
+    * ([[queryInt8]] — no raw-corpus access) with a metadata keep-set
+    * pre-filtering the pruned code scan before the ADC shortlist. The
+    * rerank reads the tier's dequantized vectors for shortlisted (hence
+    * already-eligible) ids only. */
+  def queryFilteredInt8(spark: SparkSession, path: String,
+                        queries: DataFrame, keepIds: DataFrame, nProbe: Int,
+                        k: Int, shortlist: Int): DataFrame = {
+    val model = readModel(spark, path)
+    val q = rotate(queries, "q_emb", readRotation(spark, path))
+    val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val keep = keepIds
+      .select(col("cand_id").cast("long").as("cand_id")).distinct()
+    val enc = readCodes(spark, path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(keep), Seq("cand_id"), "left_semi")
+    Similarity.ivfPqServe(q, enc, rerankVecs(spark, path, probedCells),
+      model, nProbe, k, shortlist)
+  }
+
   /** The rerank tier's candidates for the probed cells, DEQUANTIZED to the
     * q184 audit's exact IEEE spelling (lo + q·(hi−lo)/255, per-dim [lo, hi]
     * as kilobyte driver literals) — the shared rerank side of [[queryInt8]]

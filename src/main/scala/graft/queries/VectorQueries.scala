@@ -315,6 +315,29 @@ object VectorQueries {
         Tables.load(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 8)),
 
+    // FILTERED serving on the int8 tier: q195's pre-shortlist metadata
+    // filter composed with q188's raw-corpus-free serve — the production
+    // combination (filtered search without touching raw vectors). Shares
+    // the frozen fixture store + rerank tier; Python oracle = the q145
+    // chain with keep applied pre-shortlist AND the rerank against
+    // dequantized candidates.
+    "q199_filtered_int8_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = fullIndex(s, dir, "q199_filtered_int8_serve")
+      timedFixture("q199_filtered_int8_serve") {
+        graft.pipeline.IndexStore.sharedRerank(s, path,
+          emb.select(col("vec_id").cast("long").as("cand_id"),
+            col("embedding").cast("array<double>").as("cand_emb")))
+      }
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val keep = emb.where(col("label") % 2 === 0)
+        .select(col("vec_id").cast("long").as("cand_id"))
+      graft.pipeline.IndexStore.queryFilteredInt8(s, path, qd, keep,
+        nProbe = 2, k = 5, shortlist = 100)
+    }),
+
     // PQ distortion audit: per-subspace quantized squared reconstruction
     // error of every vector against its assigned codeword — the geometric
     // counterpart of the q184 recall audit (catch a collapsed codebook

@@ -79,6 +79,29 @@ class IndexStoreSpec extends SparkSpec {
       "a half-corpus filter must still fill k=5 per query")
   }
 
+  test("queryFilteredInt8: all-ids keep equals queryInt8; keep pre-filters the int8 serve") {
+    val dir = Files.createTempDirectory("ivfadc_fi8").toString + "/index"
+    build(dir, emb)
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    val allIds = emb.select(col("vec_id").cast("long").as("cand_id"))
+    val plain = IndexStore.queryInt8(spark, dir, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    val allKeep = IndexStore.queryFilteredInt8(spark, dir, queriesDf,
+      allIds, nProbe = 2, k = 5, shortlist = 100)
+    assert(allKeep.exceptAll(plain).isEmpty && plain.exceptAll(allKeep).isEmpty)
+    val keep = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id").cast("long").as("cand_id"))
+    val got = IndexStore.queryFilteredInt8(spark, dir, queriesDf, keep,
+      nProbe = 2, k = 5, shortlist = 100).cache()
+    // no excluded candidate leaks, and the half-corpus filter still fills k
+    val leaked = got.join(emb.where(col("label") % 2 =!= 0)
+      .select(col("vec_id").cast("long").as("cand_id")), Seq("cand_id"))
+    assert(leaked.isEmpty, "int8 filtered serve leaked an excluded candidate")
+    import spark.implicits._
+    val perQuery = got.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 5L))
+  }
+
   test("queryAsOf: r1-restricted serve is bit-identical to the pre-append answer") {
     val dir = Files.createTempDirectory("ivfadc_asof").toString + "/index"
     val isOld = col("vec_id") % 10 < 8

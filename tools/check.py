@@ -748,6 +748,29 @@ def py_q188_int8_index_serve(con, spark_df, oracle):
     return spark_df, _ivfpq_topk(ids, vecs, rerank_vecs=dq)
 
 
+def py_q199_filtered_int8_serve(con, spark_df, oracle):
+    """Filtered serving on the int8 tier: the q188 dequantized-rerank chain
+    with the q195 keep set (label % 2 == 0) applied pre-shortlist — exactly
+    IndexStore.queryFilteredInt8."""
+    ids, vecs = _embeddings(con)
+    keep = {r[0] for r in con.execute(
+        "SELECT vec_id FROM embeddings WHERE label % 2 = 0").fetchall()}
+    dim = len(vecs[0])
+    lo = [min(v[i] for v in vecs) for i in range(dim)]
+    hi = [max(v[i] for v in vecs) for i in range(dim)]
+    dq = []
+    for v in vecs:
+        row = []
+        for i in range(dim):
+            if hi[i] == lo[i]:
+                q = 0
+            else:
+                q = int(_spark_round((v[i] - lo[i]) / ((hi[i] - lo[i]) / 255.0), 0))
+            row.append(lo[i] + float(q) * ((hi[i] - lo[i]) / 255.0))
+        dq.append(row)
+    return spark_df, _ivfpq_topk(ids, vecs, rerank_vecs=dq, keep=keep)
+
+
 def _opq_rotate(vecs):
     """The q144 rotation sequence: power component, w ∝ u − 1/√dim,
     index-order dot, x′ = x − 2(w·x)w, identity when ‖u−t‖ < 1e-9."""
@@ -1413,6 +1436,7 @@ PY_ORACLES = {
     "q195_filtered_index_serve": py_q195_filtered_index_serve,
     "q197_asof_index_serve": py_q197_asof_index_serve,
     "q198_pq_distortion": py_q198_pq_distortion,
+    "q199_filtered_int8_serve": py_q199_filtered_int8_serve,
     "q188_int8_index_serve": py_q188_int8_index_serve,
     "q189_maintained_release": py_q189_maintained_release,
     "q182_recall_dial": py_q182_recall_dial,
