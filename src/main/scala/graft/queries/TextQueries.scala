@@ -783,6 +783,32 @@ object TextQueries {
         graft.pipeline.SignatureStore.signatures(old, "doc_id", "text"),
         graft.pipeline.GramStore.grams(old, "text"),
         Classifier.denseWeights(w, 256))
+    }),
+
+    // Release QA exemplars: the q140 manifest's survivors feed per-source
+    // stratified k-center (q194's kernel, k = 2) over their embeddings —
+    // the selection-layer close of the release pipeline ("pick the most
+    // DIFFERENT survivors of each source for human inspection"). Python
+    // oracle = the q140 SQL manifest run in DuckDB + the same greedy
+    // recurrence per source stratum.
+    "q200_release_exemplars" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val isNew = col("doc_id") % 10 >= 8
+      val old = docs.where(!isNew)
+      val w = Classifier.trainWeights(old, "doc_id", "text",
+        col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      val manifest = graft.pipeline.ReleaseBuild.rollForward(
+        docs.where(isNew), "doc_id", "text", "source", docs,
+        graft.pipeline.SignatureStore.signatures(old, "doc_id", "text"),
+        graft.pipeline.GramStore.grams(old, "text"),
+        Classifier.denseWeights(w, 256))
+      val pool = emb
+        .join(manifest.select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id"))
+        .withColumn("stratum", substring(col("source"), 4, 10).cast("long"))
+      graft.operators.Retrieval.kCenterPerStratum(pool, "vec_id",
+        "embedding", "stratum", k = 2)
     })
   )
 

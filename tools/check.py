@@ -1313,6 +1313,51 @@ def py_q189_maintained_release(con, spark_df, oracle):
     return spark_df, man[~man.doc_id.isin(dropped)].reset_index(drop=True)
 
 
+def py_q200_release_exemplars(con, spark_df, oracle):
+    """Release QA exemplars: the q140 SQL manifest (run in DuckDB — gate
+    q200 together with q140 in partial runs) joined to the embeddings,
+    then the q194 greedy k-center recurrence per source stratum (k = 2,
+    seed = min id, per-pair 3-dp rounded dots, id tie-breaks)."""
+    assert "q140_release_build" in oracle, \
+        "q200 needs q140's SQL — include q140_release_build in the gate"
+    man = con.execute(oracle["q140_release_build"]).df()
+    ids, vecs = _embeddings(con)
+    emb_of = {i: v for i, v in zip(ids, vecs)}
+    pools = {}
+    for _, r in man.iterrows():
+        did = int(r["doc_id"])
+        if did not in emb_of:
+            continue  # the Spark side inner-joins embeddings: unembedded
+            # manifest docs (doc_id beyond the embeddings table) drop out
+        st = int(str(r["source"])[3:])
+        pools.setdefault(st, []).append(did)
+    out = []
+    for st in pools:
+        pool = sorted(pools[st])
+        sel = [(0, pool[0], None)]
+        sel_embs = [emb_of[pool[0]]]
+        sel_ids = {pool[0]}
+        while len(sel) < 2 and len(sel_ids) < len(pool):
+            best = None
+            for cid in pool:
+                if cid in sel_ids:
+                    continue
+                ms = max(
+                    _spark_round(
+                        sum(a * b for a, b in zip(emb_of[cid], e)), 3)
+                    for e in sel_embs)
+                key = (ms, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, ms)
+            sel.append((len(sel), best[1], best[2]))
+            sel_embs.append(emb_of[best[1]])
+            sel_ids.add(best[1])
+        for ordn, vid, ms in sel:
+            out.append((st, ordn, vid, ms))
+    return spark_df, pd.DataFrame(out, columns=[
+        "stratum", "sel_ord", "vec_id", "max_prior_sim"])
+
+
 def py_q182_recall_dial(con, spark_df, oracle):
     """Recall-targeted serving dial: the q145 full-corpus IVFADC model,
     served over the (nProbe, shortlist) grid, each combo's top-5 measured
@@ -1437,6 +1482,7 @@ PY_ORACLES = {
     "q197_asof_index_serve": py_q197_asof_index_serve,
     "q198_pq_distortion": py_q198_pq_distortion,
     "q199_filtered_int8_serve": py_q199_filtered_int8_serve,
+    "q200_release_exemplars": py_q200_release_exemplars,
     "q188_int8_index_serve": py_q188_int8_index_serve,
     "q189_maintained_release": py_q189_maintained_release,
     "q182_recall_dial": py_q182_recall_dial,
