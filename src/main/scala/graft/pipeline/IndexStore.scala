@@ -215,7 +215,7 @@ object IndexStore {
     // on runtime DPP). IndexStoreSpec pins the PartitionFilters in the plan.
     val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
     Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
   }
@@ -251,7 +251,7 @@ object IndexStore {
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
     val keep = keepIds
       .select(col("cand_id").cast("long").as("cand_id")).distinct()
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(keep), Seq("cand_id"), "left_semi")
     Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
@@ -281,7 +281,7 @@ object IndexStore {
     val fv = rotate(fullVecs, "cand_emb", rot)
     val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*) &&
         col("release").isin(releases: _*))
     Similarity.ivfPqServe(q, enc, fv, model, nProbe, k, shortlist)
@@ -434,7 +434,7 @@ object IndexStore {
     val q = rotate(queries, "q_emb", readRotation(spark, path))
     val probedCells = Similarity.ivfPqProbe(q, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
     Similarity.ivfPqServe(q, enc, rerankVecs(spark, path, probedCells),
       model, nProbe, k, shortlist)
@@ -454,7 +454,7 @@ object IndexStore {
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
     val keep = keepIds
       .select(col("cand_id").cast("long").as("cand_id")).distinct()
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(keep), Seq("cand_id"), "left_semi")
     Similarity.ivfPqServe(q, enc, rerankVecs(spark, path, probedCells),
@@ -518,7 +518,7 @@ object IndexStore {
     val fv = rotate(fullVecs, "cand_emb", rot)
     val probedCells = Similarity.ivfPqProbe(ev, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
     Similarity.dropListFromMatches(
       Similarity.ivfPqServe(ev, enc, fv, model, nProbe,
@@ -540,7 +540,7 @@ object IndexStore {
     val ev = rotate(evals, "q_emb", readRotation(spark, path))
     val probedCells = Similarity.ivfPqProbe(ev, model, nProbe)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val enc = readCodes(spark, path)
+    val enc = servableCodes(spark, path)
       .where(col("cell").isin(probedCells.map(Int.box): _*))
     Similarity.dropListFromMatches(
       Similarity.ivfPqServe(ev, enc, rerankVecs(spark, path, probedCells),
@@ -564,7 +564,7 @@ object IndexStore {
     val model = readModel(spark, path)
     val rot = readRotation(spark, path)
     val edges = Similarity.ivfPqGraphEdges(rotate(nodes, "q_emb", rot),
-      readCodes(spark, path),
+      servableCodes(spark, path),
       rotate(fullVecs, "cand_emb", rot), model, nProbe, k, shortlist)
     val rev = edges.select(col("dst_id").as("src_id"),
       col("src_id").as("dst_id"), lit(1).as("__m"))
@@ -657,6 +657,139 @@ object IndexStore {
     import spark.implicits._
     chosen.toDF("floor_milli", "n_probe", "shortlist", "recall_milli", "met")
   }
+
+  /** TOMBSTONE a set of resident ids — the takedown / right-to-be-forgotten
+    * verb of the store lifecycle. A delete is a METADATA write: the ids join
+    * the persisted tombstone list (`path/tombstones`, id-only parquet) and
+    * every serving read ([[query]], [[queryFiltered]], [[queryAsOf]],
+    * [[queryInt8]], [[queryFilteredInt8]], [[decontaminate]],
+    * [[decontaminateInt8]], [[knnGraph]]) excludes them from the pruned code
+    * scan BEFORE the ADC shortlist — so k still fills from eligible
+    * candidates and no tombstoned id can appear in any answer, at the cost
+    * of one broadcast anti-join. Physical reclamation is deferred to
+    * [[purge]] (or the next [[rebalance]], which re-encodes only servable
+    * residents and clears the list).
+    *
+    * Semantics are blocklist-by-id: a tombstoned id stays excluded even if
+    * a later [[append]] re-ingests it under a new release — the desired
+    * takedown behavior (the block outlives re-ingestion) — until a [[purge]]
+    * physically removes its rows AND clears the list. Tombstones live at
+    * the store top level, NOT under `meta/`, so a rebalance's meta swap
+    * cannot drop them. Idempotent: re-deleting an id (or deleting an id
+    * that was never resident) is harmless. Returns the total tombstoned ids
+    * after the write.
+    *
+    * Scale shape: the list is takedown-request-sized (it broadcasts on the
+    * serve path), not corpus-sized — a list that outgrows broadcast should
+    * be purged, which resets it to empty. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    val add = ids.select(col("cand_id").cast("long").as("cand_id")).distinct()
+    // the union reads the same files the write below replaces — pin first
+    // (the repo's self-overwrite localCheckpoint idiom)
+    val all = readTombstones(spark, path)
+      .fold(add)(old => old.unionByName(add).distinct())
+      .localCheckpoint()
+    val n = all.count()
+    all.coalesce(1).write.mode("overwrite").parquet(s"$path/$TombDir")
+    spark.catalog.refreshByPath(s"$path/$TombDir")
+    n
+  }
+
+  private val TombDir = "tombstones"
+
+  /** The persisted tombstone list — (cand_id long), None when the store has
+    * never had a delete (or the last [[purge]]/[[rebalance]] cleared it). */
+  def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$TombDir"))) None
+    else {
+      spark.catalog.refreshByPath(s"$path/$TombDir")
+      Some(spark.read.parquet(s"$path/$TombDir")
+        .select(col("cand_id").cast("long").as("cand_id")))
+    }
+  }
+
+  /** The SERVABLE code table: [[readCodes]] minus tombstoned ids (one
+    * broadcast anti-join; a plain scan when the list is empty). Every
+    * serving read goes through this; maintenance reads ([[rebalance]]'s
+    * provenance map aside — it handles tombstones itself, [[healthVerdict]],
+    * [[compact]], [[vacuum]]) see the PHYSICAL table: cell-balance and
+    * layout are properties of the bytes on disk, which tombstoned rows
+    * still occupy until a purge. */
+  private def servableCodes(spark: SparkSession, path: String): DataFrame = {
+    val codes = readCodes(spark, path)
+    readTombstones(spark, path).fold(codes)(t =>
+      codes.join(broadcast(t), Seq("cand_id"), "left_anti"))
+  }
+
+  /** Physically remove every tombstoned row — code table AND int8 rerank
+    * tier — then clear the tombstone list. Only the (cell, release)
+    * partitions that actually contain tombstoned rows are touched: the
+    * affected-partition set is discovered with one semi-join (bounded by
+    * the tombstone list), survivors are rewritten with a dynamic partition
+    * overwrite of exactly those partitions, and partitions left EMPTY by
+    * the purge — which a dynamic overwrite cannot express — are deleted
+    * directly, [[vacuum]]-style.
+    *
+    * Crash-safe by ordering: the tombstone list is cleared LAST, so an
+    * interruption anywhere leaves serving correct (the anti-join still
+    * excludes whatever rows survive) and a rerun converges — already-purged
+    * partitions simply stop matching the semi-join. Returns rows removed
+    * per table. */
+  def purge(spark: SparkSession, path: String): Map[String, Long] =
+    readTombstones(spark, path) match {
+      case None => Map("codes" -> 0L, "rerank/codes" -> 0L)
+      case Some(tomb0) =>
+        // pin the list: the loop below rewrites tables while the plan that
+        // produced `tomb0` may still be lazily read, and the clear at the
+        // end deletes its files
+        val tomb = tomb0.localCheckpoint()
+        val fs = fsOf(spark, path)
+        val removed = Seq("codes", "rerank/codes").map { sub =>
+          val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+          if (!fs.exists(root)) sub -> 0L
+          else {
+            spark.catalog.refreshByPath(s"$path/$sub")
+            val t = spark.read.parquet(s"$path/$sub")
+            val affected = t.join(broadcast(tomb), Seq("cand_id"), "left_semi")
+              .select(col("cell").cast("string"), col("release").cast("string"))
+              .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+            if (affected.isEmpty) sub -> 0L
+            else {
+              val inAffected = affected.map { case (c, r) =>
+                col("cell").cast("string") === c && col("release") === r
+              }.reduce(_ || _)
+              val aff = t.where(inAffected)
+              val nRemoved =
+                aff.join(broadcast(tomb), Seq("cand_id"), "left_semi").count()
+              val survivors =
+                aff.join(broadcast(tomb), Seq("cand_id"), "left_anti")
+                  .localCheckpoint()
+              val live = survivors
+                .select(col("cell").cast("string"), col("release").cast("string"))
+                .distinct().collect()
+                .map(r => (r.getString(0), r.getString(1))).toSet
+              affected.filterNot(live).foreach { case (c, r) =>
+                val p = new org.apache.hadoop.fs.Path(
+                  s"$path/$sub/cell=$c/release=$r")
+                if (fs.exists(p))
+                  require(fs.delete(p, true), s"purge failed to delete $p")
+              }
+              if (live.nonEmpty)
+                survivors.repartition(col("cell"), col("release"))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("cell", "release")
+                  .parquet(s"$path/$sub")
+              spark.catalog.refreshByPath(s"$path/$sub")
+              sub -> nRemoved
+            }
+          }
+        }.toMap
+        val tp = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
+        require(fs.delete(tp, true), s"purge failed to clear $tp")
+        removed
+    }
 
   /** Retention vacuum: delete the code partitions of every release `keep`
     * rejects — [[EavStore.vacuum]]'s contract on the (cell, release) layout
@@ -792,10 +925,13 @@ object IndexStore {
     // Coverage guard BEFORE the retrain: the re-encode below is an INNER
     // join against the resident id set, so a caller passing a partial
     // corpus would silently SHRINK the store. Fail loudly and fail fast —
-    // every resident id must appear in `vectors` (an anti-join count;
-    // rebalance is a rare nightly op, the extra job is noise next to the
-    // retrain it gates).
-    val relMap = readCodes(spark, path).select(col("cand_id"), col("release"))
+    // every SERVABLE resident id must appear in `vectors` (an anti-join
+    // count; rebalance is a rare nightly op, the extra job is noise next to
+    // the retrain it gates). Tombstoned residents are exempt: a rebalance
+    // re-encodes only the servable population — it IS a natural [[purge]]
+    // point, so the caller need not supply vectors for taken-down ids (and
+    // must not expect them to survive the swap).
+    val relMap = servableCodes(spark, path).select(col("cand_id"), col("release"))
     val uncovered = relMap.select(col("cand_id"))
       .join(vectors.select(col(idCol).cast("long").as("cand_id")),
         Seq("cand_id"), "left_anti")
@@ -844,6 +980,14 @@ object IndexStore {
     val fs = fsOf(spark, path)
     fs.create(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), true).close()
     finishSwap(spark, path)
+    // the swapped-in codes carry only servable residents (relMap above), so
+    // the tombstone list is fully realized — clear it. A crash between the
+    // swap and this delete is benign: the leftover tombstones exclude ids
+    // that no longer have code rows, and the next delete/purge/rebalance
+    // clears the list.
+    val tombP = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
+    if (fs.exists(tombP))
+      require(fs.delete(tombP, true), s"rebalance failed to clear $tombP")
     // the int8 rerank tier is keyed by the OLD cell layout — after the swap
     // its partition-pruned scan would silently drop shortlisted candidates
     // whose tier rows sit under stale cell numbers, so rebuild it on the

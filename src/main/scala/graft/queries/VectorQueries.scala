@@ -53,6 +53,30 @@ object VectorQueries {
         release = "r1")
     }
 
+  /** The shared TWO-RELEASE store (built on r1 = vec_id % 10 < 8, r2
+    * appended under the frozen r1 model) for queries that only READ it —
+    * q197's as-of serve and q202's churn card. Same memoization contract as
+    * [[fullIndex]]: the build is deterministic in (corpus, params), the
+    * first caller this pass pays (and attributes) the build. */
+  private def asOfIndex(s: SparkSession, dir: String, caller: String): String =
+    timedFixture(caller) {
+      sharedAsOfStores.computeIfAbsent(dir, _ => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val isOld = col("vec_id") % 10 < 8
+        val path =
+          java.nio.file.Files.createTempDirectory("graft-asof").toString
+        graft.pipeline.IndexStore.build(s, path, emb.where(isOld), "vec_id",
+          "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
+          ksub = 8, iters = 3, release = "r1")
+        graft.pipeline.IndexStore.append(s, path, emb.where(!isOld),
+          "vec_id", "embedding", "r2")
+        path
+      })
+    }
+
+  private val sharedAsOfStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q191's fixed lexical query terms — q112's term set, so the lexical arm
     * carries the already-hash-checked BM25 spelling. */
   private val hybridTerms = Seq("vector", "merge", "window", "stream")
@@ -355,16 +379,8 @@ object VectorQueries {
     // q145 chain over the r1 subset alone.
     "q197_asof_index_serve" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val isOld = col("vec_id") % 10 < 8
-      val path = java.nio.file.Files.createTempDirectory("graft-asof").toString
       fixtureBuildSec.remove("q197_asof_index_serve")
-      timedFixture("q197_asof_index_serve") {
-        graft.pipeline.IndexStore.build(s, path, emb.where(isOld), "vec_id",
-          "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16,
-          ksub = 8, iters = 3, release = "r1")
-        graft.pipeline.IndexStore.append(s, path, emb.where(!isOld),
-          "vec_id", "embedding", "r2")
-      }
+      val path = asOfIndex(s, dir, "q197_asof_index_serve")
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
@@ -372,6 +388,120 @@ object VectorQueries {
         col("embedding").cast("array<double>").as("cand_emb"))
       graft.pipeline.IndexStore.queryAsOf(s, path, qd, fv, Seq("r1"),
         nProbe = 2, k = 5, shortlist = 100)
+    }),
+
+    // TOMBSTONE-delete serving (q201): the takedown lifecycle end to end.
+    // Clone the shared frozen store (a filesystem copy — no retrain),
+    // tombstone vec_id % 7 == 3 (a metadata-only delete), serve the
+    // standard query set (stage 'tombstoned': the broadcast anti-join
+    // excludes the ids pre-shortlist, k still fills), PURGE (physical
+    // removal of exactly the affected (cell, release) partitions), serve
+    // again (stage 'purged'). Both stages must answer identically — the
+    // purge is pure reclamation — so the Python oracle is the q145 chain
+    // with the tombstoned ids skipped pre-shortlist, emitted under both
+    // stage tags.
+    "q201_tombstone_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val src = fullIndex(s, dir, "q201_tombstone_serve")
+      // a private clone: delete/purge MUTATE the store, and the shared
+      // fixture is read-only by contract. The copy is small files (codes +
+      // kilobyte meta), not a quantizer retrain.
+      val path = timedFixture("q201_tombstone_serve") {
+        val dst = java.nio.file.Files
+          .createTempDirectory("graft-tomb").toString + "/store"
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(src), fs,
+          new org.apache.hadoop.fs.Path(dst), false, conf)
+        dst
+      }
+      graft.pipeline.IndexStore.delete(s, path,
+        emb.where(col("vec_id") % 7 === 3)
+          .select(col("vec_id").as("cand_id")))
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      // pin stage-1 rows before the purge rewrites the files its lazy plan
+      // would otherwise re-list
+      val tombed = graft.pipeline.IndexStore.query(s, path, qd, fv,
+          nProbe = 2, k = 5, shortlist = 100)
+        .withColumn("stage", lit("tombstoned")).localCheckpoint()
+      graft.pipeline.IndexStore.purge(s, path)
+      val purged = graft.pipeline.IndexStore.query(s, path, qd, fv,
+        nProbe = 2, k = 5, shortlist = 100)
+        .withColumn("stage", lit("purged"))
+      tombed.unionByName(purged)
+    }),
+
+    // Release-over-release serving CHURN card (q202): the operational
+    // answer to "did last night's append change what users see?" — the
+    // as-of machinery serves the same query set against r1 alone and
+    // against r1+r2, and the card reduces each query to exact integers:
+    // top-k overlap, Jaccard (milli), and whether the top-1 flipped.
+    // Python oracle: the frozen-r1-model union encode (the q180 kernel)
+    // served against both candidate sets, reduced by the same arithmetic.
+    "q202_serving_churn" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = asOfIndex(s, dir, "q202_serving_churn")
+      val qd = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val fv = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      val oldS = graft.pipeline.IndexStore.queryAsOf(s, path, qd, fv,
+        Seq("r1"), nProbe = 2, k = 5, shortlist = 100)
+      val newS = graft.pipeline.IndexStore.queryAsOf(s, path, qd, fv,
+        Seq("r1", "r2"), nProbe = 2, k = 5, shortlist = 100)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("score").desc, col("cand_id"))
+      val top1Old = oldS.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("q_id"), col("cand_id").as("old1"))
+      val top1New = newS.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("q_id"), col("cand_id").as("new1"))
+      val oi = oldS.select("q_id", "cand_id")
+      val ni = newS.select("q_id", "cand_id")
+      val sizes = oi.groupBy("q_id").agg(count(lit(1)).as("n_old"))
+        .join(ni.groupBy("q_id").agg(count(lit(1)).as("n_new")), Seq("q_id"))
+      val common = oi.join(ni, Seq("q_id", "cand_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+      sizes.join(common, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .join(top1Old, Seq("q_id")).join(top1New, Seq("q_id"))
+        .select(col("q_id"), col("n_old"), col("n_new"), col("n_common"),
+          expr("div(n_common * 1000, n_old + n_new - n_common)")
+            .as("jaccard_milli"),
+          (col("old1") =!= col("new1")).as("top1_changed"))
+    }),
+
+    // TRUNCATED-dimension serving audit (q203): recall of brute-force
+    // top-5 using only the first d dims of the embedding (d = 16/32/64)
+    // against the full-dim truth — the audit behind prefix-truncation
+    // (matryoshka-style) serving tiers: how much recall does a 4×-cheaper
+    // prefix scan keep? Exact rounded-dot kernels on both sides, so the
+    // whole card is SQL-expressible and hash-checked.
+    "q203_truncated_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cand_emb"))
+      val truth = Similarity.bruteForceTopK(q, cands, k = 5)
+        .select("q_id", "cand_id")
+      Seq(16, 32, 64).map { d =>
+        val served = Similarity.bruteForceTopK(
+            q.withColumn("q_emb", slice(col("q_emb"), 1, d)),
+            cands.withColumn("cand_emb", slice(col("cand_emb"), 1, d)),
+            k = 5)
+          .select(col("q_id"), col("cand_id"), lit(1L).as("__hit"))
+        truth.join(served, Seq("q_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+          .select(lit(d.toLong).as("trunc_dim"), col("n_true"), col("n_hits"),
+            expr("div(n_hits * 1000, n_true)").as("recall_milli"))
+      }.reduce(_ unionByName _)
     }),
 
     // Ranked-retrieval quality card: MRR + nDCG@3 of the q72 IVF serving
@@ -1078,7 +1208,53 @@ object VectorQueries {
         threshold = 0.3, nProbe = 2))
   )
 
+  /** q203's oracle: the q48 brute-force spelling once at full dim (truth)
+    * and once per truncation (`q.i <= d` on the unnested join — DuckDB's
+    * subscripts are 1-based like Spark's slice), reduced to the same
+    * integer recall card. */
+  private def truncatedOracleSql(dims: Seq[Int]): String = {
+    def dots(extra: String) =
+      s"""  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rn
+         |    FROM (
+         |      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |             round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)), 3) AS score
+         |      FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> q.vec_id$extra
+         |      WHERE q.vec_id % 50 = 0
+         |      GROUP BY 1, 2)
+         |  ) WHERE rn <= 5""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |truth AS (
+        |""".stripMargin)
+    sb.append(dots(""))
+    sb.append("\n)")
+    dims.foreach { d =>
+      sb.append(s""",
+        |served$d AS (
+        |""".stripMargin)
+      sb.append(dots(s" AND q.i <= $d"))
+      sb.append(s"""
+        |),
+        |card$d AS (
+        |  SELECT CAST($d AS BIGINT) AS trunc_dim, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |         CAST(COALESCE(SUM(CASE WHEN s.cand_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+        |  FROM truth t LEFT JOIN served$d s ON s.q_id = t.q_id AND s.cand_id = t.cand_id
+        |)""".stripMargin)
+    }
+    sb.append("\nSELECT trunc_dim, n_true, n_hits, (n_hits * 1000) // n_true AS recall_milli\nFROM (")
+    sb.append(dims.map(d => s"SELECT * FROM card$d").mkString(" UNION ALL "))
+    sb.append(")")
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
+    "q203_truncated_serve" -> truncatedOracleSql(Seq(16, 32, 64)),
     // q82's encode + the exact decode (lo + q·(hi−lo)/255, identical IEEE
     // spelling to the Spark expression) + two q48 dot chains + q165's tail
     "q184_int8_recall" ->

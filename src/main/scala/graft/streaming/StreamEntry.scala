@@ -243,6 +243,24 @@ object StreamEntry {
           "vec_id", "embedding", release = s"b$id")
       }
 
+  /** Streaming TAKEDOWN twin of [[graft.pipeline.IndexStore.delete]] (the
+    * q201 lifecycle): each micro-batch of takedown requests (vec_id)
+    * tombstones the frozen store — a metadata-only id-list write, so the
+    * per-trigger work is bounded by the request batch, never the corpus.
+    * Serving queries running concurrently ([[serveQueries]]) pick the grown
+    * list up at their next trigger (the store re-reads its metadata per
+    * batch); a replayed micro-batch re-deletes the same ids, which the
+    * distinct union makes idempotent. Physical reclamation stays a
+    * batch-side nightly op (`IndexStore.purge`, or the next rebalance). */
+  def deleteIds(reqs: DataFrame,
+                indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    reqs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.IndexStore.delete(batch.sparkSession, indexPath,
+          batch.select(col("vec_id").cast("long").as("cand_id")))
+        ()
+      }
+
   /** Streaming SERVING twin of the q146 read path: each micro-batch of
     * query vectors is answered against the FROZEN index store — the same
     * cell-pruned ADC + exact-rerank chain [[graft.pipeline.IndexStore.query]]

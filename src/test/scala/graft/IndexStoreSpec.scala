@@ -815,4 +815,116 @@ class IndexStoreSpec extends SparkSpec {
       .select("cell").distinct().count()
     assert(all > 2, "fixture must populate more cells than one query probes")
   }
+
+  test("delete tombstones exclude from every serve path; purge reclaims and answers identically") {
+    val dir = Files.createTempDirectory("ivfadc_tomb").toString + "/index"
+    build(dir, emb)
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    val tomb = emb.where(col("vec_id") % 7 === 3)
+      .select(col("vec_id").cast("long").as("cand_id"))
+    val n1 = IndexStore.delete(spark, dir, tomb)
+    // idempotent: re-deleting the same ids leaves the list unchanged
+    assert(IndexStore.delete(spark, dir, tomb) === n1)
+    val served = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).cache()
+    assert(served.join(broadcast(tomb), Seq("cand_id")).isEmpty,
+      "a tombstoned id leaked into the served top-k")
+    // exclusion is PRE-shortlist, so k still fills
+    import spark.implicits._
+    val perQuery = served.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 5L))
+    // equals the white-box manual anti-join of the scan
+    val manual = Similarity.ivfPqServe(queriesDf,
+      IndexStore.readCodes(spark, dir)
+        .join(broadcast(tomb), Seq("cand_id"), "left_anti"),
+      fullVecs, IndexStore.readModel(spark, dir),
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(served.exceptAll(manual).isEmpty && manual.exceptAll(served).isEmpty)
+    // the int8 tier and the decontamination path exclude too
+    val i8 = IndexStore.queryInt8(spark, dir, queriesDf,
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(i8.join(broadcast(tomb), Seq("cand_id")).isEmpty)
+    val dropped = IndexStore.decontaminate(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, shortlist = 100, threshold = 0.3)
+    assert(dropped.join(
+      broadcast(tomb.withColumnRenamed("cand_id", "vec_id")),
+      Seq("vec_id")).isEmpty)
+    // PURGE: physical removal, identical answers, list cleared
+    val before = served.collect().toSet
+    val removed = IndexStore.purge(spark, dir)
+    assert(removed("codes") > 0L && removed("rerank/codes") > 0L)
+    assert(IndexStore.readTombstones(spark, dir).isEmpty, "purge must clear the list")
+    assert(IndexStore.readCodes(spark, dir)
+      .join(broadcast(tomb), Seq("cand_id")).isEmpty,
+      "purged ids still have code rows")
+    spark.catalog.refreshByPath(s"$dir/rerank/codes")
+    assert(spark.read.parquet(s"$dir/rerank/codes")
+      .join(broadcast(tomb), Seq("cand_id")).isEmpty,
+      "purged ids still have rerank-tier rows")
+    val after = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).collect().toSet
+    assert(after === before, "purge changed the served answer")
+    // purge with no tombstones is a no-op
+    assert(IndexStore.purge(spark, dir).values.forall(_ == 0L))
+  }
+
+  test("a re-appended tombstoned id stays excluded until purged") {
+    val dir = Files.createTempDirectory("ivfadc_tomb2").toString + "/index"
+    val isOld = col("vec_id") % 10 < 8
+    build(dir, emb.where(isOld))
+    val victim = emb.where(isOld).select(col("vec_id").cast("long").as("cand_id"))
+      .orderBy("cand_id").limit(1)
+    IndexStore.delete(spark, dir, victim)
+    // re-ingest the victim under a new release: the blocklist outlives it
+    val vid = victim.head().getLong(0)
+    IndexStore.append(spark, dir, emb.where(col("vec_id") === vid),
+      "vec_id", "embedding", "r2")
+    val served = IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 8, k = 1000, shortlist = 10000)
+    assert(served.where(col("cand_id") === vid).isEmpty,
+      "a re-appended tombstoned id must stay excluded")
+  }
+
+  test("purge deletes fully-emptied (cell, release) partition directories") {
+    val dir = Files.createTempDirectory("ivfadc_tomb3").toString + "/index"
+    val isOld = col("vec_id") % 10 < 8
+    build(dir, emb.where(isOld))
+    IndexStore.append(spark, dir, emb.where(!isOld), "vec_id", "embedding", "r2")
+    // tombstone EVERY r2 resident: all its partitions empty out
+    IndexStore.delete(spark, dir, emb.where(!isOld)
+      .select(col("vec_id").cast("long").as("cand_id")))
+    IndexStore.purge(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val r2Dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      .filter(_.isDirectory)
+      .flatMap(c => fs.listStatus(c.getPath))
+      .filter(_.getPath.getName == "release=r2")
+    assert(r2Dirs.isEmpty, "emptied release=r2 partition dirs must be deleted")
+    assert(IndexStore.readCodes(spark, dir).where(col("release") === "r2").isEmpty)
+    // r1 still serves
+    assert(IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).count() > 0)
+  }
+
+  test("rebalance re-encodes only servable residents and clears the tombstone list") {
+    val dir = Files.createTempDirectory("ivfadc_tomb4").toString + "/index"
+    build(dir, emb)
+    val tomb = emb.where(col("vec_id") % 7 === 3)
+      .select(col("vec_id").cast("long").as("cand_id"))
+    IndexStore.delete(spark, dir, tomb)
+    // the coverage guard must NOT demand the taken-down ids' vectors: pass
+    // a vectors frame WITHOUT them (the takedown scenario — the raw vectors
+    // may themselves be gone)
+    IndexStore.rebalance(spark, dir, emb.where(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", kCoarse = 8, coarseIters = 4, pqIters = 3)
+    assert(IndexStore.readTombstones(spark, dir).isEmpty,
+      "a committed rebalance must clear the realized tombstones")
+    assert(IndexStore.readCodes(spark, dir)
+      .join(broadcast(tomb), Seq("cand_id")).isEmpty,
+      "a rebalanced store must not re-encode tombstoned residents")
+    assert(IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100)
+      .join(broadcast(tomb), Seq("cand_id")).isEmpty)
+  }
 }

@@ -463,6 +463,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() === n)
   }
 
+  test("streaming takedown tombstones the store; serving excludes; replay idempotent") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = Files.createTempDirectory("tombstream").toString
+    val store = s"$dir/index"
+    graft.pipeline.IndexStore.build(spark, store, emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    // takedown requests arrive as two files → two micro-batches
+    val isTomb = col("vec_id") % 7 === 3
+    emb.where(isTomb && col("vec_id") % 2 === 0).select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/in/f1")
+    emb.where(isTomb && col("vec_id") % 2 =!= 0).select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/in/f2")
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.deleteIds(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"), store)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    val tomb = graft.pipeline.IndexStore.readTombstones(spark, store)
+    assert(tomb.isDefined)
+    val nTomb = tomb.get.count()
+    assert(nTomb === emb.where(isTomb).count(),
+      "the streamed list must equal the batch delete's id set")
+    // serving excludes every streamed-in tombstone
+    val served = graft.pipeline.IndexStore.query(spark, store,
+      emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb")),
+      emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb")),
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(served.where(col("cand_id") % 7 === 3).isEmpty,
+      "a streamed takedown id leaked into the served top-k")
+    // replay converges: the distinct union leaves the list unchanged
+    runOnceThrough()
+    assert(graft.pipeline.IndexStore.readTombstones(spark, store).get.count()
+      === nTomb)
+  }
+
   test("streaming graph roll-forward equals the from-scratch union graph; replay converges") {
     val emb = Tables.load(spark, sf, "embeddings")
     val isNew = col("vec_id") % 10 >= 8

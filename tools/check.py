@@ -1474,7 +1474,116 @@ def py_q182_recall_dial(con, spark_df, oracle):
     return spark_df, exp
 
 
+def py_q201_tombstone_serve(con, spark_df, oracle):
+    """Tombstone-delete serving: the q145 chain with the taken-down ids
+    (vec_id % 7 == 3) skipped pre-shortlist — IndexStore.delete's broadcast
+    anti-join contract — emitted under both lifecycle stages ('tombstoned'
+    = metadata-only exclusion, 'purged' = after physical removal). The two
+    stages must answer identically: a purge is pure reclamation."""
+    ids, vecs = _embeddings(con)
+    keep = {i for i in ids if i % 7 != 3}
+    base = _ivfpq_topk(ids, vecs, keep=keep)
+    both = pd.concat([base.assign(stage="tombstoned"),
+                      base.assign(stage="purged")], ignore_index=True)
+    return spark_df, both
+
+
+def py_q202_serving_churn(con, spark_df, oracle):
+    """Release-over-release serving churn: the frozen-r1-model union encode
+    (the q180 kernel — coarse Lloyd's + residual codebooks on vec_id % 10
+    < 8 only, every vector encoded against that frozen model), served per
+    query against the r1 candidate set and against r1+r2, reduced to the
+    exact integer churn card (top-k overlap, milli Jaccard, top-1 flip)."""
+    import math
+    ids, vecs = _embeddings(con)
+    dim = len(vecs[0])
+    kc, citers, nprobe = 8, 4, 2
+    m, ksub, iters, k, shortlist = 16, 8, 3, 5, 100
+    dsub = dim // m
+    old_idx = [i for i, vid in enumerate(ids) if vid % 10 < 8]
+    cents, oassign = _lloyd([vecs[i] for i in old_idx], kc, citers)
+    oresid = [[vecs[i][d] - cents[c][d] for d in range(dim)]
+              for i, c in zip(old_idx, oassign)]
+    cbs = []
+    for s in range(m):
+        scents, _ = _lloyd([r[s * dsub:(s + 1) * dsub] for r in oresid],
+                           ksub, iters)
+        cbs.append(scents)
+    cassign = _assign(vecs, cents)
+    codes = []
+    for v, c in zip(vecs, cassign):
+        r = [v[d] - cents[c][d] for d in range(dim)]
+        codes.append([_assign([r[s * dsub:(s + 1) * dsub]], cbs[s])[0]
+                      for s in range(m)])
+    by_cell = {}
+    for i, c in enumerate(cassign):
+        by_cell.setdefault(c, []).append(i)
+    nsqs = []
+    for cv in cents:
+        nsq = 0.0
+        for x in cv:
+            nsq += x * x
+        nsqs.append(nsq)
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+
+    def serve(qi, qid, eligible):
+        cs = []
+        for j, cv in enumerate(cents):
+            d = 0.0
+            for i in range(dim):
+                d += vecs[qi][i] * cv[i]
+            cs.append((nsqs[j] - 2.0 * d, j))
+        cs.sort(key=lambda t: (t[0], t[1]))
+        scored = []
+        for _, cell in cs[:nprobe]:
+            qr = [vecs[qi][i] - cents[cell][i] for i in range(dim)]
+            parts = []
+            for s in range(m):
+                qs = qr[s * dsub:(s + 1) * dsub]
+                row = []
+                for c in cbs[s]:
+                    acc = 0.0
+                    for i in range(dsub):
+                        acc += qs[i] * c[i]
+                    row.append(math.floor(acc * 1e6 + 0.5))
+                parts.append(row)
+            for ci in by_cell.get(cell, []):
+                cid = ids[ci]
+                if cid == qid or not eligible(cid):
+                    continue
+                sc = 0
+                for s in range(m):
+                    sc += parts[s][codes[ci][s]]
+                scored.append((sc, cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rer = []
+        for _, cid in scored[:shortlist]:
+            cv2 = vecs[idx_of[cid]]
+            acc = 0.0
+            for i in range(dim):
+                acc += vecs[qi][i] * cv2[i]
+            rer.append((_spark_round(acc, 3), cid))
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        return [cid for _, cid in rer[:k]]
+
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        old = serve(qi, qid, lambda cid: cid % 10 < 8)
+        new = serve(qi, qid, lambda cid: True)
+        common = len(set(old) & set(new))
+        jac = (common * 1000) // (len(old) + len(new) - common)
+        rows.append((qid, len(old), len(new), common, jac,
+                     old[0] != new[0]))
+    return spark_df, pd.DataFrame(rows, columns=[
+        "q_id", "n_old", "n_new", "n_common", "jaccard_milli",
+        "top1_changed"])
+
+
 PY_ORACLES = {
+    "q201_tombstone_serve": py_q201_tombstone_serve,
+    "q202_serving_churn": py_q202_serving_churn,
     "q180_vector_release": py_q180_vector_release,
     "q186_index_maintain": py_q186_index_maintain,
     "q187_opq_index_serve": py_q187_opq_index_serve,
