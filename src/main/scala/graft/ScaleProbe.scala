@@ -482,6 +482,57 @@ object ScaleProbe {
             runCpt(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
           Seq(("index_compact", t1, tf, o1, of))
         }
+      // Takedown lifecycle (q201/q204, round 10): persisted fixture = the
+      // corpus as a frozen store + int8 tier; the takedown batch is FIXED
+      // across factors (requests don't grow with the corpus). Two claims
+      // under probe: (a) tombstone_serve — serving with a pending blocklist
+      // costs what index_serve costs (the exclusion is one broadcast hash
+      // probe on the pruned scan, exponent ~0 like the plain serve);
+      // (b) takedown_purge — physical reclamation's rewrite is bounded by
+      // the batch's partitions; the discovery semi-join scans only the
+      // compact code table's id/partition columns, so growth tracks the
+      // code-table scan, never the raw corpus.
+      val tkdResults =
+        if (!only.forall(s => s.contains("tombstone_serve") ||
+            s.contains("takedown_purge"))) Seq.empty
+        else {
+          def runTkd(e: DataFrame, kCoarse: Int,
+                     tag: String): ((Double, Long), (Double, Long)) = {
+            val p = s"$tmp/tkd_$tag"
+            graft.pipeline.IndexStore.build(spark, p, e, "vec_id",
+              "embedding", dim = 64, kCoarse = kCoarse, coarseIters = 4,
+              m = 16, ksub = 8, iters = 3, release = "r1")
+            graft.pipeline.IndexStore.buildRerank(spark, p,
+              e.select(col("vec_id").cast("long").as("cand_id"),
+                col("embedding").cast("array<double>").as("cand_emb")))
+            def batch(m: Int) = e
+              .where(col("vec_id") < eoff && col("vec_id") % 97 === m)
+              .select(col("vec_id").cast("long").as("cand_id"))
+            val qd = e.where(col("vec_id") % 50 === 0 && col("vec_id") < eoff)
+              .select(col("vec_id").cast("long").as("q_id"),
+                col("embedding").cast("array<double>").as("q_emb"))
+            val fv = e.select(col("vec_id").cast("long").as("cand_id"),
+              col("embedding").cast("array<double>").as("cand_emb"))
+            graft.pipeline.IndexStore.delete(spark, p, batch(3))
+            def serve(): DataFrame = graft.pipeline.IndexStore.query(
+              spark, p, qd, fv, nProbe = 2, k = 5, shortlist = 100)
+            time(serve()) // untimed warmup (codegen, listings)
+            val serveRes = (time(serve()), serve().count())
+            def purgeT(): Double = {
+              val t0 = System.nanoTime()
+              graft.pipeline.IndexStore.purge(spark, p)
+              (System.nanoTime() - t0) / 1e9
+            }
+            purgeT() // warmup purge realizes the first batch (a real rewrite)
+            val nB = graft.pipeline.IndexStore.delete(spark, p, batch(7))
+            (serveRes, (purgeT(), nB))
+          }
+          val (s1, p1) = runTkd(embs, 8, "1x")
+          val (sf, pf) =
+            runTkd(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("tombstone_serve", s1._1, sf._1, s1._2, sf._2),
+            ("takedown_purge", p1._1, pf._1, p1._2, pf._2))
+        }
       // Hybrid RRF (q191's shape): both arms scan their corpus once (BM25
       // aggregation chain / broadcast-1-query dot map) and collapse to ≤n
       // rows via the bounded top-k aggregate BEFORE fusion, so the fusion
@@ -511,7 +562,7 @@ object ScaleProbe {
         }
       val results = results0 ++ serveResults ++ int8Results ++
         graphResults ++ vrelResults ++ mntResults ++ cptResults ++
-        hybridResults
+        tkdResults ++ hybridResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

@@ -170,6 +170,15 @@ object VectorRelease {
     * [[writeGraph]]'s output and pass it back as `priorGeneration` the
     * following night.
     *
+    * Pending TAKEDOWNS ([[IndexStore.delete]]) are realized first, nightly:
+    * the store is purged, the night's vector inputs are scrubbed, and on
+    * the incremental graph path the prior edge list is scrubbed of
+    * tombstoned endpoints with the nodes that lost a neighbor re-scored
+    * against the servable corpus ([[repairGraph]]) — so the merged graph
+    * remains provably identical to a from-scratch build on the servable
+    * union, and the takedown's nightly cost is bounded by its blast
+    * radius.
+    *
     * When the store carries the int8 rerank tier ([[IndexStore.hasRerank]])
     * the night rolls it forward too, under the same staleness rule as the
     * graph: generation mismatch rebuilds the tier on the resident corpus
@@ -188,13 +197,32 @@ object VectorRelease {
     // 0. converge any interrupted predecessor (a crash mid-swap resumes the
     //    committed rebalance here; a crash pre-marker discards the staging)
     IndexStore.recover(spark, path)
-    // 1. decide — one kilobyte policy row
+    // 0b. realize pending TAKEDOWNS nightly — the q201 lifecycle's
+    //     operational close. The delete itself is latency-critical metadata
+    //     (serving excludes immediately); the nightly is where physical and
+    //     derived state converge: pin the list, PURGE the store (code +
+    //     int8-tier partitions), scrub the night's vector inputs, and —
+    //     on the incremental graph path below — scrub the prior edge list
+    //     of tombstoned endpoints and REPAIR exactly the nodes that lost a
+    //     neighbor, so the merged graph stays provably identical to a
+    //     from-scratch build on the SERVABLE union. Work is bounded by the
+    //     takedown blast radius (the ids + their reverse neighbors), never
+    //     corpus-sized.
+    val tomb = IndexStore.readTombstones(spark, path).map(t =>
+      t.select(col("cand_id").as("__tomb_id")).localCheckpoint())
+    tomb.foreach(_ => IndexStore.purge(spark, path))
+    def scrubVecs(d: DataFrame) = tomb.fold(d)(t =>
+      d.join(broadcast(t), col(idCol).cast("long") === col("__tomb_id"),
+        "left_anti"))
+    val oldV = scrubVecs(oldVecs)
+    val newV = scrubVecs(newVecs)
+    // 1. decide — one kilobyte policy row (over the purged, servable store)
     val needsRebalance = IndexStore.healthVerdict(spark, path, kCoarse,
       maxShareMilli).collect()(0).getAs[Boolean]("needs_rebalance")
-    // 2. conditionally fix: retrain on the resident corpus; the new release
-    //    enters through the append inside rollForward as always
+    // 2. conditionally fix: retrain on the servable resident corpus; the
+    //    new release enters through the append inside rollForward as always
     if (needsRebalance)
-      IndexStore.rebalance(spark, path, oldVecs, idCol, embCol, kCoarse,
+      IndexStore.rebalance(spark, path, oldV, idCol, embCol, kCoarse,
         coarseIters, pqIters)
     // 3. roll forward. The prior graph merges incrementally ONLY when it
     //    was built under the store's current quantizer generation — a
@@ -216,31 +244,81 @@ object VectorRelease {
     //     along (stats included). The night's delta then appends under
     //     those stats below, like any healthy night.
     if (stale && !needsRebalance && hasTier)
-      IndexStore.buildRerank(spark, path, cands(oldVecs))
+      IndexStore.buildRerank(spark, path, cands(oldV))
     val graphBase =
-      if (!stale) priorGraph
+      if (!stale) tomb.fold(priorGraph)(t =>
+        repairGraph(spark, path, priorGraph, t, oldV, idCol, embCol, p))
       else {
         // rebuild in the healed store's native space: an OPQ rebalance
         // retrains the rotation too, so reflect the resident vectors
         // through the NEW frozen w before cell pruning (identity for a
-        // plain store — see rollForward's rotation note)
+        // plain store — see rollForward's rotation note). oldV is already
+        // takedown-scrubbed, so the rebuild is servable-only by input.
         val healed = IndexStore.readModel(spark, path)
         val rot = IndexStore.readRotation(spark, path)
-        val n0 = oldVecs.select(col(idCol).cast("long").as("q_id"),
+        val n0 = oldV.select(col(idCol).cast("long").as("q_id"),
           col(embCol).cast("array<double>").as("q_emb"))
         Similarity.ivfExactGraphEdges(
           rot.fold(n0)(w => Similarity.householderRotate(n0, "q_emb", w)),
-          rot.fold(cands(oldVecs))(w =>
-            Similarity.householderRotate(cands(oldVecs), "cand_emb", w)),
+          rot.fold(cands(oldV))(w =>
+            Similarity.householderRotate(cands(oldV), "cand_emb", w)),
           healed.centroids, p.nProbe, p.k)
       }
-    val out = rollForward(spark, path, newVecs, oldVecs, evals, graphBase,
+    val out = rollForward(spark, path, newV, oldV, evals, graphBase,
       idCol, embCol, release, p)
     // 4. append the delta to the rerank tier under the FROZEN stats
     //    (map-only, dynamic-overwrite idempotent) — after rollForward so
     //    the cell lookup reads the release's just-appended codes.
-    if (hasTier) IndexStore.appendRerank(spark, path, cands(newVecs), release)
+    if (hasTier) IndexStore.appendRerank(spark, path, cands(newV), release)
     out.withColumn("rebalanced", lit(needsRebalance))
+  }
+
+  /** Scrub + repair the prior edge list after takedowns, under the store's
+    * CURRENT frozen model (callers reach here only on the generation-match
+    * path, where that is also the model the graph was built under):
+    *
+    *   - edges FROM a tombstoned node drop (the node is gone);
+    *   - edges TO a tombstoned node name the nodes that lost a neighbor —
+    *     dropping the edge alone would leave those nodes with < k edges
+    *     (the HNSW-style lazy-delete hole), so each affected node's full
+    *     top-k is RE-SCORED against the servable corpus instead;
+    *   - every other node's top-k is provably unchanged (it contained no
+    *     tombstoned member, and removing non-members from the candidate
+    *     pool cannot alter an exact top-k), so the repaired graph equals a
+    *     from-scratch build on the servable corpus — the identity the
+    *     nightly merge step requires (VectorReleaseSpec pins it).
+    *
+    * Cost: two broadcast anti/semi joins over the edge list plus one exact
+    * cell-pruned scoring pass bounded by |affected| ≈ the takedown ids'
+    * reverse-neighbor count — blast-radius-sized, never corpus-sized. */
+  private def repairGraph(spark: SparkSession, path: String,
+                          priorGraph: DataFrame, tomb: DataFrame,
+                          oldServable: DataFrame, idCol: String,
+                          embCol: String, p: Params): DataFrame = {
+    val affected = priorGraph
+      .join(broadcast(tomb), col("dst_id") === col("__tomb_id"), "left_semi")
+      .select(col("src_id")).distinct()
+      .join(broadcast(tomb), col("src_id") === col("__tomb_id"), "left_anti")
+      .localCheckpoint()
+    val keep = priorGraph
+      .join(broadcast(tomb), col("src_id") === col("__tomb_id"), "left_anti")
+      .join(broadcast(tomb), col("dst_id") === col("__tomb_id"), "left_anti")
+      .join(broadcast(affected), Seq("src_id"), "left_anti")
+    val model = IndexStore.readModel(spark, path)
+    val rot = IndexStore.readRotation(spark, path)
+    val n0 = oldServable
+      .join(broadcast(affected), col(idCol).cast("long") === col("src_id"),
+        "left_semi")
+      .select(col(idCol).cast("long").as("q_id"),
+        col(embCol).cast("array<double>").as("q_emb"))
+    val c0 = oldServable.select(col(idCol).cast("long").as("cand_id"),
+      col(embCol).cast("array<double>").as("cand_emb"))
+    val repaired = Similarity.ivfExactGraphEdges(
+      rot.fold(n0)(w => Similarity.householderRotate(n0, "q_emb", w)),
+      rot.fold(c0)(w => Similarity.householderRotate(c0, "cand_emb", w)),
+      model.centroids, p.nProbe, p.k)
+    keep.select("src_id", "dst_id", "score", "rank")
+      .unionByName(repaired.select("src_id", "dst_id", "score", "rank"))
   }
 
   /** Persist the rolled-forward edge list. The graph is rewritten whole —

@@ -822,6 +822,47 @@ object VectorQueries {
       night(8, "healthy").unionByName(night(2, "degen"))
     }),
 
+    // TAKEDOWN-AWARE nightly maintenance (q204): takedown requests land
+    // between nights as q201 metadata deletes; the next maintain night
+    // REALIZES them — purges the store's code + int8 partitions, scrubs
+    // the night's vector inputs, scrubs the prior graph of tombstoned
+    // endpoints and REPAIRS exactly the nodes that lost a neighbor (re-
+    // scored against the servable corpus), so the merged graph stays
+    // provably identical to a from-scratch build on the SERVABLE union.
+    // Python oracle: the q180 union answer restricted to vec_id % 7 != 3,
+    // with the verdict arithmetic replayed over the purged store.
+    "q204_takedown_maintain" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val isEval = col("vec_id") % 50 === 0
+      val corpus = emb.where(!isEval)
+      val isNew = col("vec_id") % 10 >= 8
+      def nodes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      def cands(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb"))
+      val path = java.nio.file.Files.createTempDirectory("graft-tkd").toString
+      fixtureBuildSec.remove("q204_takedown_maintain")
+      val prior = timedFixture("q204_takedown_maintain") {
+        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
+          "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
+          m = 16, ksub = 8, iters = 3, release = "r1")
+        val m0 = graft.pipeline.IndexStore.readModel(s, path)
+        Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
+          cands(corpus.where(!isNew)), m0.centroids, nProbe = 2, k = 3)
+          .localCheckpoint()
+      }
+      // the takedown arrives between nights: a metadata-only q201 delete
+      graft.pipeline.IndexStore.delete(s, path,
+        emb.where(col("vec_id") % 7 === 3)
+          .select(col("vec_id").as("cand_id")))
+      graft.pipeline.VectorRelease.maintain(s, path, corpus.where(isNew),
+        corpus.where(!isNew), nodes(emb.where(isEval)), prior,
+        "vec_id", "embedding", release = "r2",
+        kCoarse = 8, maxShareMilli = 300)
+    }),
+
     // Index REBALANCE (the fix for what q178 detects): the store is first
     // built with a deliberately degenerate coarse quantizer (kCoarse = 2 —
     // monster cells, the hot-partition/recall-loss failure mode), then

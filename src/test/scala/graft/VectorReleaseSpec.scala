@@ -93,6 +93,48 @@ class VectorReleaseSpec extends SparkSpec {
       gotPersisted.exceptAll(g).isEmpty)
   }
 
+  test("maintain realizes takedowns: scrub+repair equals the from-scratch servable graph; store purged") {
+    val root = Files.createTempDirectory("vrel_tkd").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    val model = IndexStore.readModel(spark, idx)
+    // prior graph over the FULL old corpus (built before the takedown)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    // takedown between nights: metadata-only delete of vec_id % 7 == 3
+    val isTomb = col("vec_id") % 7 === 3
+    IndexStore.delete(spark, idx,
+      emb.where(isTomb).select(col("vec_id").as("cand_id")))
+    val out = VectorRelease.maintain(spark, idx, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300).localCheckpoint()
+    // no tombstoned endpoint anywhere in the night's graph
+    assert(out.where(col("src_id") % 7 === 3 || col("dst_id") % 7 === 3)
+      .isEmpty, "a taken-down id survived in the maintained graph")
+    // the merged graph ≡ a from-scratch build on the SERVABLE union under
+    // the same frozen model — the repairGraph identity (nodes that lost a
+    // neighbor were re-scored, all others provably unchanged)
+    val union = old.where(!isTomb).unionByName(fresh.where(!isTomb))
+    val scratch = Similarity.withMutualFlag(Similarity.ivfExactGraphEdges(
+      nodes(union), cands(union), model.centroids, nProbe = 2, k = 3))
+    val gotEdges = out.select("src_id", "dst_id", "score", "rank", "mutual")
+    assert(gotEdges.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(gotEdges).isEmpty,
+      "maintained graph diverged from the from-scratch servable union")
+    // the store is physically purged and the list cleared
+    assert(IndexStore.readTombstones(spark, idx).isEmpty)
+    assert(IndexStore.readCodes(spark, idx)
+      .where(col("cand_id") % 7 === 3).isEmpty,
+      "purged ids still resident after the maintain night")
+    // healthy fixture: the takedown must not have tripped the verdict
+    assert(out.select("rebalanced").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+  }
+
   test("maintain: verdict gates the rebalance, both branches converge, crash between steps recovers") {
     val old = emb.where(!isEval && !isNew)
     val fresh = emb.where(!isEval && isNew)

@@ -1161,14 +1161,25 @@ def py_q180_vector_release(con, spark_df, oracle):
     over the union codes (the q156 kernel). Equality with the engine's
     rolled-forward (append + merge + serve) output IS the
     incremental-correctness claim."""
-    import math
     ids, vecs = _embeddings(con)
+    return spark_df, _union_release(ids, vecs)
+
+
+def _union_release(ids, vecs, keep=None):
+    """The q180 from-scratch union build, optionally restricted to a
+    SERVABLE corpus (`keep` = eligible vec-id set — the q204 takedown
+    case). The model always trains on the FULL old slice (it was frozen
+    before any takedown); only the encoded/graphed/served population
+    shrinks, exactly like purge + scrubbed inputs on the engine side."""
+    import math
     dim = len(vecs[0])
     kc, citers, nprobe, k = 8, 4, 2, 3
     m, ksub, iters, shortlist, thr = 16, 8, 3, 100, 0.3
     dsub = dim // m
-    corp = [(i, vid) for i, vid in enumerate(ids) if vid % 50 != 0]
-    old = [(i, vid) for i, vid in corp if vid % 10 < 8]
+    corp = [(i, vid) for i, vid in enumerate(ids)
+            if vid % 50 != 0 and (keep is None or vid in keep)]
+    old = [(i, vid) for i, vid in enumerate(ids)
+           if vid % 50 != 0 and vid % 10 < 8]
     # frozen model: coarse centroids + residual codebooks on the old corpus
     cents, oassign = _lloyd([vecs[i] for i, _ in old], kc, citers)
     oresid = [[vecs[i][d] - cents[c][d] for d in range(dim)]
@@ -1262,12 +1273,36 @@ def py_q180_vector_release(con, spark_df, oracle):
         cur = best.get(cid)
         if cur is None or (sc, -qid) > (cur[1], -cur[0]):
             best[cid] = (qid, sc)
-    exp = pd.DataFrame(
+    return pd.DataFrame(
         [(a, b, sc, r, (b, a) in eset,
           "r2" if a % 10 >= 8 else "r1", a in best)
          for a, b, sc, r in edges],
         columns=["src_id", "dst_id", "score", "rank", "mutual",
                  "release", "dropped"])
+
+
+def py_q204_takedown_maintain(con, spark_df, oracle):
+    """Takedown-aware nightly maintenance: the q180 from-scratch union
+    answer restricted to the SERVABLE corpus (vec_id % 7 != 3 taken down
+    between nights; the frozen model predates the takedown so it still
+    trains on the full old slice), plus the rebalanced flag = the q183
+    verdict arithmetic over the PURGED store (servable old residents
+    assigned to the frozen centroids)."""
+    ids, vecs = _embeddings(con)
+    keep = {vid for vid in ids if vid % 7 != 3}
+    exp = _union_release(ids, vecs, keep=keep)
+    train = [vecs[i] for i, vid in enumerate(ids)
+             if vid % 50 != 0 and vid % 10 < 8]
+    cents, _ = _lloyd(train, 8, 4)
+    sold = [vecs[i] for i, vid in enumerate(ids)
+            if vid % 50 != 0 and vid % 10 < 8 and vid % 7 != 3]
+    counts = {}
+    for c in _assign(sold, cents):
+        counts[c] = counts.get(c, 0) + 1
+    trips = max(k * 1000 // len(sold) for k in counts.values()) > 300 \
+        or len(counts) < 8
+    exp = exp.copy()
+    exp["rebalanced"] = trips
     return spark_df, exp
 
 
@@ -1582,6 +1617,7 @@ def py_q202_serving_churn(con, spark_df, oracle):
 
 
 PY_ORACLES = {
+    "q204_takedown_maintain": py_q204_takedown_maintain,
     "q201_tombstone_serve": py_q201_tombstone_serve,
     "q202_serving_churn": py_q202_serving_churn,
     "q180_vector_release": py_q180_vector_release,
