@@ -103,4 +103,54 @@ object ReleaseBuild {
     GramStore.append(spark, gramPath, release, retained, textCol)
     out
   }
+
+  /** Realize a document TAKEDOWN across the text tier's persisted stores —
+    * the q204 contract ([[VectorRelease.maintain]]'s takedown step) for
+    * text. Two moves:
+    *
+    *  1. [[SignatureStore.delete]] removes the ids' signature rows exactly
+    *     (per-document rows — incremental dedup immediately stops seeing
+    *     the documents; no exclusion list needed).
+    *  2. Each affected release's GRAM partition is restored by re-appending
+    *     it from the release's REMAINING member documents
+    *     ([[GramStore.append]] rebuilds the release's novel margin against
+    *     the other partitions); a release the takedown emptied is vacuumed
+    *     instead. Exact for grams confined to their release; a taken-down
+    *     gram that had straddled into a later release's suppressed margin
+    *     inherits [[GramStore.vacuum]]'s documented conservativeness —
+    *     novelty can only read HIGHER, never wrongly suppress.
+    *
+    * Frozen artifacts that PREDATE the takedown (classifier weights,
+    * quantizer models) stay frozen — retraining them is a separate, heavier
+    * decision, exactly the q204 stance on the vector side. `remainingDocs`
+    * is the corpus minus the taken-down documents (release membership is
+    * recovered from the signature store, so one frame serves every
+    * release). Cost: bounded by the affected releases' document counts,
+    * never the corpus. Returns signature rows removed. */
+  def takedownDocs(spark: SparkSession, sigPath: String, gramPath: String,
+                   ids: DataFrame, remainingDocs: DataFrame,
+                   idCol: String, textCol: String): Long = {
+    val tomb = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    // membership BEFORE the delete names the releases whose gram margins
+    // must be restored afterwards
+    spark.catalog.refreshByPath(sigPath)
+    val affected = SignatureStore.read(spark, sigPath)
+      .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .select(col("release").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val removed = SignatureStore.delete(spark, sigPath, tomb)
+    affected.foreach { r =>
+      val members = SignatureStore.read(spark, sigPath)
+        .where(col("release") === r)
+        .select(col("doc_id").as("__m_id"))
+      val docsR = remainingDocs.join(members,
+        col(idCol).cast("long") === col("__m_id"), "left_semi")
+      if (docsR.isEmpty)
+        GramStore.vacuum(spark, gramPath, name => name != r)
+      else
+        GramStore.append(spark, gramPath, r, docsR, textCol)
+    }
+    removed
+  }
 }

@@ -74,6 +74,53 @@ object SignatureStore {
              keep: String => Boolean): Seq[String] =
     ReleasePartitions.vacuum(spark, path, keep)
 
+  /** TAKEDOWN delete — the text tier's [[IndexStore.delete]]+purge in one
+    * step (signature rows are strictly per-document, so removal is EXACT
+    * and immediate: incremental dedup simply stops seeing the documents;
+    * no serve-path exclusion list is needed). Only the release partitions
+    * that actually hold the ids are rewritten — discovered with one
+    * semi-join bounded by the id list (the scan reads the store's id and
+    * partition columns only) — and partitions the delete empties are
+    * removed directly, since a dynamic overwrite cannot express "now
+    * empty". Idempotent: re-deleting already-absent ids rewrites nothing.
+    * Returns rows removed. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    val tomb = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    spark.catalog.refreshByPath(path)
+    val t = read(spark, path)
+    val affected = t.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .select(col("release").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) 0L
+    else {
+      val aff = t.where(col("release").isin(affected: _*))
+      val nRemoved =
+        aff.join(broadcast(tomb), Seq("doc_id"), "left_semi").count()
+      val survivors = aff.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val live = survivors.select(col("release").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(live).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/release=$r")
+        if (fs.exists(p))
+          require(fs.delete(p, true), s"delete failed to remove $p")
+      }
+      if (live.nonEmpty)
+        survivors
+          .repartition(pmod(xxhash64(col("doc_id")),
+            lit(EavStore.FilesPerPartition)))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("release")
+          .parquet(path)
+      spark.catalog.refreshByPath(path)
+      nRemoved
+    }
+  }
+
   /** Band-bucket rows `(doc_id, band, bucket)` derived from signature rows.
     * MUST mirror [[Dedup.minhashCandidates]]'s bucket spelling exactly —
     * a store signed yesterday has to collide with a query banded today. */

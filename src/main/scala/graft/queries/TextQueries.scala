@@ -785,6 +785,43 @@ object TextQueries {
         Classifier.denseWeights(w, 256))
     }),
 
+    // DOCUMENT takedown across the text tier (q205): takedown requests
+    // arrive between releases; ReleaseBuild.takedownDocs deletes the ids'
+    // signature rows EXACTLY and restores each affected release's gram
+    // margin from its remaining members; the next nightly then rolls
+    // forward against the scrubbed stores. Classifier weights stay frozen
+    // (they predate the takedown — the q204 stance). FULL SQL oracle: the
+    // q140 chain with the dedup/novelty prior state drawn from the LIVE
+    // corpus (doc_id % 9 != 2) while the classifier CTEs keep the full old
+    // slice.
+    "q205_doc_takedown" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      val old = docs.where(!isNew)
+      val isTomb = col("doc_id") % 9 === 2
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dtkd").toString
+      val sigPath = s"$root/sigs"
+      val gramPath = s"$root/grams"
+      VectorQueries.fixtureBuildSec.remove("q205_doc_takedown")
+      val t0 = System.nanoTime()
+      graft.pipeline.SignatureStore.append(s, sigPath, "r1", old,
+        "doc_id", "text")
+      graft.pipeline.GramStore.append(s, gramPath, "r1", old, "text")
+      // weights are frozen prior-release state too — part of the fixture
+      val w = Classifier.trainWeights(old, "doc_id", "text",
+        col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      VectorQueries.fixtureBuildSec.put("q205_doc_takedown",
+        (System.nanoTime() - t0) / 1e9)
+      graft.pipeline.ReleaseBuild.takedownDocs(s, sigPath, gramPath,
+        docs.where(isTomb).select(col("doc_id")), docs.where(!isTomb),
+        "doc_id", "text")
+      graft.pipeline.ReleaseBuild.rollForwardOnDisk(s,
+        docs.where(isNew && !isTomb), "doc_id", "text", "source",
+        docs.where(!isTomb), sigPath, gramPath, "r2",
+        Classifier.denseWeights(w, 256))
+    }),
+
     // Release QA exemplars: the q140 manifest's survivors feed per-source
     // stratified k-center (q194's kernel, k = 2) over their embeddings —
     // the selection-layer close of the release pipeline ("pick the most
@@ -1309,8 +1346,39 @@ object TextQueries {
         |WHERE d.vec_id IS NULL""".stripMargin
   }
 
+  /** q205's oracle = the q140 chain with the dedup/novelty prior state
+    * drawn from the LIVE corpus (takedown ids excluded) while the
+    * classifier CTEs keep the full old slice (frozen weights predate the
+    * takedown). Spliced programmatically from q140's verified spelling —
+    * each replaced fragment is `require`d present and unique so the
+    * transform can never silently drift. */
+  private lazy val q205Oracle: String = {
+    val q140 = baseOracles("q140_release_build")
+    def replaceOnce(s: String, from: String, to: String): String = {
+      val i = s.indexOf(from)
+      require(i >= 0, s"q140 oracle fragment moved; update q205Oracle: $from")
+      require(s.indexOf(from, i + 1) < 0,
+        s"q140 oracle fragment no longer unique; update q205Oracle: $from")
+      s.substring(0, i) + to + s.substring(i + from.length)
+    }
+    var o = replaceOnce(q140, "WITH h AS (",
+      "WITH live AS (SELECT * FROM documents WHERE doc_id % 9 <> 2),\nh AS (")
+    // h (dedup hashes), t (shingles), gsh (grams) read the live corpus;
+    // the classifier CTEs (old/newtoks) and the manifest join keep reading
+    // `documents` — frozen weights, and joins already restricted by k-sets
+    o = replaceOnce(o, "           FROM documents),\nk1 AS (",
+      "           FROM live),\nk1 AS (")
+    o = replaceOnce(o, "      FROM documents),\nidx AS (",
+      "      FROM live),\nidx AS (")
+    o = replaceOnce(o,
+      "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) gt",
+      "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM live) gt")
+    o
+  }
+
   def oracles: Map[String, String] =
-    baseOracles + ("q185_unified_release" -> q185Oracle)
+    baseOracles + ("q185_unified_release" -> q185Oracle,
+      "q205_doc_takedown" -> q205Oracle)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q85_chunk_docs" ->

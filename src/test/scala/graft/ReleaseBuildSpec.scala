@@ -37,6 +37,57 @@ class ReleaseBuildSpec extends SparkSpec {
     assert(fromDisk.exceptAll(inline).isEmpty && inline.exceptAll(fromDisk).isEmpty)
   }
 
+  test("takedownDocs: exact signature removal, gram margin restored, equals stores built without the docs") {
+    val isTomb = col("doc_id") % 9 === 2
+    val dir = Files.createTempDirectory("relbuild_tkd").toString
+    SignatureStore.append(spark, s"$dir/sigs", "r0",
+      docs.where(!isNew), "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r0", docs.where(!isNew), "text")
+    val removed = ReleaseBuild.takedownDocs(spark, s"$dir/sigs",
+      s"$dir/grams", docs.where(isTomb).select(col("doc_id")),
+      docs.where(!isTomb), "doc_id", "text")
+    assert(removed === docs.where(!isNew && isTomb).count(),
+      "every resident taken-down doc's signature row must be removed")
+    // idempotent: a second identical takedown removes nothing
+    assert(ReleaseBuild.takedownDocs(spark, s"$dir/sigs", s"$dir/grams",
+      docs.where(isTomb).select(col("doc_id")), docs.where(!isTomb),
+      "doc_id", "text") === 0L)
+    // scrubbed stores ≡ stores built from the live corpus from scratch
+    // (single prior release → the gram restore is EXACT, not conservative)
+    spark.catalog.refreshByPath(s"$dir/sigs")
+    val scrubbed = SignatureStore.read(spark, s"$dir/sigs")
+      .select("doc_id", "content_md5", "sig")
+    val fresh = SignatureStore.signatures(docs.where(!isNew && !isTomb),
+      "doc_id", "text")
+    assert(scrubbed.exceptAll(fresh).isEmpty && fresh.exceptAll(scrubbed).isEmpty)
+    val scrubbedG = GramStore.read(spark, s"$dir/grams").select("gram_h")
+    val freshG = GramStore.grams(docs.where(!isNew && !isTomb), "text")
+    assert(scrubbedG.exceptAll(freshG).isEmpty &&
+      freshG.exceptAll(scrubbedG).isEmpty,
+      "restored gram margin must equal a from-scratch live build")
+  }
+
+  test("takedownDocs vacuums a release the takedown empties") {
+    val dir = Files.createTempDirectory("relbuild_tkd2").toString
+    // two releases; every r1 member is taken down
+    val r0 = docs.where(!isNew && col("doc_id") % 2 === 0)
+    val r1 = docs.where(!isNew && col("doc_id") % 2 =!= 0)
+    SignatureStore.append(spark, s"$dir/sigs", "r0", r0, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r0", r0, "text")
+    SignatureStore.append(spark, s"$dir/sigs", "r1", r1, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r1", r1, "text")
+    ReleaseBuild.takedownDocs(spark, s"$dir/sigs", s"$dir/grams",
+      r1.select(col("doc_id")), docs.where(!isNew).exceptAll(r1),
+      "doc_id", "text")
+    spark.catalog.refreshByPath(s"$dir/sigs")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    assert(SignatureStore.read(spark, s"$dir/sigs")
+      .where(col("release") === "r1").isEmpty)
+    assert(GramStore.read(spark, s"$dir/grams")
+      .where(col("release") === "r1").isEmpty,
+      "an emptied release's gram partition must be vacuumed, not left stale")
+  }
+
   test("re-running the roll-forward is idempotent in output and state") {
     val dir = Files.createTempDirectory("relbuild_idem").toString
     SignatureStore.append(spark, s"$dir/sigs", "r0",
