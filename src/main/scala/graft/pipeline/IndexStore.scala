@@ -683,7 +683,8 @@ object IndexStore {
     * serve path), not corpus-sized — a list that outgrows broadcast should
     * be purged, which resets it to empty. */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Long = {
-    val add = ids.select(col("cand_id").cast("long").as("cand_id")).distinct()
+    val add = ids
+      .select(col(ids.columns.head).cast("long").as("cand_id")).distinct()
     // the union reads the same files the write below replaces — pin first
     // (the repo's self-overwrite localCheckpoint idiom)
     val all = readTombstones(spark, path)
@@ -756,9 +757,18 @@ object IndexStore {
               .distinct().collect().map(r => (r.getString(0), r.getString(1)))
             if (affected.isEmpty) sub -> 0L
             else {
-              val inAffected = affected.map { case (c, r) =>
-                col("cell").cast("string") === c && col("release") === r
-              }.reduce(_ || _)
+              // two prunable per-column IN filters (cell and release each
+              // drive partition pruning) narrowed to the EXACT pair set by
+              // one struct-IN — compiled to a hash probe, so a large
+              // takedown batch never builds an OR-chain plan
+              val affCells = affected.map(_._1).distinct
+              val affRels = affected.map(_._2).distinct
+              val inAffected =
+                col("cell").cast("string").isin(affCells: _*) &&
+                  col("release").cast("string").isin(affRels: _*) &&
+                  struct(col("cell").cast("string"),
+                    col("release").cast("string")).isin(
+                    affected.map { case (c, r) => struct(lit(c), lit(r)) }: _*)
               val aff = t.where(inAffected)
               val nRemoved =
                 aff.join(broadcast(tomb), Seq("cand_id"), "left_semi").count()
