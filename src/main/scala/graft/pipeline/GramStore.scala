@@ -54,13 +54,20 @@ object GramStore {
     val novel = grams(docs, textCol)
       .join(existing, Seq("gram_h"), "left_anti")
       .localCheckpoint()
-    novel
-      .withColumn("release", lit(release))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("release")
-      .parquet(path)
+    if (novel.isEmpty && exists(spark, path))
+      // a dynamic overwrite of ZERO rows replaces nothing, so a release
+      // whose novel margin emptied (every gram now held elsewhere — e.g. a
+      // takedown restore) must drop its stale partition explicitly, or its
+      // grams would outlive the documents that carried them
+      vacuum(spark, path, name => name != release)
+    else
+      novel
+        .withColumn("release", lit(release))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(path)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

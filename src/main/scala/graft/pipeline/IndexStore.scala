@@ -681,33 +681,75 @@ object IndexStore {
     *
     * Scale shape: the list is takedown-request-sized (it broadcasts on the
     * serve path), not corpus-sized — a list that outgrows broadcast should
-    * be purged, which resets it to empty. */
+    * be purged, which resets it to empty.
+    *
+    * Concurrency: the write is an APPEND of one new id file, never a
+    * read-modify-overwrite of the list — a concurrent serving read (the
+    * [[graft.streaming.StreamEntry.deleteIds]] contract runs takedown
+    * deletes alongside serving) always sees a complete committed set of
+    * files, at worst missing the newest append; it can never observe an
+    * empty or partially-replaced directory. Duplicate ids across appends
+    * (re-deletes) are absorbed by [[readTombstones]]' distinct. */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Long = {
     val add = ids
       .select(col(ids.columns.head).cast("long").as("cand_id")).distinct()
-    // the union reads the same files the write below replaces — pin first
-    // (the repo's self-overwrite localCheckpoint idiom)
-    val all = readTombstones(spark, path)
-      .fold(add)(old => old.unionByName(add).distinct())
-      .localCheckpoint()
-    val n = all.count()
-    all.coalesce(1).write.mode("overwrite").parquet(s"$path/$TombDir")
+    add.coalesce(1).write.mode("append").parquet(s"$path/$TombDir")
     spark.catalog.refreshByPath(s"$path/$TombDir")
-    n
+    readTombstones(spark, path).map(_.count()).getOrElse(0L)
   }
 
   private val TombDir = "tombstones"
 
-  /** The persisted tombstone list — (cand_id long), None when the store has
-    * never had a delete (or the last [[purge]]/[[rebalance]] cleared it). */
+  /** The persisted tombstone list — (cand_id long, distinct), None when the
+    * store has never had a delete (or the last [[purge]]/[[rebalance]]
+    * cleared it). A directory left EMPTY by a clear (id files subtracted,
+    * none re-appended) has no schema to infer and reads as None too. */
   def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fsOf(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$TombDir"))) None
-    else {
+    else try {
       spark.catalog.refreshByPath(s"$path/$TombDir")
       Some(spark.read.parquet(s"$path/$TombDir")
-        .select(col("cand_id").cast("long").as("cand_id")))
+        .select(col("cand_id").cast("long").as("cand_id")).distinct())
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
     }
+  }
+
+  /** Subtract a PINNED purged-id snapshot from the persisted tombstone
+    * list WITHOUT un-blocking ids that raced in after the snapshot was
+    * taken — [[graft.streaming.StreamEntry.deleteIds]] runs takedown
+    * deletes concurrently with nightly maintenance, so a plain
+    * directory delete at the end of [[purge]]/[[rebalance]] would
+    * silently drop (and never physically remove) any id tombstoned
+    * mid-job: a lost takedown. The rewrite is MONOTONE for concurrent
+    * readers: the surviving ids are appended as a new file first, and
+    * only the id files that existed at the snapshot listing are then
+    * deleted — at every instant a reader sees a superset of the
+    * surviving list (transient re-exclusion of just-purged ids is the
+    * safe direction; under-exclusion never happens). A crash between
+    * the append and the per-file deletes leaves duplicates, which
+    * [[readTombstones]]' distinct absorbs and the next clear removes. */
+  private[pipeline] def clearTombstones(spark: SparkSession, path: String,
+                                        purged: DataFrame): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
+    if (!fs.exists(dir)) return
+    val oldFiles = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath).filterNot(_.getName.startsWith("_"))
+    if (oldFiles.isEmpty) return
+    val survivors = spark.read.parquet(oldFiles.map(_.toString): _*)
+      .select(col("cand_id").cast("long").as("cand_id")).distinct()
+      .join(broadcast(purged
+          .select(col("cand_id").cast("long").as("cand_id"))),
+        Seq("cand_id"), "left_anti")
+      .localCheckpoint()
+    if (!survivors.isEmpty)
+      survivors.coalesce(1).write.mode("append").parquet(s"$path/$TombDir")
+    oldFiles.foreach { f =>
+      require(fs.delete(f, false), s"tombstone clear failed to delete $f")
+    }
+    spark.catalog.refreshByPath(s"$path/$TombDir")
   }
 
   /** The SERVABLE code table: [[readCodes]] minus tombstoned ids (one
@@ -796,8 +838,10 @@ object IndexStore {
             }
           }
         }.toMap
-        val tp = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
-        require(fs.delete(tp, true), s"purge failed to clear $tp")
+        // subtract exactly the snapshot this purge physically removed —
+        // a delete that raced in mid-purge stays listed (and excluded
+        // from serving) until the next purge removes its rows too
+        clearTombstones(spark, path, tomb)
         removed
     }
 
@@ -941,7 +985,15 @@ object IndexStore {
     // re-encodes only the servable population — it IS a natural [[purge]]
     // point, so the caller need not supply vectors for taken-down ids (and
     // must not expect them to survive the swap).
-    val relMap = servableCodes(spark, path).select(col("cand_id"), col("release"))
+    // pin the tombstone snapshot the re-encode realizes: only THESE ids
+    // are guaranteed absent from the swapped-in codes, so only these may
+    // be cleared from the list afterwards (a delete racing in during the
+    // rebalance must survive the swap to keep excluding its id)
+    val tombSnap = readTombstones(spark, path).map(_.localCheckpoint())
+    val codesAll = readCodes(spark, path)
+    val relMap = tombSnap.fold(codesAll)(t =>
+        codesAll.join(broadcast(t), Seq("cand_id"), "left_anti"))
+      .select(col("cand_id"), col("release"))
     val uncovered = relMap.select(col("cand_id"))
       .join(vectors.select(col(idCol).cast("long").as("cand_id")),
         Seq("cand_id"), "left_anti")
@@ -990,14 +1042,14 @@ object IndexStore {
     val fs = fsOf(spark, path)
     fs.create(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), true).close()
     finishSwap(spark, path)
-    // the swapped-in codes carry only servable residents (relMap above), so
-    // the tombstone list is fully realized — clear it. A crash between the
-    // swap and this delete is benign: the leftover tombstones exclude ids
-    // that no longer have code rows, and the next delete/purge/rebalance
-    // clears the list.
-    val tombP = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
-    if (fs.exists(tombP))
-      require(fs.delete(tombP, true), s"rebalance failed to clear $tombP")
+    // the swapped-in codes carry no id from the PINNED snapshot (relMap
+    // anti-joined it above), so exactly that snapshot is realized —
+    // subtract it; deletes that raced in during the rebalance survive to
+    // keep excluding any of their ids the re-encode carried through. A
+    // crash between the swap and this clear is benign: leftover
+    // tombstones exclude ids that no longer have code rows, and the next
+    // purge/rebalance clears them.
+    tombSnap.foreach(t => clearTombstones(spark, path, t))
     // the int8 rerank tier is keyed by the OLD cell layout — after the swap
     // its partition-pruned scan would silently drop shortlisted candidates
     // whose tier rows sit under stale cell numbers, so rebuild it on the

@@ -115,10 +115,14 @@ object ReleaseBuild {
     *     it from the release's REMAINING member documents
     *     ([[GramStore.append]] rebuilds the release's novel margin against
     *     the other partitions); a release the takedown emptied is vacuumed
-    *     instead. Exact for grams confined to their release; a taken-down
-    *     gram that had straddled into a later release's suppressed margin
-    *     inherits [[GramStore.vacuum]]'s documented conservativeness —
-    *     novelty can only read HIGHER, never wrongly suppress.
+    *     instead. The restore runs a SECOND pass when several releases are
+    *     affected, so a gram stored under one affected release but
+    *     surviving only in another's live docs is re-admitted rather than
+    *     lost between the sequential margins. Exact for grams confined to
+    *     the affected releases; a taken-down gram that had straddled into
+    *     an UNAFFECTED later release's suppressed margin inherits
+    *     [[GramStore.vacuum]]'s documented conservativeness — novelty can
+    *     only read HIGHER, never wrongly suppress.
     *
     * Frozen artifacts that PREDATE the takedown (classifier weights,
     * quantizer models) stay frozen — retraining them is a separate, heavier
@@ -140,7 +144,7 @@ object ReleaseBuild {
       .select(col("release").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
     val removed = SignatureStore.delete(spark, sigPath, tomb)
-    affected.foreach { r =>
+    def restore(r: String): Unit = {
       val members = SignatureStore.read(spark, sigPath)
         .where(col("release") === r)
         .select(col("doc_id").as("__m_id"))
@@ -151,6 +155,18 @@ object ReleaseBuild {
       else
         GramStore.append(spark, gramPath, r, docsR, textCol)
     }
+    affected.foreach(restore)
+    // Second pass over the SAME releases when more than one is affected:
+    // the first pass restores sequentially, so release rA's margin was
+    // computed while a later-restored affected release rB still STALELY
+    // held a gram rB's own takedown was about to drop — a gram live only
+    // in rA's surviving docs but stored only under rB would end the first
+    // pass stored nowhere. After pass one every affected partition
+    // reflects post-delete membership (unaffected partitions were a fixed
+    // point all along), so one more pass re-admits exactly those orphaned
+    // grams and is itself a fixed point: a gram a pass-two restore adds is
+    // excluded by every later restore's margin, never dropped again.
+    if (affected.length > 1) affected.foreach(restore)
     removed
   }
 }

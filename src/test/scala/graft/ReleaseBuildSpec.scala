@@ -67,6 +67,41 @@ class ReleaseBuildSpec extends SparkSpec {
       "restored gram margin must equal a from-scratch live build")
   }
 
+  test("takedownDocs re-admits a gram stored under one affected release but live only in another") {
+    // the inter-affected-release straddle: gram G is STORED under release
+    // "b" (first seen there) and suppressed from "a"'s margin; the takedown
+    // removes b's holder and an unrelated a doc (both releases affected)
+    // while G survives in a's live docs. A single sequential restore pass
+    // would drop G from b (its docs no longer carry it) AFTER excluding it
+    // from a (b still stalely held it) — lost entirely; the second pass
+    // must re-admit it under a.
+    val dir = Files.createTempDirectory("relbuild_tkd3").toString
+    import spark.implicits._
+    val bDocs = Seq((1L, "alpha beta gamma", "s"), (2L, "bravo keeps this", "s"))
+      .toDF("doc_id", "text", "source")
+    val aDocs = Seq((3L, "alpha beta gamma", "s"), (4L, "alpha only here", "s"))
+      .toDF("doc_id", "text", "source")
+    SignatureStore.append(spark, s"$dir/sigs", "b", bDocs, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "b", bDocs, "text")
+    SignatureStore.append(spark, s"$dir/sigs", "a", aDocs, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "a", aDocs, "text")
+    val sharedH = GramStore.grams(bDocs.where($"doc_id" === 1L), "text")
+      .head().getLong(0)
+    assert(GramStore.read(spark, s"$dir/grams").where($"gram_h" === sharedH)
+      .select("release").head().getString(0) === "b",
+      "fixture must store the shared gram under release b only")
+    val live = bDocs.where($"doc_id" === 2L)
+      .unionByName(aDocs.where($"doc_id" === 3L))
+    ReleaseBuild.takedownDocs(spark, s"$dir/sigs", s"$dir/grams",
+      Seq(1L, 4L).toDF("doc_id"), live, "doc_id", "text")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    val after = GramStore.read(spark, s"$dir/grams").select("gram_h")
+    val fresh = GramStore.grams(live, "text")
+    assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty,
+      "a gram straddling two affected releases must survive the takedown " +
+        "exactly once (restored by the second pass)")
+  }
+
   test("takedownDocs vacuums a release the takedown empties") {
     val dir = Files.createTempDirectory("relbuild_tkd2").toString
     // two releases; every r1 member is taken down
