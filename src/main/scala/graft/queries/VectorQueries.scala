@@ -77,6 +77,75 @@ object VectorQueries {
   private val sharedAsOfStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val sharedFixtureRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once read-only fixture root, keyed by (dir, name) per JVM —
+    * the [[fullIndex]]/[[asOfIndex]] memoization contract generalized:
+    * the build is deterministic in (corpus, params), so sharing it is
+    * invisible to every consumer's answer. */
+  private def sharedFixtureRoot(dir: String, name: String)
+                               (build: String => Unit): String =
+    sharedFixtureRoots.computeIfAbsent(s"$dir|$name", _ => {
+      val root =
+        java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+      build(root)
+      root
+    })
+
+  /** Clone a shared fixture's store directory for a MUTATING consumer —
+    * a small filesystem copy (codes + kilobyte meta, never a quantizer
+    * retrain): the production restore-snapshot-then-mutate shape, and the
+    * reason one shared build can serve many mutating queries. */
+  private def cloneStore(s: SparkSession, root: String): String = {
+    val dst =
+      java.nio.file.Files.createTempDirectory("graft-clone").toString +
+        "/store"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/store"), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    dst
+  }
+
+  /** The shared PRIOR-NIGHT state every maintenance/roll-forward query
+    * starts from (persisted in production; in-harness by self-containment
+    * necessity): the r1 index over the prior release's corpus slice
+    * (non-eval, vec_id % 10 < 8) at coarse size `kc` — 8 is the healthy
+    * store, 2 the deliberately degenerate one — plus the exact prior kNN
+    * graph under that store's own model, persisted as parquet beside it
+    * so consumers read it without pinning (the shared root is never
+    * mutated; mutators work on [[cloneStore]] copies). */
+  private def priorNight(s: SparkSession, dir: String, kc: Int): String =
+    sharedFixtureRoot(dir, s"prior-kc$kc") { root =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val old = emb.where(col("vec_id") % 50 =!= 0 &&
+        col("vec_id") % 10 < 8)
+      graft.pipeline.IndexStore.build(s, s"$root/store", old, "vec_id",
+        "embedding", dim = 64, kCoarse = kc, coarseIters = 4, m = 16,
+        ksub = 8, iters = 3, release = "r1")
+      val m0 = graft.pipeline.IndexStore.readModel(s, s"$root/store")
+      Similarity.ivfExactGraphEdges(
+        old.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb")),
+        old.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").cast("array<double>").as("cand_emb")),
+        m0.centroids, nProbe = 2, k = 3)
+        .write.mode("overwrite").parquet(s"$root/prior_graph")
+    }
+
+  /** A mutable clone of [[priorNight]] plus its (read-only) prior graph;
+    * the clone (and, for the first caller, the shared build) lands in
+    * `caller`'s fixture_build attribution. */
+  private def clonePriorNight(s: SparkSession, dir: String, kc: Int,
+                              caller: String)
+      : (String, org.apache.spark.sql.DataFrame) =
+    timedFixture(caller) {
+      val root = priorNight(s, dir, kc)
+      (cloneStore(s, root), s.read.parquet(s"$root/prior_graph"))
+    }
+
   /** q191's fixed lexical query terms — q112's term set, so the lexical arm
     * carries the already-hash-checked BM25 spelling. */
   private val hybridTerms = Seq("vector", "merge", "window", "stream")
@@ -402,6 +471,7 @@ object VectorQueries {
     // stage tags.
     "q201_tombstone_serve" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+      fixtureBuildSec.remove("q201_tombstone_serve")
       val src = fullIndex(s, dir, "q201_tombstone_serve")
       // a private clone: delete/purge MUTATE the store, and the shared
       // fixture is read-only by contract. The copy is small files (codes +
@@ -445,6 +515,7 @@ object VectorQueries {
     // served against both candidate sets, reduced by the same arithmetic.
     "q202_serving_churn" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+      fixtureBuildSec.remove("q202_serving_churn")
       val path = asOfIndex(s, dir, "q202_serving_churn")
       val qd = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").cast("long").as("q_id"),
@@ -637,27 +708,15 @@ object VectorQueries {
       val isEval = col("vec_id") % 50 === 0
       val corpus = emb.where(!isEval)
       val isNew = col("vec_id") % 10 >= 8
-      val path = java.nio.file.Files.createTempDirectory("graft-vrel").toString
       def nodes(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
-      def cands(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("vec_id").cast("long").as("cand_id"),
-          col("embedding").cast("array<double>").as("cand_emb"))
-      // nightly state: index + graph built on the prior release (persisted
-      // in production; in-harness by self-containment necessity — timed
-      // into fixtureBuildSec so the bench attributes it as fixture cost,
-      // with the graph materialized here so the attribution is honest)
+      // nightly state: the shared prior-night fixture (index + exact graph,
+      // persisted in production) — cloned because the roll-forward MUTATES
+      // the store; the clone (plus, for the first caller, the shared
+      // build) lands in fixture_build so the bench attribution is honest
       fixtureBuildSec.remove("q180_vector_release")
-      val prior = timedFixture("q180_vector_release") {
-        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
-          "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
-          m = 16, ksub = 8, iters = 3, release = "r1")
-        val model = graft.pipeline.IndexStore.readModel(s, path)
-        Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
-          cands(corpus.where(!isNew)), model.centroids, nProbe = 2, k = 3)
-          .localCheckpoint()
-      }
+      val (path, prior) = clonePriorNight(s, dir, 8, "q180_vector_release")
       graft.pipeline.VectorRelease.rollForward(s, path,
         corpus.where(isNew), corpus.where(!isNew), nodes(emb.where(isEval)),
         prior, "vec_id", "embedding", release = "r2")
@@ -700,17 +759,9 @@ object VectorQueries {
       def cands(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("cand_id"),
           col("embedding").cast("array<double>").as("cand_emb"))
-      val path = java.nio.file.Files.createTempDirectory("graft-q189").toString
       fixtureBuildSec.remove("q189_maintained_release")
-      val prior = timedFixture("q189_maintained_release") {
-        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNewVec),
-          "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
-          m = 16, ksub = 8, iters = 3, release = "r1")
-        val m0 = graft.pipeline.IndexStore.readModel(s, path)
-        Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNewVec)),
-          cands(corpus.where(!isNewVec)), m0.centroids, nProbe = 2, k = 3)
-          .localCheckpoint()
-      }
+      val (path, prior) =
+        clonePriorNight(s, dir, 8, "q189_maintained_release")
       val night = graft.pipeline.VectorRelease.maintain(s, path,
         corpus.where(isNewVec), corpus.where(!isNewVec),
         nodes(emb.where(isEval)), prior, "vec_id", "embedding",
@@ -798,21 +849,13 @@ object VectorQueries {
           col("embedding").cast("array<double>").as("cand_emb"))
       fixtureBuildSec.remove("q186_index_maintain")
       def night(kc: Int, tag: String) = {
-        val path = java.nio.file.Files.createTempDirectory("graft-mnt").toString
-        // prior-night state (persisted in production): index + exact graph
-        // built on the prior release under THIS store's own model — for the
-        // degenerate store that graph is cell-pruned under the bad
-        // quantizer, and maintain must discard it, not merge it. Both
-        // nights' builds time into ONE fixture_build attribution entry.
-        val prior = timedFixture("q186_index_maintain") {
-          graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
-            "vec_id", "embedding", dim = 64, kCoarse = kc, coarseIters = 4,
-            m = 16, ksub = 8, iters = 3, release = "r1")
-          val m0 = graft.pipeline.IndexStore.readModel(s, path)
-          Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
-            cands(corpus.where(!isNew)), m0.centroids, nProbe = 2, k = 3)
-            .localCheckpoint()
-        }
+        // prior-night state (persisted in production): the shared fixture
+        // at this night's coarse size — index + exact graph built on the
+        // prior release under THIS store's own model; for the degenerate
+        // store that graph is cell-pruned under the bad quantizer, and
+        // maintain must discard it, not merge it. Both nights' clones (and
+        // any first-caller shared builds) time into ONE attribution entry.
+        val (path, prior) = clonePriorNight(s, dir, kc, "q186_index_maintain")
         graft.pipeline.VectorRelease.maintain(s, path, corpus.where(isNew),
           corpus.where(!isNew), nodes(emb.where(isEval)), prior,
           "vec_id", "embedding", release = "r2",
@@ -842,17 +885,9 @@ object VectorQueries {
       def cands(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("cand_id"),
           col("embedding").cast("array<double>").as("cand_emb"))
-      val path = java.nio.file.Files.createTempDirectory("graft-tkd").toString
       fixtureBuildSec.remove("q204_takedown_maintain")
-      val prior = timedFixture("q204_takedown_maintain") {
-        graft.pipeline.IndexStore.build(s, path, corpus.where(!isNew),
-          "vec_id", "embedding", dim = 64, kCoarse = 8, coarseIters = 4,
-          m = 16, ksub = 8, iters = 3, release = "r1")
-        val m0 = graft.pipeline.IndexStore.readModel(s, path)
-        Similarity.ivfExactGraphEdges(nodes(corpus.where(!isNew)),
-          cands(corpus.where(!isNew)), m0.centroids, nProbe = 2, k = 3)
-          .localCheckpoint()
-      }
+      val (path, prior) =
+        clonePriorNight(s, dir, 8, "q204_takedown_maintain")
       // the takedown arrives between nights: a metadata-only q201 delete
       graft.pipeline.IndexStore.delete(s, path,
         emb.where(col("vec_id") % 7 === 3)
@@ -874,14 +909,17 @@ object VectorQueries {
     // the oracle is q145's, shared verbatim like q146's.
     "q181_index_rebalance" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft-reb").toString
       // the deliberately degenerate prior store is FIXTURE state (persisted
-      // in production) — timed separately for the bench attribution
+      // in production): built once per JVM, cloned here because the
+      // rebalance mutates it — timed for the bench attribution
       fixtureBuildSec.remove("q181_index_rebalance")
-      timedFixture("q181_index_rebalance") {
-        graft.pipeline.IndexStore.build(s, path, emb, "vec_id", "embedding",
-          dim = 64, kCoarse = 2, coarseIters = 4, m = 16, ksub = 8,
-          iters = 3, release = "r1")
+      val path = timedFixture("q181_index_rebalance") {
+        val root = sharedFixtureRoot(dir, "degen-full") { r =>
+          graft.pipeline.IndexStore.build(s, s"$r/store", emb, "vec_id",
+            "embedding", dim = 64, kCoarse = 2, coarseIters = 4, m = 16,
+            ksub = 8, iters = 3, release = "r1")
+        }
+        cloneStore(s, root)
       }
       graft.pipeline.IndexStore.rebalance(s, path, emb, "vec_id",
         "embedding", kCoarse = 8, coarseIters = 4, pqIters = 3)
