@@ -756,12 +756,73 @@ object VectorQueries {
       def nodes(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
-      def cands(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("vec_id").cast("long").as("cand_id"),
-          col("embedding").cast("array<double>").as("cand_emb"))
       fixtureBuildSec.remove("q189_maintained_release")
       val (path, prior) =
         clonePriorNight(s, dir, 8, "q189_maintained_release")
+      val night = graft.pipeline.VectorRelease.maintain(s, path,
+        corpus.where(isNewVec), corpus.where(!isNewVec),
+        nodes(emb.where(isEval)), prior, "vec_id", "embedding",
+        release = "r2", kCoarse = 8, maxShareMilli = 300)
+      val drops = night.where(col("dropped"))
+        .select(col("src_id").as("doc_id")).distinct()
+      manifest.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    }),
+
+    // UNIFIED cross-tier TAKEDOWN (q189's operational mirror for the
+    // right-to-be-forgotten path): ONE takedown id set (doc_id % 9 == 2,
+    // q205's) lands in BOTH tiers between nights — the text tier realizes
+    // it against the persisted signature/gram stores (q205's
+    // takedownDocs: exact signature delete + two-pass gram-margin
+    // restore), the vector tier as a q201 metadata delete the next
+    // maintain night realizes (purge + scrubbed inputs + graph
+    // scrub/repair, the q204 kernel) — and the following nightly release
+    // then builds on the scrubbed state end to end: q140 text
+    // roll-forward over the post-takedown stores, vector maintain with
+    // the tombstones realized, and the q189 cross-tier gate at the end.
+    // No taken-down document can reach the manifest through EITHER tier.
+    // Python oracle: q205's SQL manifest (gate q206 together with
+    // q205_doc_takedown in partial VerifySome runs) anti-joined with the
+    // q204-style from-scratch union drop set restricted to the servable
+    // (% 9 != 2) corpus.
+    "q206_unified_takedown" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val isTomb = col("doc_id") % 9 === 2
+      val isNewDoc = col("doc_id") % 10 >= 8
+      val oldDocs = docs.where(!isNewDoc)
+      // --- text tier: q205 verbatim — persisted prior-release stores
+      // (fixture state), the takedown realized, then the roll-forward
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-utkd").toString
+      fixtureBuildSec.remove("q206_unified_takedown")
+      val w = timedFixture("q206_unified_takedown") {
+        graft.pipeline.SignatureStore.append(s, s"$root/sigs", "r1",
+          oldDocs, "doc_id", "text")
+        graft.pipeline.GramStore.append(s, s"$root/grams", "r1",
+          oldDocs, "text")
+        graft.operators.Classifier.trainWeights(oldDocs, "doc_id", "text",
+          col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      }
+      graft.pipeline.ReleaseBuild.takedownDocs(s, s"$root/sigs",
+        s"$root/grams", docs.where(isTomb).select(col("doc_id")),
+        docs.where(!isTomb), "doc_id", "text")
+      val manifest = graft.pipeline.ReleaseBuild.rollForwardOnDisk(s,
+        docs.where(isNewDoc && !isTomb), "doc_id", "text", "source",
+        docs.where(!isTomb), s"$root/sigs", s"$root/grams", "r2",
+        graft.operators.Classifier.denseWeights(w, 256))
+      // --- vector tier: the SAME takedown as a q201 metadata delete, then
+      // the q204 takedown-aware maintain night on the shared prior fixture
+      val isEval = col("vec_id") % 50 === 0
+      val corpus = emb.where(!isEval)
+      val isNewVec = col("vec_id") % 10 >= 8
+      def nodes(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val (path, prior) =
+        clonePriorNight(s, dir, 8, "q206_unified_takedown")
+      graft.pipeline.IndexStore.delete(s, path,
+        emb.where(col("vec_id") % 9 === 2)
+          .select(col("vec_id").as("cand_id")))
       val night = graft.pipeline.VectorRelease.maintain(s, path,
         corpus.where(isNewVec), corpus.where(!isNewVec),
         nodes(emb.where(isEval)), prior, "vec_id", "embedding",

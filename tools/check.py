@@ -1333,6 +1333,23 @@ def py_q186_index_maintain(con, spark_df, oracle):
     return spark_df, pd.concat([h, d], ignore_index=True)
 
 
+def py_q206_unified_takedown(con, spark_df, oracle):
+    """Unified cross-tier takedown: q205's SQL manifest (the text tier's
+    post-takedown roll-forward, executed in DuckDB — gate q206 together
+    with q205_doc_takedown in partial VerifySome runs) anti-joined with
+    the vector tier's drop set from the q180 from-scratch union build
+    restricted to the servable (vec_id % 9 != 2) corpus — the q204
+    takedown kernel under q205's takedown id set."""
+    assert "q205_doc_takedown" in oracle, \
+        "q206 needs q205's SQL — include q205_doc_takedown in the gate"
+    man = con.execute(oracle["q205_doc_takedown"]).df()
+    ids, vecs = _embeddings(con)
+    keep = {vid for vid in ids if vid % 9 != 2}
+    vr = _union_release(ids, vecs, keep=keep)
+    dropped = set(vr.loc[vr.dropped, "src_id"])
+    return spark_df, man[~man.doc_id.isin(dropped)].reset_index(drop=True)
+
+
 def py_q189_maintained_release(con, spark_df, oracle):
     """Maintained cross-tier nightly release: the q140 text-tier SQL chain
     (executed in DuckDB — its SQL must ride along, so gate q189 together
@@ -1618,6 +1635,7 @@ def py_q202_serving_churn(con, spark_df, oracle):
 
 PY_ORACLES = {
     "q204_takedown_maintain": py_q204_takedown_maintain,
+    "q206_unified_takedown": py_q206_unified_takedown,
     "q201_tombstone_serve": py_q201_tombstone_serve,
     "q202_serving_churn": py_q202_serving_churn,
     "q180_vector_release": py_q180_vector_release,
