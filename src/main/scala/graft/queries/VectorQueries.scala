@@ -28,7 +28,7 @@ object VectorQueries {
   private def addFixtureTime(name: String, sec: Double): Unit =
     fixtureBuildSec.merge(name, sec, (a, b) => Double.box(a + b))
 
-  private def timedFixture[A](name: String)(f: => A): A = {
+  private[queries] def timedFixture[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime()
     val a = f
     addFixtureTime(name, (System.nanoTime() - t0) / 1e9)
@@ -742,13 +742,12 @@ object VectorQueries {
       // text tier (exactly q140/q185's half, against prior-release stores)
       val isNewDoc = col("doc_id") % 10 >= 8
       val oldDocs = docs.where(!isNewDoc)
-      val w = graft.operators.Classifier.trainWeights(oldDocs, "doc_id",
-        "text", col("lang") === "en", d = 256, iters = 2, lr = 0.5)
+      fixtureBuildSec.remove("q189_maintained_release")
+      val w = TextQueries.frozenWeights(s, dir, "q189_maintained_release")
       val manifest = graft.pipeline.ReleaseBuild.rollForward(
         docs.where(isNewDoc), "doc_id", "text", "source", docs,
         graft.pipeline.SignatureStore.signatures(oldDocs, "doc_id", "text"),
-        graft.pipeline.GramStore.grams(oldDocs, "text"),
-        graft.operators.Classifier.denseWeights(w, 256))
+        graft.pipeline.GramStore.grams(oldDocs, "text"), w)
       // vector tier: the q186 healthy-night fixture, run through maintain
       val isEval = col("vec_id") % 50 === 0
       val corpus = emb.where(!isEval)
@@ -795,21 +794,19 @@ object VectorQueries {
       val root = java.nio.file.Files
         .createTempDirectory("graft-utkd").toString
       fixtureBuildSec.remove("q206_unified_takedown")
-      val w = timedFixture("q206_unified_takedown") {
+      timedFixture("q206_unified_takedown") {
         graft.pipeline.SignatureStore.append(s, s"$root/sigs", "r1",
           oldDocs, "doc_id", "text")
         graft.pipeline.GramStore.append(s, s"$root/grams", "r1",
           oldDocs, "text")
-        graft.operators.Classifier.trainWeights(oldDocs, "doc_id", "text",
-          col("lang") === "en", d = 256, iters = 2, lr = 0.5)
       }
+      val w = TextQueries.frozenWeights(s, dir, "q206_unified_takedown")
       graft.pipeline.ReleaseBuild.takedownDocs(s, s"$root/sigs",
         s"$root/grams", docs.where(isTomb).select(col("doc_id")),
         docs.where(!isTomb), "doc_id", "text")
       val manifest = graft.pipeline.ReleaseBuild.rollForwardOnDisk(s,
         docs.where(isNewDoc && !isTomb), "doc_id", "text", "source",
-        docs.where(!isTomb), s"$root/sigs", s"$root/grams", "r2",
-        graft.operators.Classifier.denseWeights(w, 256))
+        docs.where(!isTomb), s"$root/sigs", s"$root/grams", "r2", w)
       // --- vector tier: the SAME takedown as a q201 metadata delete, then
       // the q204 takedown-aware maintain night on the shared prior fixture
       val isEval = col("vec_id") % 50 === 0
