@@ -755,7 +755,6 @@ object VectorQueries {
       def nodes(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
-      fixtureBuildSec.remove("q189_maintained_release")
       val (path, prior) =
         clonePriorNight(s, dir, 8, "q189_maintained_release")
       val night = graft.pipeline.VectorRelease.maintain(s, path,

@@ -249,9 +249,14 @@ object StreamEntry {
     * per-trigger work is bounded by the request batch, never the corpus.
     * Serving queries running concurrently ([[serveQueries]]) pick the grown
     * list up at their next trigger (the store re-reads its metadata per
-    * batch); a replayed micro-batch re-deletes the same ids, which the
-    * distinct union makes idempotent. Physical reclamation stays a
-    * batch-side nightly op (`IndexStore.purge`, or the next rebalance). */
+    * batch), and because the delete APPENDS one id file per batch — never
+    * rewriting the list in place — a concurrent read always sees a
+    * complete committed file set. A replayed micro-batch re-deletes the
+    * same ids, which the read-side distinct makes idempotent. Physical
+    * reclamation stays a batch-side nightly op (`IndexStore.purge`, or the
+    * next rebalance) — and its snapshot-subtraction clear guarantees a
+    * delete this stream lands MID-purge survives until the next purge
+    * (TombstoneRaceSpec). */
   def deleteIds(reqs: DataFrame,
                 indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
     reqs.writeStream.outputMode(OutputMode.Append)
