@@ -828,6 +828,74 @@ object VectorQueries {
       manifest.join(broadcast(drops), Seq("doc_id"), "left_anti")
     }),
 
+    // Persisted-store INTEGRITY AUDIT (the nightly health check a 100 TB
+    // store fleet runs after every release): one card row per
+    // (tier, release) over the signature, gram and index-code stores —
+    // row/id counts plus the two invariants each tier must hold by
+    // construction: cross_release_dup = ids stored under MORE THAN ONE
+    // release partition (signature rows are per-(doc, release) but an id
+    // may appear once per release only; the gram store's novel-margin
+    // layout stores each gram under exactly one release; a vector's code
+    // row lives in exactly one release) and orphan = stored ids absent
+    // from the corpus they claim to index. Any non-zero is a corrupted
+    // store (a torn append, a partial vacuum). Each tier audits with one
+    // groupBy over the store, one id-keyed dup check and one broadcast-
+    // able anti-join against the id universe — store-sized, never
+    // corpus-text-sized. FULL SQL oracle: expected counts derived
+    // independently from the raw tables (slice arithmetic + the q132
+    // shingle chain), invariants pinned to zero.
+    "q207_store_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val isNew = col("doc_id") % 10 >= 8
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-audit").toString
+      fixtureBuildSec.remove("q207_store_audit")
+      timedFixture("q207_store_audit") {
+        graft.pipeline.SignatureStore.append(s, s"$root/sigs", "r1",
+          docs.where(!isNew), "doc_id", "text")
+        graft.pipeline.SignatureStore.append(s, s"$root/sigs", "r2",
+          docs.where(isNew), "doc_id", "text")
+        graft.pipeline.GramStore.append(s, s"$root/grams", "r1",
+          docs.where(!isNew), "text")
+        graft.pipeline.GramStore.append(s, s"$root/grams", "r2",
+          docs.where(isNew), "text")
+      }
+      val idxPath = fullIndex(s, dir, "q207_store_audit")
+      def audit(tier: String, st: org.apache.spark.sql.DataFrame,
+                idC: String, universe: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val idRel = st.select(col(idC).cast("long").as("__id"),
+          col("release").cast("string").as("release")).distinct()
+        val dupIds = idRel.groupBy("__id")
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).select("__id")
+        val perRel = st.groupBy(col("release").cast("string").as("release"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(idC)).as("n_ids"))
+        val dup = idRel.join(dupIds, Seq("__id"), "left_semi")
+          .groupBy("release").agg(count(lit(1)).as("cross_release_dup"))
+        val orph = idRel.join(universe
+            .select(col(universe.columns.head).cast("long").as("__id")),
+            Seq("__id"), "left_anti")
+          .groupBy("release").agg(count(lit(1)).as("orphan"))
+        perRel.join(dup, Seq("release"), "left")
+          .join(orph, Seq("release"), "left")
+          .na.fill(0L, Seq("cross_release_dup", "orphan"))
+          .select(lit(tier).as("tier"), col("release"), col("n_rows"),
+            col("n_ids"), col("cross_release_dup"), col("orphan"))
+      }
+      audit("signatures",
+          graft.pipeline.SignatureStore.read(s, s"$root/sigs"),
+          "doc_id", docs.select("doc_id"))
+        .unionByName(audit("grams",
+          graft.pipeline.GramStore.read(s, s"$root/grams"),
+          "gram_h", graft.pipeline.GramStore.grams(docs, "text")))
+        .unionByName(audit("codes",
+          graft.pipeline.IndexStore.readCodes(s, idxPath),
+          "cand_id", emb.select("vec_id")))
+        .orderBy("tier", "release")
+    }),
+
     // OPQ-rotated FROZEN index serving (q144's better quantizer finally
     // shipped in the q146 lifecycle): build trains the Householder
     // direction on the seed corpus, persists it as kilobyte metadata
@@ -1391,6 +1459,45 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "q203_truncated_serve" -> truncatedOracleSql(Seq(16, 32, 64)),
+    // expected per-(tier, release) counts derived from the raw tables:
+    // slice arithmetic for signatures/codes, the q132 shingle chain for
+    // the gram store's novel margins; both invariants pinned to zero
+    "q207_store_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |    END)) AS gram
+        |  FROM toks
+        |),
+        |oldg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 < 8),
+        |newg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 >= 8),
+        |novel2 AS (SELECT gram FROM newg ANTI JOIN oldg USING (gram)),
+        |card AS (
+        |  SELECT 'signatures' AS tier, 'r1' AS release,
+        |         (SELECT COUNT(*) FROM documents WHERE doc_id % 10 < 8) AS n_rows,
+        |         (SELECT COUNT(DISTINCT doc_id) FROM documents WHERE doc_id % 10 < 8) AS n_ids
+        |  UNION ALL
+        |  SELECT 'signatures', 'r2',
+        |         (SELECT COUNT(*) FROM documents WHERE doc_id % 10 >= 8),
+        |         (SELECT COUNT(DISTINCT doc_id) FROM documents WHERE doc_id % 10 >= 8)
+        |  UNION ALL
+        |  SELECT 'grams', 'r1',
+        |         (SELECT COUNT(*) FROM oldg), (SELECT COUNT(*) FROM oldg)
+        |  UNION ALL
+        |  SELECT 'grams', 'r2',
+        |         (SELECT COUNT(*) FROM novel2), (SELECT COUNT(*) FROM novel2)
+        |  UNION ALL
+        |  SELECT 'codes', 'r1',
+        |         (SELECT COUNT(*) FROM embeddings),
+        |         (SELECT COUNT(DISTINCT vec_id) FROM embeddings)
+        |)
+        |SELECT tier, release, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_ids AS BIGINT) AS n_ids,
+        |       CAST(0 AS BIGINT) AS cross_release_dup,
+        |       CAST(0 AS BIGINT) AS orphan
+        |FROM card ORDER BY tier, release""".stripMargin,
     // q82's encode + the exact decode (lo + q·(hi−lo)/255, identical IEEE
     // spelling to the Spark expression) + two q48 dot chains + q165's tail
     "q184_int8_recall" ->
