@@ -533,6 +533,40 @@ object ScaleProbe {
           Seq(("tombstone_serve", s1._1, sf._1, s1._2, sf._2),
             ("takedown_purge", p1._1, pf._1, p1._2, pf._2))
         }
+      // Store integrity audit (q207): persisted fixture = signature + gram
+      // stores over the corpus; the card is one store-sized groupBy, an
+      // id-keyed dup check and an anti-join vs the universe — every piece
+      // keyed on the id, so time should track the store scan (~linear in
+      // rows; the gram store grows sub-linearly under copying because
+      // repeated text adds no new grams).
+      val auditResults =
+        if (!only.forall(_.contains("store_audit"))) Seq.empty
+        else {
+          def runAudit(d: DataFrame, tag: String): (Double, Long) = {
+            val p = s"$tmp/audit_$tag"
+            val isNew = col("doc_id") % 10 >= 8
+            graft.pipeline.SignatureStore.append(spark, s"$p/sigs", "r1",
+              d.where(!isNew), "doc_id", "text")
+            graft.pipeline.SignatureStore.append(spark, s"$p/sigs", "r2",
+              d.where(isNew), "doc_id", "text")
+            graft.pipeline.GramStore.append(spark, s"$p/grams", "r1",
+              d.where(!isNew), "text")
+            graft.pipeline.GramStore.append(spark, s"$p/grams", "r2",
+              d.where(isNew), "text")
+            def card(): DataFrame = graft.pipeline.StoreAudit.card(
+                "signatures",
+                graft.pipeline.SignatureStore.read(spark, s"$p/sigs"),
+                "doc_id", d.select("doc_id"))
+              .unionByName(graft.pipeline.StoreAudit.card("grams",
+                graft.pipeline.GramStore.read(spark, s"$p/grams"),
+                "gram_h", graft.pipeline.GramStore.grams(d, "text")))
+            time(card()) // untimed warmup
+            (time(card()), card().count())
+          }
+          val a1 = runAudit(docs, "1x")
+          val af = runAudit(bigDocs, "big")
+          Seq(("store_audit", a1._1, af._1, a1._2, af._2))
+        }
       // Hybrid RRF (q191's shape): both arms scan their corpus once (BM25
       // aggregation chain / broadcast-1-query dot map) and collapse to ≤n
       // rows via the bounded top-k aggregate BEFORE fusion, so the fusion
@@ -562,7 +596,7 @@ object ScaleProbe {
         }
       val results = results0 ++ serveResults ++ int8Results ++
         graphResults ++ vrelResults ++ mntResults ++ cptResults ++
-        tkdResults ++ hybridResults
+        tkdResults ++ auditResults ++ hybridResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

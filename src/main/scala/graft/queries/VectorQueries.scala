@@ -862,35 +862,13 @@ object VectorQueries {
           docs.where(isNew), "text")
       }
       val idxPath = fullIndex(s, dir, "q207_store_audit")
-      def audit(tier: String, st: org.apache.spark.sql.DataFrame,
-                idC: String, universe: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val idRel = st.select(col(idC).cast("long").as("__id"),
-          col("release").cast("string").as("release")).distinct()
-        val dupIds = idRel.groupBy("__id")
-          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).select("__id")
-        val perRel = st.groupBy(col("release").cast("string").as("release"))
-          .agg(count(lit(1)).as("n_rows"),
-            countDistinct(col(idC)).as("n_ids"))
-        val dup = idRel.join(dupIds, Seq("__id"), "left_semi")
-          .groupBy("release").agg(count(lit(1)).as("cross_release_dup"))
-        val orph = idRel.join(universe
-            .select(col(universe.columns.head).cast("long").as("__id")),
-            Seq("__id"), "left_anti")
-          .groupBy("release").agg(count(lit(1)).as("orphan"))
-        perRel.join(dup, Seq("release"), "left")
-          .join(orph, Seq("release"), "left")
-          .na.fill(0L, Seq("cross_release_dup", "orphan"))
-          .select(lit(tier).as("tier"), col("release"), col("n_rows"),
-            col("n_ids"), col("cross_release_dup"), col("orphan"))
-      }
-      audit("signatures",
+      graft.pipeline.StoreAudit.card("signatures",
           graft.pipeline.SignatureStore.read(s, s"$root/sigs"),
           "doc_id", docs.select("doc_id"))
-        .unionByName(audit("grams",
+        .unionByName(graft.pipeline.StoreAudit.card("grams",
           graft.pipeline.GramStore.read(s, s"$root/grams"),
           "gram_h", graft.pipeline.GramStore.grams(docs, "text")))
-        .unionByName(audit("codes",
+        .unionByName(graft.pipeline.StoreAudit.card("codes",
           graft.pipeline.IndexStore.readCodes(s, idxPath),
           "cand_id", emb.select("vec_id")))
         .orderBy("tier", "release")
@@ -969,9 +947,6 @@ object VectorQueries {
       def nodes(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
-      def cands(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("vec_id").cast("long").as("cand_id"),
-          col("embedding").cast("array<double>").as("cand_emb"))
       fixtureBuildSec.remove("q186_index_maintain")
       def night(kc: Int, tag: String) = {
         // prior-night state (persisted in production): the shared fixture
@@ -1007,9 +982,6 @@ object VectorQueries {
       def nodes(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").cast("long").as("q_id"),
           col("embedding").cast("array<double>").as("q_emb"))
-      def cands(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("vec_id").cast("long").as("cand_id"),
-          col("embedding").cast("array<double>").as("cand_emb"))
       fixtureBuildSec.remove("q204_takedown_maintain")
       val (path, prior) =
         clonePriorNight(s, dir, 8, "q204_takedown_maintain")
