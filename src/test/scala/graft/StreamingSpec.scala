@@ -420,6 +420,16 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.refreshByPath(s"$store/codes")
     assert(graft.pipeline.IndexStore.readCodes(spark, store).count()
       === emb.count())
+    // and the grown-then-replayed store passes the q207 integrity card:
+    // every release partition disjoint in ids, nothing orphaned
+    val card = graft.pipeline.StoreAudit.card("codes",
+      graft.pipeline.IndexStore.readCodes(spark, store), "cand_id",
+      emb.select("vec_id")).collect()
+    assert(card.length === 3)
+    card.foreach { r =>
+      assert(r.getAs[Long]("cross_release_dup") === 0L, r.toString)
+      assert(r.getAs[Long]("orphan") === 0L, r.toString)
+    }
   }
 
   test("streaming serving equals the batch frozen-store serve; replay converges") {
