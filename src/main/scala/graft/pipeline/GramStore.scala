@@ -60,6 +60,11 @@ object GramStore {
       // takedown restore) must drop its stale partition explicitly, or its
       // grams would outlive the documents that carried them
       vacuum(spark, path, name => name != release)
+    else if (novel.isEmpty)
+      // fresh store, nothing novel: writing an empty frame would create a
+      // schema-less directory the next read cannot infer — leave the store
+      // nonexistent (readers treat that as empty)
+      ()
     else
       novel
         .withColumn("release", lit(release))
