@@ -49,17 +49,30 @@ object SignatureStore {
 
   /** Idempotent release append: sign `docs`, dynamic-overwrite this
     * release's partition only. Clustered to a bounded file count per
-    * release (same small-files rationale as [[EavStore.FilesPerPartition]]). */
+    * release (same small-files rationale as [[EavStore.FilesPerPartition]]).
+    * An EMPTY release ([[GramStore.append]]'s contract): a dynamic
+    * overwrite of zero rows replaces nothing, so an existing partition is
+    * vacuumed explicitly (a rerun that now retains nothing must not leave
+    * the partial append's ghost rows) and a fresh store is left
+    * nonexistent rather than schema-less. */
   def append(spark: SparkSession, path: String, release: String,
-             docs: DataFrame, idCol: String, textCol: String): Unit =
-    signatures(docs, idCol, textCol)
-      .withColumn("release", lit(release))
-      .repartition(pmod(xxhash64(col("doc_id")), lit(EavStore.FilesPerPartition)))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("release")
-      .parquet(path)
+             docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val sigs = signatures(docs, idCol, textCol)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (sigs.isEmpty) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        vacuum(spark, path, name => name != release)
+    } else
+      sigs
+        .withColumn("release", lit(release))
+        .repartition(pmod(xxhash64(col("doc_id")), lit(EavStore.FilesPerPartition)))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("release")
+        .parquet(path)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

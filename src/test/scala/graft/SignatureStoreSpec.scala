@@ -108,6 +108,28 @@ class SignatureStoreSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("r2"))
   }
 
+  test("an EMPTY release append vacuums its stale partition; a fresh store stays nonexistent") {
+    val dir = Files.createTempDirectory("sigstore_empty").toString + "/store"
+    val none = docs.where(lit(false))
+    // fresh store + empty release: nothing written — no schema-less dir
+    SignatureStore.append(spark, dir, "r1", none, "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      "an empty append to a fresh store must not create a schema-less dir")
+    // a rerun of a release that NOW retains nothing must drop the partial
+    // append's ghost rows (the rerun-converges contract's empty corner)
+    SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
+    SignatureStore.append(spark, dir, "r2", docs.where(isNew), "doc_id", "text")
+    SignatureStore.append(spark, dir, "r2", none, "doc_id", "text")
+    spark.catalog.refreshByPath(dir)
+    assert(SignatureStore.read(spark, dir)
+      .where(col("release") === "r2").isEmpty,
+      "re-appending an emptied release must vacuum its stale partition")
+    assert(SignatureStore.read(spark, dir).count()
+      === docs.where(!isNew).count())
+  }
+
   test("exact incremental keep: store hashes decontaminate without text") {
     val dir = Files.createTempDirectory("sigstore_exact").toString + "/store"
     SignatureStore.append(spark, dir, "r1", docs.where(!isNew), "doc_id", "text")
