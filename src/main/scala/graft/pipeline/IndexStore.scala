@@ -187,9 +187,17 @@ object IndexStore {
     * store has one), idempotent per release. */
   def append(spark: SparkSession, path: String, newVecs: DataFrame,
              idCol: String, embCol: String, release: String): Unit =
-    writeCodes(rotate(newVecs, embCol, readRotation(spark, path)),
-      idCol, embCol, readModel(spark, path), release,
-      s"$path/codes", dynamic = true)
+    if (newVecs.isEmpty)
+      // the empty-release contract every release-partitioned store here
+      // carries (SignatureStore/GramStore.append): a dynamic overwrite of
+      // zero rows replaces nothing, so a rerun whose delta emptied (e.g.
+      // a takedown scrubbed the whole night) must drop the partial
+      // append's ghost partitions — code table AND rerank tier — itself
+      vacuum(spark, path, name => name != release)
+    else
+      writeCodes(rotate(newVecs, embCol, readRotation(spark, path)),
+        idCol, embCol, readModel(spark, path), release,
+        s"$path/codes", dynamic = true)
 
   /** Query-only serving: no training, no encoding — metadata load + probe +
     * cell-pruned ADC + exact rerank. `queries` is (q_id long, q_emb

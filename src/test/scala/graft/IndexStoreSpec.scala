@@ -33,6 +33,32 @@ class IndexStoreSpec extends SparkSpec {
       dim = 64, kCoarse = kCoarse, coarseIters = 4, m = 16, ksub = 8,
       iters = 3, release = release)
 
+  test("an EMPTY release append vacuums its ghost partitions (rerun-converges empty corner)") {
+    val dir = Files.createTempDirectory("ivfadc_empty").toString + "/index"
+    val isOld = col("vec_id") % 10 < 8
+    build(dir, emb.where(isOld))
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    // night 1 partially appended r2; the rerun's delta is now EMPTY (a
+    // takedown scrubbed the whole night) — the ghost partitions must drop
+    // from the code table AND the rerank tier
+    IndexStore.append(spark, dir, emb.where(!isOld), "vec_id", "embedding", "r2")
+    IndexStore.appendRerank(spark, dir, emb.where(!isOld)
+      .select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb")), "r2")
+    IndexStore.append(spark, dir, emb.where(lit(false)),
+      "vec_id", "embedding", "r2")
+    assert(IndexStore.readCodes(spark, dir)
+      .where(col("release") === "r2").isEmpty,
+      "an emptied release rerun must drop its ghost code partition")
+    spark.catalog.refreshByPath(s"$dir/rerank/codes")
+    assert(spark.read.parquet(s"$dir/rerank/codes")
+      .where(col("release") === "r2").isEmpty,
+      "an emptied release rerun must drop its ghost rerank partition")
+    // r1 untouched, still serves
+    assert(IndexStore.query(spark, dir, queriesDf, fullVecs,
+      nProbe = 2, k = 5, shortlist = 100).count() > 0)
+  }
+
   test("frozen-disk serve equals the in-job ivfPqTopK answer") {
     val dir = Files.createTempDirectory("ivfadc_rt").toString + "/index"
     build(dir, emb)
