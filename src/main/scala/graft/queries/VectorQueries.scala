@@ -848,18 +848,21 @@ object VectorQueries {
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
       val isNew = col("doc_id") % 10 >= 8
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-audit").toString
       fixtureBuildSec.remove("q207_store_audit")
-      timedFixture("q207_store_audit") {
-        graft.pipeline.SignatureStore.append(s, s"$root/sigs", "r1",
-          docs.where(!isNew), "doc_id", "text")
-        graft.pipeline.SignatureStore.append(s, s"$root/sigs", "r2",
-          docs.where(isNew), "doc_id", "text")
-        graft.pipeline.GramStore.append(s, s"$root/grams", "r1",
-          docs.where(!isNew), "text")
-        graft.pipeline.GramStore.append(s, s"$root/grams", "r2",
-          docs.where(isNew), "text")
+      // the audited stores are READ-ONLY here — build them once per JVM
+      // like every shared fixture (deterministic appends; the audit is
+      // the operator under test, not the builds)
+      val root = timedFixture("q207_store_audit") {
+        sharedFixtureRoot(dir, "audit-stores") { r =>
+          graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r1",
+            docs.where(!isNew), "doc_id", "text")
+          graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r2",
+            docs.where(isNew), "doc_id", "text")
+          graft.pipeline.GramStore.append(s, s"$r/grams", "r1",
+            docs.where(!isNew), "text")
+          graft.pipeline.GramStore.append(s, s"$r/grams", "r2",
+            docs.where(isNew), "text")
+        }
       }
       val idxPath = fullIndex(s, dir, "q207_store_audit")
       graft.pipeline.StoreAudit.card("signatures",
