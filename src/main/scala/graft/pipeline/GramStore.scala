@@ -62,8 +62,8 @@ object GramStore {
       vacuum(spark, path, name => name != release)
     else if (novel.isEmpty)
       // fresh store, nothing novel: writing an empty frame would create a
-      // schema-less directory the next read cannot infer — leave the store
-      // nonexistent (readers treat that as empty)
+      // schema-less directory — leave the store nonexistent ([[read]]
+      // returns an empty typed frame for a missing path)
       ()
     else
       novel
@@ -75,8 +75,23 @@ object GramStore {
         .parquet(path)
   }
 
+  /** The persisted store — (gram_h long, release string). A NONEXISTENT
+    * path reads as an EMPTY frame of that schema, because [[append]]
+    * legitimately leaves a fresh store unmaterialized when the first
+    * release's novel margin is empty (writing a zero-row frame would
+    * create a schema-less directory); callers like
+    * [[ReleaseBuild.rollForwardOnDisk]] must be able to read straight
+    * after such an append (GramStoreSpec pins it). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    if (!exists(spark, path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram_h",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("release",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(path)
 
   /** Retention vacuum ([[SignatureStore.vacuum]]'s contract) with one
     * caveat this store's NOVEL-MARGIN layout creates: a gram shared by a

@@ -697,13 +697,20 @@ object IndexStore {
     * deletes alongside serving) always sees a complete committed set of
     * files, at worst missing the newest append; it can never observe an
     * empty or partially-replaced directory. Duplicate ids across appends
-    * (re-deletes) are absorbed by [[readTombstones]]' distinct. */
+    * (re-deletes) are absorbed by [[readTombstones]]' distinct.
+    *
+    * Returns THIS BATCH's distinct id count — deliberately not the total
+    * list size, which would re-scan the whole takedown history per call
+    * (the streaming [[graft.streaming.StreamEntry.deleteIds]] path deletes
+    * every micro-batch; its per-trigger work must stay batch-bounded).
+    * Callers that need the total read [[readTombstones]] explicitly. */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Long = {
     val add = ids
       .select(col(ids.columns.head).cast("long").as("cand_id")).distinct()
+      .localCheckpoint()
     add.coalesce(1).write.mode("append").parquet(s"$path/$TombDir")
     spark.catalog.refreshByPath(s"$path/$TombDir")
-    readTombstones(spark, path).map(_.count()).getOrElse(0L)
+    add.count()
   }
 
   private val TombDir = "tombstones"
@@ -711,16 +718,23 @@ object IndexStore {
   /** The persisted tombstone list — (cand_id long, distinct), None when the
     * store has never had a delete (or the last [[purge]]/[[rebalance]]
     * cleared it). A directory left EMPTY by a clear (id files subtracted,
-    * none re-appended) has no schema to infer and reads as None too. */
+    * none re-appended) reads as None too — decided by LISTING the
+    * directory (no non-underscore files), never by swallowing a read
+    * error: a list that HAS id files but cannot be read must fail LOUDLY,
+    * because every serving read falls back to the full code table when
+    * this returns None — a swallowed corruption would silently un-block
+    * every taken-down id, the unsafe direction for the
+    * right-to-be-forgotten path (TombstoneRaceSpec pins both cases). */
   def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fsOf(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$TombDir"))) None
-    else try {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
+    if (!fs.exists(dir)) None
+    else if (fs.listStatus(dir)
+        .forall(st => !st.isFile || st.getPath.getName.startsWith("_"))) None
+    else {
       spark.catalog.refreshByPath(s"$path/$TombDir")
       Some(spark.read.parquet(s"$path/$TombDir")
         .select(col("cand_id").cast("long").as("cand_id")).distinct())
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
     }
   }
 

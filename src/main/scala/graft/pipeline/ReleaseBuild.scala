@@ -156,17 +156,45 @@ object ReleaseBuild {
         GramStore.append(spark, gramPath, r, docsR, textCol)
     }
     affected.foreach(restore)
-    // Second pass over the SAME releases when more than one is affected:
-    // the first pass restores sequentially, so release rA's margin was
-    // computed while a later-restored affected release rB still STALELY
-    // held a gram rB's own takedown was about to drop — a gram live only
-    // in rA's surviving docs but stored only under rB would end the first
-    // pass stored nowhere. After pass one every affected partition
-    // reflects post-delete membership (unaffected partitions were a fixed
-    // point all along), so one more pass re-admits exactly those orphaned
-    // grams and is itself a fixed point: a gram a pass-two restore adds is
+    lastRestorePasses = 1
+    // Second pass over the SAME releases when more than one is affected
+    // AND pass one actually lost a gram: the first pass restores
+    // sequentially, so release rA's margin was computed while a
+    // later-restored affected release rB still STALELY held a gram rB's
+    // own takedown was about to drop — a gram live only in rA's surviving
+    // docs but stored only under rB would end the first pass stored
+    // nowhere. After pass one every affected partition reflects
+    // post-delete membership (unaffected partitions were a fixed point
+    // all along), so one more pass re-admits exactly those orphaned grams
+    // and is itself a fixed point: a gram a pass-two restore adds is
     // excluded by every later restore's margin, never dropped again.
-    if (affected.length > 1) affected.foreach(restore)
+    //
+    // The loss is DETECTED first — grams of the affected releases'
+    // surviving member docs absent from the whole post-pass-one store —
+    // and pass two runs only when that set is non-empty: the common
+    // multi-release takedown (no gram straddles affected releases) pays
+    // one gram pass over the affected survivors plus an anti-join, never
+    // a second full margin rebuild (ReleaseBuildSpec pins the skip).
+    if (affected.length > 1) {
+      val members = SignatureStore.read(spark, sigPath)
+        .where(col("release").isin(affected: _*))
+        .select(col("doc_id").as("__m_id"))
+      val survivors = remainingDocs.join(members,
+        col(idCol).cast("long") === col("__m_id"), "left_semi")
+      spark.catalog.refreshByPath(gramPath)
+      val orphaned = GramStore.grams(survivors, textCol)
+        .join(GramStore.read(spark, gramPath).select("gram_h"),
+          Seq("gram_h"), "left_anti")
+      if (!orphaned.isEmpty) {
+        affected.foreach(restore)
+        lastRestorePasses = 2
+      }
+    }
     removed
   }
+
+  /** Restore passes the LAST [[takedownDocs]] call ran (1 = the orphan
+    * probe found nothing and pass two was skipped) — test instrumentation
+    * only, pinned by ReleaseBuildSpec's skip case. */
+  @volatile private[graft] var lastRestorePasses: Int = 0
 }

@@ -30,6 +30,21 @@ class GramStoreSpec extends SparkSpec {
     assert(fromDisk === inline)
   }
 
+  test("a nonexistent store reads as an empty typed frame") {
+    val dir = Files.createTempDirectory("gramstore_none").toString + "/store"
+    // the fresh-store empty-novel branch of append leaves the path
+    // unmaterialized — a caller appending an empty slice then reading
+    // (rollForwardOnDisk on an empty retained release) must see empty,
+    // not an AnalysisException
+    GramStore.append(spark, dir, "r1", docs.limit(0), "text")
+    val empty = GramStore.read(spark, dir)
+    assert(empty.columns.toSeq === Seq("gram_h", "release"))
+    assert(empty.isEmpty)
+    assert(GramStore.noveltyAgainst(docs.where(isNew), "doc_id", "text",
+      empty).where(col("novelty_permille") =!= 1000).isEmpty,
+      "against an empty store every gram is novel")
+  }
+
   test("append is idempotent; accepting a release adds only its novel margin") {
     val dir = Files.createTempDirectory("gramstore_idem").toString + "/store"
     val oldSlice = docs.where(!isNew)

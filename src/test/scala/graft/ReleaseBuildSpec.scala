@@ -94,12 +94,42 @@ class ReleaseBuildSpec extends SparkSpec {
       .unionByName(aDocs.where($"doc_id" === 3L))
     ReleaseBuild.takedownDocs(spark, s"$dir/sigs", s"$dir/grams",
       Seq(1L, 4L).toDF("doc_id"), live, "doc_id", "text")
+    assert(ReleaseBuild.lastRestorePasses === 2,
+      "the straddle loss must be detected and repaired by a second pass")
     spark.catalog.refreshByPath(s"$dir/grams")
     val after = GramStore.read(spark, s"$dir/grams").select("gram_h")
     val fresh = GramStore.grams(live, "text")
     assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty,
       "a gram straddling two affected releases must survive the takedown " +
         "exactly once (restored by the second pass)")
+  }
+
+  test("takedownDocs skips pass two when no gram straddles the affected releases") {
+    // two affected releases with DISJOINT vocabularies: pass one's margins
+    // are already exact, the orphan probe finds nothing, and the second
+    // full margin rebuild must not run (the common multi-release takedown
+    // pays detection cost only)
+    val dir = Files.createTempDirectory("relbuild_tkd4").toString
+    import spark.implicits._
+    val aDocs = Seq((1L, "alpha beta gamma delta", "s"),
+      (2L, "epsilon zeta eta theta", "s")).toDF("doc_id", "text", "source")
+    val bDocs = Seq((3L, "iota kappa lambda mu", "s"),
+      (4L, "nu xi omicron pi", "s")).toDF("doc_id", "text", "source")
+    SignatureStore.append(spark, s"$dir/sigs", "a", aDocs, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "a", aDocs, "text")
+    SignatureStore.append(spark, s"$dir/sigs", "b", bDocs, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "b", bDocs, "text")
+    val live = aDocs.where($"doc_id" === 2L).unionByName(
+      bDocs.where($"doc_id" === 4L))
+    ReleaseBuild.takedownDocs(spark, s"$dir/sigs", s"$dir/grams",
+      Seq(1L, 3L).toDF("doc_id"), live, "doc_id", "text")
+    assert(ReleaseBuild.lastRestorePasses === 1,
+      "no straddle → the orphan probe must skip the second rebuild")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    val after = GramStore.read(spark, s"$dir/grams").select("gram_h")
+    val fresh = GramStore.grams(live, "text")
+    assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty,
+      "the single-pass restore must already equal the from-scratch build")
   }
 
   test("takedownDocs vacuums a release the takedown empties") {

@@ -40,7 +40,8 @@ class TombstoneRaceSpec extends SparkSpec {
     assert(IndexStore.delete(spark, dir, ids(3L)) === 1L)
     val afterFirst = tombFiles(dir).toSet
     assert(afterFirst.nonEmpty)
-    // second delete: total is distinct ids, and the first file survives
+    // second delete: the return is the BATCH's distinct ids (never a
+    // rescan of the whole history), and the first file survives
     // untouched (append-only — a concurrent reader of the first file set
     // sees a complete committed list at every instant)
     assert(IndexStore.delete(spark, dir, ids(3L, 10L)) === 2L)
@@ -75,6 +76,32 @@ class TombstoneRaceSpec extends SparkSpec {
     // and clearing an already-empty list is a no-op
     IndexStore.clearTombstones(spark, dir, ids(99L))
     assert(IndexStore.readTombstones(spark, dir).isEmpty)
+  }
+
+  test("a corrupted tombstone list fails LOUDLY, never open") {
+    val dir = Files.createTempDirectory("tomb_corrupt").toString + "/index"
+    IndexStore.build(spark, dir, emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8,
+      iters = 3, release = "r1")
+    // an EMPTY directory (underscore markers only) is the legitimate
+    // post-clear state and reads as None...
+    val tombDir = new java.io.File(s"$dir/tombstones")
+    assert(tombDir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(tombDir, "_SUCCESS").toPath, Array.empty[Byte])
+    assert(IndexStore.readTombstones(spark, dir).isEmpty,
+      "marker-only directory must read as no list")
+    // ...but a directory that HAS an id file which cannot be read must
+    // throw: serving falls back to the FULL code table on None, so a
+    // swallowed corruption would silently un-block every taken-down id —
+    // the unsafe direction for the right-to-be-forgotten path.
+    java.nio.file.Files.write(
+      new java.io.File(tombDir, "part-00000.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    val thrown = intercept[Exception] {
+      IndexStore.readTombstones(spark, dir).foreach(_.count())
+    }
+    assert(thrown != null)
   }
 
   test("a delete racing into purge stays excluded and the next purge reclaims it") {
