@@ -347,6 +347,33 @@ object IndexStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The int8 tier's code rows — (cand_id, cell, release, q8), an empty
+    * typed frame when the store has no tier. The audit surface for q207's
+    * code↔int8 ROW-PARITY invariant ([[StoreAudit.card]] with the code
+    * table as the release-sliced universe): a purge or append that
+    * touched one tier but not the other shows as orphan/missing rows. */
+  def readRerankCodes(spark: SparkSession, path: String): DataFrame = {
+    val p = s"$path/rerank/codes"
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cand_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("release",
+            org.apache.spark.sql.types.StringType))))
+    else {
+      spark.catalog.refreshByPath(p)
+      spark.read.parquet(p)
+        .select(col("cand_id").cast("long").as("cand_id"),
+          col("cell").cast("int").as("cell"),
+          col("release").cast("string").as("release"))
+    }
+  }
+
   /** The rerank tier's per-dim quantization range — kilobytes; FROZEN at
     * [[buildRerank]] time exactly like the centroids and codebooks (a
     * rebalance-triggered rebuild retrains it, an append does not). */

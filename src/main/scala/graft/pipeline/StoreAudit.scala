@@ -5,44 +5,134 @@ import org.apache.spark.sql.functions._
 
 /** Integrity card for a release-partitioned store — the nightly health
   * check a 100 TB store fleet runs after every append/vacuum/compact
-  * (q207). One row per release with the row/id counts and the two
-  * invariants every store in this family holds by construction:
+  * (q207), and the gate [[VectorRelease.maintain]] /
+  * [[ReleaseBuild.rollForwardOnDisk]] assert before declaring a night
+  * done (the reference's nightly post-deploy check counts every release's
+  * rows the same way, `db_etl_update_db/update.py:24-38`). One row per
+  * release with the row/id counts and three invariants:
   *
   *   - `cross_release_dup`: ids stored under MORE THAN ONE release
   *     partition. The gram store's novel-margin layout stores each gram
-  *     under exactly one release ([[GramStore.append]]), a vector's code
-  *     row lives in exactly one release ([[IndexStore.append]]), and a
-  *     document signs once per release it was retained in
-  *     ([[SignatureStore.append]] on disjoint release slices).
+  *     under exactly one release ([[GramStore.append]]) and a vector's
+  *     code row lives in exactly one release ([[IndexStore.append]]), so
+  *     for those tiers any non-zero is corruption. The SIGNATURE store's
+  *     contract ("a document signs once per release it was retained in")
+  *     legitimately allows an id under several releases when release
+  *     slices overlap (a re-crawled document whose content changed) — set
+  *     `dupInvariant = false` there unless the deployment's slices are
+  *     known disjoint (the q207 fixture's are).
   *   - `orphan`: stored ids absent from the id universe the store claims
-  *     to index (the corpus table, or the corpus gram set).
+  *     to index (the corpus table, or the corpus gram set). When the
+  *     universe carries a `release` column the membership is checked per
+  *     (id, release) pair — which is exactly a ROW-PARITY audit when the
+  *     universe is another tier of the same store (the int8 rerank tier
+  *     audited against the code table: `orphan` = rerank rows the code
+  *     table lacks, `missing` = code rows the rerank tier lost — a torn
+  *     purge that rewrote one tier but crashed before the other).
+  *   - `missing`: the coverage direction — universe ids the store does
+  *     NOT hold (a lost append). Per release when the universe carries a
+  *     `release` column (coverage is contractual per release: every
+  *     retained doc signs, every corpus vector has a code row); store-wide
+  *     on a synthetic `(store)` row otherwise (a gram's release is
+  *     whichever introduced it, so only whole-store coverage is
+  *     meaningful there).
   *
   * Any non-zero is a corrupted store — a torn append, a partial vacuum,
   * an overlapping re-append — caught before it skews dedup margins or
   * serving answers. Scale shape: one store-sized groupBy (map-side
-  * combined), one id-keyed duplicate check, one anti-join against the
-  * universe — all keyed shuffles on the id, never corpus-text-sized. */
+  * combined), one id-keyed duplicate check, one anti-join per direction
+  * against the universe — all keyed shuffles on the id, never
+  * corpus-text-sized. */
 object StoreAudit {
 
+  val StoreRow = "(store)"
+
   def card(tier: String, store: DataFrame, idCol: String,
-           universe: DataFrame): DataFrame = {
+           universe: DataFrame, dupInvariant: Boolean = true): DataFrame = {
+    val hasRel = universe.columns.contains("release")
     val idRel = store.select(col(idCol).cast("long").as("__id"),
       col("release").cast("string").as("release")).distinct()
-    val dupIds = idRel.groupBy("__id")
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).select("__id")
     val perRel = store.groupBy(col("release").cast("string").as("release"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(idCol)).as("n_ids"))
-    val dup = idRel.join(dupIds, Seq("__id"), "left_semi")
-      .groupBy("release").agg(count(lit(1)).as("cross_release_dup"))
-    val orph = idRel.join(universe
-        .select(col(universe.columns.head).cast("long").as("__id")),
-        Seq("__id"), "left_anti")
+    val dup =
+      if (dupInvariant) {
+        val dupIds = idRel.groupBy("__id")
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1).select("__id")
+        idRel.join(dupIds, Seq("__id"), "left_semi")
+          .groupBy("release").agg(count(lit(1)).as("cross_release_dup"))
+      } else idRel.limit(0)
+        .groupBy("release").agg(count(lit(1)).as("cross_release_dup"))
+    val uniIdCol = universe.columns.filterNot(_ == "release").head
+    val uni =
+      if (hasRel) universe.select(col(uniIdCol).cast("long").as("__id"),
+        col("release").cast("string").as("release")).distinct()
+      else universe.select(col(uniIdCol).cast("long").as("__id")).distinct()
+    val joinKeys = if (hasRel) Seq("__id", "release") else Seq("__id")
+    val orph = idRel.join(uni, joinKeys, "left_anti")
       .groupBy("release").agg(count(lit(1)).as("orphan"))
-    perRel.join(dup, Seq("release"), "left")
+    val miss =
+      if (hasRel) uni.join(idRel, joinKeys, "left_anti")
+        .groupBy("release").agg(count(lit(1)).as("missing"))
+      else uni.join(idRel.select("__id").distinct(), joinKeys, "left_anti")
+        .agg(count(lit(1)).as("missing"))
+        .select(lit(StoreRow).as("release"), col("missing"))
+    // the release dimension must cover BOTH sides: a release torn out of
+    // the store entirely still shows (all-zero counts, non-zero missing),
+    // and the store-wide coverage row always appears for an id-only
+    // universe
+    val releases = perRel.select("release")
+      .unionByName(
+        if (hasRel) uni.select("release")
+        else miss.select("release"))
+      .distinct()
+    releases.join(perRel, Seq("release"), "left")
+      .join(dup, Seq("release"), "left")
       .join(orph, Seq("release"), "left")
-      .na.fill(0L, Seq("cross_release_dup", "orphan"))
+      .join(miss, Seq("release"), "left")
+      .na.fill(0L, Seq("n_rows", "n_ids", "cross_release_dup", "orphan",
+        "missing"))
       .select(lit(tier).as("tier"), col("release"), col("n_rows"),
-        col("n_ids"), col("cross_release_dup"), col("orphan"))
+        col("n_ids"), col("cross_release_dup"), col("orphan"),
+        col("missing"))
+  }
+
+  /** The tombstone-list row of an [[IndexStore]]'s card — the takedown
+    * BACKLOG (ids tombstoned, not yet purged) in the card's schema, on the
+    * store-wide row: a growing backlog is the operational signal to
+    * schedule a purge (the list broadcasts on every serve). No invariant
+    * column can trip here — any id may legitimately be tombstoned,
+    * including never-resident and re-ingested ones (the block outlives
+    * re-ingestion by design) — but producing the row READS the list, so a
+    * corrupted tombstone directory fails the audit loudly
+    * ([[IndexStore.readTombstones]]'s fail-closed contract); the
+    * tier-divergence corruption a torn purge leaves is what the code↔int8
+    * parity card catches. */
+  def tombstones(spark: org.apache.spark.sql.SparkSession,
+                 indexPath: String): DataFrame = {
+    val n = IndexStore.readTombstones(spark, indexPath)
+      .map(_.count()).getOrElse(0L)
+    import spark.implicits._
+    Seq(("tombstones", StoreRow, n, n, 0L, 0L, 0L))
+      .toDF("tier", "release", "n_rows", "n_ids", "cross_release_dup",
+        "orphan", "missing")
+  }
+
+  /** Assert a card's invariant columns are all zero, failing LOUDLY with
+    * the offending rows in the message — the nightly-gate verb
+    * ([[VectorRelease.maintain]] / [[ReleaseBuild.rollForwardOnDisk]] end
+    * with this so a night that corrupts its own store aborts instead of
+    * reporting success; the store stays recoverable because every
+    * mutation it guards is partition-idempotent). Cards are
+    * release-list-sized (kilobytes per release), so the collect is
+    * bounded driver state, the k-means-centroid idiom. */
+  def assertZero(card: DataFrame, invariants: Seq[String],
+                 context: String): Unit = {
+    val bad = card.where(invariants.map(c => col(c) > 0).reduce(_ || _))
+      .collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"store integrity audit failed ($context): " +
+          bad.map(_.toString).mkString("; "))
   }
 }

@@ -830,20 +830,28 @@ object VectorQueries {
 
     // Persisted-store INTEGRITY AUDIT (the nightly health check a 100 TB
     // store fleet runs after every release): one card row per
-    // (tier, release) over the signature, gram and index-code stores —
-    // row/id counts plus the two invariants each tier must hold by
-    // construction: cross_release_dup = ids stored under MORE THAN ONE
-    // release partition (signature rows are per-(doc, release) but an id
-    // may appear once per release only; the gram store's novel-margin
-    // layout stores each gram under exactly one release; a vector's code
-    // row lives in exactly one release) and orphan = stored ids absent
-    // from the corpus they claim to index. Any non-zero is a corrupted
-    // store (a torn append, a partial vacuum). Each tier audits with one
-    // groupBy over the store, one id-keyed dup check and one broadcast-
-    // able anti-join against the id universe — store-sized, never
-    // corpus-text-sized. FULL SQL oracle: expected counts derived
-    // independently from the raw tables (slice arithmetic + the q132
-    // shingle chain), invariants pinned to zero.
+    // (tier, release) over ALL FIVE persisted surfaces — signatures,
+    // grams, index codes, the int8 rerank tier, and the tombstone list —
+    // row/id counts plus three invariants: cross_release_dup = ids stored
+    // under MORE THAN ONE release partition (the gram store's
+    // novel-margin layout stores each gram under exactly one release; a
+    // vector's code row lives in exactly one release; the signature
+    // fixture's slices are disjoint so the check applies there too),
+    // orphan = stored ids absent from the universe the tier claims to
+    // index, and missing = the coverage direction — universe ids the
+    // store LOST (a dropped append), per release where coverage is
+    // contractual (every retained doc signs in its release, every corpus
+    // vector has a code row) and store-wide for grams. The int8 tier
+    // audits against the CODE TABLE as its universe — a row-PARITY
+    // invariant: a torn purge that rewrote codes but crashed before the
+    // rerank tier shows as missing, the reverse as orphan. The tombstone
+    // row carries the takedown backlog (zero here — the shared store is
+    // read-only) and exercises the fail-closed list read. Any non-zero
+    // invariant is a corrupted store. Each tier audits with one groupBy
+    // over the store, one id-keyed dup check and one anti-join per
+    // direction — store-sized, never corpus-text-sized. FULL SQL oracle:
+    // expected counts derived independently from the raw tables (slice
+    // arithmetic + the q132 shingle chain), invariants pinned to zero.
     "q207_store_audit" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
@@ -865,15 +873,30 @@ object VectorQueries {
         }
       }
       val idxPath = fullIndex(s, dir, "q207_store_audit")
+      timedFixture("q207_store_audit") {
+        // ensure the shared store carries its int8 tier regardless of
+        // which serving query ran first this pass (memoized, idempotent)
+        graft.pipeline.IndexStore.sharedRerank(s, idxPath,
+          emb.select(col("vec_id").cast("long").as("cand_id"),
+            col("embedding").cast("array<double>").as("cand_emb")))
+      }
+      val codes = graft.pipeline.IndexStore.readCodes(s, idxPath)
+      // release-sliced universes where coverage is contractual per release
+      val sigUniverse = docs.select(col("doc_id"),
+        when(isNew, "r2").otherwise("r1").as("release"))
+      val codeUniverse = emb.select(col("vec_id"), lit("r1").as("release"))
       graft.pipeline.StoreAudit.card("signatures",
           graft.pipeline.SignatureStore.read(s, s"$root/sigs"),
-          "doc_id", docs.select("doc_id"))
+          "doc_id", sigUniverse)
         .unionByName(graft.pipeline.StoreAudit.card("grams",
           graft.pipeline.GramStore.read(s, s"$root/grams"),
           "gram_h", graft.pipeline.GramStore.grams(docs, "text")))
         .unionByName(graft.pipeline.StoreAudit.card("codes",
-          graft.pipeline.IndexStore.readCodes(s, idxPath),
-          "cand_id", emb.select("vec_id")))
+          codes, "cand_id", codeUniverse))
+        .unionByName(graft.pipeline.StoreAudit.card("rerank_int8",
+          graft.pipeline.IndexStore.readRerankCodes(s, idxPath),
+          "cand_id", codes.select("cand_id", "release")))
+        .unionByName(graft.pipeline.StoreAudit.tombstones(s, idxPath))
         .orderBy("tier", "release")
     }),
 
@@ -1435,8 +1458,10 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "q203_truncated_serve" -> truncatedOracleSql(Seq(16, 32, 64)),
     // expected per-(tier, release) counts derived from the raw tables:
-    // slice arithmetic for signatures/codes, the q132 shingle chain for
-    // the gram store's novel margins; both invariants pinned to zero
+    // slice arithmetic for signatures/codes/rerank, the q132 shingle
+    // chain for the gram store's novel margins; all three invariants
+    // pinned to zero, the gram tier's store-wide coverage row and the
+    // (empty) tombstone backlog row included
     "q207_store_audit" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (
@@ -1458,6 +1483,8 @@ object VectorQueries {
         |         (SELECT COUNT(*) FROM documents WHERE doc_id % 10 >= 8),
         |         (SELECT COUNT(DISTINCT doc_id) FROM documents WHERE doc_id % 10 >= 8)
         |  UNION ALL
+        |  SELECT 'grams', '(store)', 0, 0
+        |  UNION ALL
         |  SELECT 'grams', 'r1',
         |         (SELECT COUNT(*) FROM oldg), (SELECT COUNT(*) FROM oldg)
         |  UNION ALL
@@ -1467,11 +1494,18 @@ object VectorQueries {
         |  SELECT 'codes', 'r1',
         |         (SELECT COUNT(*) FROM embeddings),
         |         (SELECT COUNT(DISTINCT vec_id) FROM embeddings)
+        |  UNION ALL
+        |  SELECT 'rerank_int8', 'r1',
+        |         (SELECT COUNT(*) FROM embeddings),
+        |         (SELECT COUNT(DISTINCT vec_id) FROM embeddings)
+        |  UNION ALL
+        |  SELECT 'tombstones', '(store)', 0, 0
         |)
         |SELECT tier, release, CAST(n_rows AS BIGINT) AS n_rows,
         |       CAST(n_ids AS BIGINT) AS n_ids,
         |       CAST(0 AS BIGINT) AS cross_release_dup,
-        |       CAST(0 AS BIGINT) AS orphan
+        |       CAST(0 AS BIGINT) AS orphan,
+        |       CAST(0 AS BIGINT) AS missing
         |FROM card ORDER BY tier, release""".stripMargin,
     // q82's encode + the exact decode (lo + q·(hi−lo)/255, identical IEEE
     // spelling to the Spark expression) + two q48 dot chains + q165's tail
