@@ -101,6 +101,37 @@ object ReleaseBuild {
     val retained = newDocs.join(out.select(idCol), Seq(idCol), "left_semi")
     SignatureStore.append(spark, sigPath, release, retained, idCol, textCol)
     GramStore.append(spark, gramPath, release, retained, textCol)
+    // INTEGRITY GATE (the text-tier twin of [[VectorRelease.maintain]]'s):
+    // the night ends by auditing the partitions it just wrote and aborting
+    // loudly on any non-zero invariant, so a torn append cannot report
+    // success. Checked: this release's signature partition holds EXACTLY
+    // the retained ids (missing = a lost append, orphan = a ghost row;
+    // dup is scoped out — the signature contract allows an id under
+    // several releases), this release's gram partition is a subset of the
+    // retained docs' grams (orphan only: missing is legitimate — the
+    // margin excludes grams held elsewhere), and the whole gram store
+    // keeps its one-release-per-gram layout. Cost: delta-sized passes
+    // plus one gram-store-sized dup check (hashed longs). The abort
+    // leaves the store recoverable — both appends are release-partition
+    // idempotent, so a rerun converges.
+    val retainedIds = retained.select(col(idCol).cast("long").as("doc_id"),
+      lit(release).as("release"))
+    spark.catalog.refreshByPath(sigPath)
+    StoreAudit.assertZero(StoreAudit.card("signatures",
+        SignatureStore.read(spark, sigPath)
+          .where(col("release") === release),
+        "doc_id", retainedIds, dupInvariant = false),
+      Seq("orphan", "missing"), s"release '$release': signature coverage")
+    spark.catalog.refreshByPath(gramPath)
+    val gramsNow = GramStore.read(spark, gramPath)
+    StoreAudit.assertZero(StoreAudit.card("grams",
+        gramsNow.where(col("release") === release), "gram_h",
+        GramStore.grams(retained, textCol)
+          .withColumn("release", lit(release)), dupInvariant = false),
+      Seq("orphan"), s"release '$release': gram margin provenance")
+    StoreAudit.assertZero(StoreAudit.card("grams", gramsNow, "gram_h",
+        gramsNow.select("gram_h", "release"), dupInvariant = true),
+      Seq("cross_release_dup"), s"release '$release': gram store layout")
     out
   }
 

@@ -270,6 +270,32 @@ object VectorRelease {
     //    (map-only, dynamic-overwrite idempotent) — after rollForward so
     //    the cell lookup reads the release's just-appended codes.
     if (hasTier) IndexStore.appendRerank(spark, path, cands(newV), release)
+    // 5. INTEGRITY GATE: the night ends by auditing the store it just
+    //    mutated ([[StoreAudit.card]]) and aborting loudly on any non-zero
+    //    invariant — a nightly that corrupts its own store must not report
+    //    success (the q207 card run as a gate, mirroring the reference's
+    //    post-deploy row-count check, `db_etl_update_db/update.py:24-38`).
+    //    Checked: every servable corpus vector has exactly one code row
+    //    (missing/orphan/dup against the scrubbed old∪new ids) and, when
+    //    the int8 tier exists, code↔int8 ROW PARITY — the exact torn-purge
+    //    divergence (one tier rewritten, the other not) that serving would
+    //    otherwise silently mis-rank. The abort leaves the store
+    //    recoverable: every mutation above is partition-idempotent, so
+    //    [[IndexStore.repairRelease]] (or a rerun) converges it. Cost:
+    //    store-sized keyed shuffles, the audit shape q207 measures.
+    val corpusIds = oldV.select(col(idCol).cast("long").as("cand_id"))
+      .unionByName(newV.select(col(idCol).cast("long").as("cand_id")))
+    val codesNow = IndexStore.readCodes(spark, path)
+    StoreAudit.assertZero(
+      StoreAudit.card("codes", codesNow, "cand_id", corpusIds),
+      Seq("cross_release_dup", "orphan", "missing"),
+      s"maintain night '$release': code table vs servable corpus")
+    if (hasTier) StoreAudit.assertZero(
+      StoreAudit.card("rerank_int8",
+        IndexStore.readRerankCodes(spark, path), "cand_id",
+        codesNow.select("cand_id", "release")),
+      Seq("cross_release_dup", "orphan", "missing"),
+      s"maintain night '$release': code/int8 row parity")
     out.withColumn("rebalanced", lit(needsRebalance))
   }
 

@@ -421,14 +421,16 @@ class StreamingSpec extends SparkSpec {
     assert(graft.pipeline.IndexStore.readCodes(spark, store).count()
       === emb.count())
     // and the grown-then-replayed store passes the q207 integrity card:
-    // every release partition disjoint in ids, nothing orphaned
+    // every release partition disjoint in ids, nothing orphaned, full
+    // corpus coverage (the 3 release rows + the store-wide coverage row)
     val card = graft.pipeline.StoreAudit.card("codes",
       graft.pipeline.IndexStore.readCodes(spark, store), "cand_id",
       emb.select("vec_id")).collect()
-    assert(card.length === 3)
+    assert(card.length === 4)
     card.foreach { r =>
       assert(r.getAs[Long]("cross_release_dup") === 0L, r.toString)
       assert(r.getAs[Long]("orphan") === 0L, r.toString)
+      assert(r.getAs[Long]("missing") === 0L, r.toString)
     }
   }
 
