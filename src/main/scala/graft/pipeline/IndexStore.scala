@@ -355,7 +355,20 @@ object IndexStore {
   def readRerankCodes(spark: SparkSession, path: String): DataFrame = {
     val p = s"$path/rerank/codes"
     val fs = fsOf(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+    // emptiness is decided by LISTING (the readTombstones fail-closed
+    // idiom): a vacuum that dropped every release leaves empty cell dirs
+    // with no footers to infer a schema from — that is a legitimate empty
+    // tier; an unreadable file in a non-empty tree still fails loudly
+    def hasDataFiles: Boolean = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p)) || !hasDataFiles)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -925,6 +938,33 @@ object IndexStore {
       }
     }
     (sweep("codes") ++ sweep("rerank/codes")).distinct
+  }
+
+  /** REPAIR a corrupted release under the frozen model — the bounded
+    * recovery verb the integrity card ([[StoreAudit.card]], q207/q208)
+    * points at: the card names the torn (tier, release) — a purge or
+    * append that rewrote one tier and crashed before the other, a
+    * bit-rotted partition, an operator-deleted directory — and this op
+    * drops EVERY (cell, release) partition of that release in BOTH tiers
+    * and re-appends them from the release's source slice. Deleting first
+    * matters: the torn state may hold rows in cells the re-encode no
+    * longer populates (a partial purge's stale partitions), which a
+    * dynamic overwrite alone would leave behind. Idempotent and
+    * partition-bounded — the [[EavStore]] upsert idea applied to the
+    * index store: cost is one map-only re-encode of ONE release's slice
+    * (plus its int8 quantization when the tier exists), never a retrain,
+    * never another release's bytes. `vecs` is the release's source slice
+    * exactly (the same frame a rerun of that night's append would get);
+    * after repair the release's partitions equal a never-corrupted
+    * append's (IndexStoreSpec pins store ≡ from-scratch). */
+  def repairRelease(spark: SparkSession, path: String, vecs: DataFrame,
+                    idCol: String, embCol: String, release: String): Unit = {
+    vacuum(spark, path, name => name != release)
+    append(spark, path, vecs, idCol, embCol, release)
+    if (hasRerank(spark, path))
+      appendRerank(spark, path,
+        vecs.select(col(idCol).cast("long").as("cand_id"),
+          col(embCol).cast("array<double>").as("cand_emb")), release)
   }
 
   /** Compact the selected releases' (cell, release) partitions — code table

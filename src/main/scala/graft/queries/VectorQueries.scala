@@ -900,6 +900,62 @@ object VectorQueries {
         .orderBy("tier", "release")
     }),
 
+    // AUDIT-DRIVEN REPAIR (the q207 card's operational close): a store
+    // whose int8 rerank tier was torn — here the fault injection drops
+    // every r1 rerank partition, the state a purge crash or an operator
+    // error leaves — is DETECTED by the code↔int8 parity card (missing =
+    // the whole release), REPAIRED by IndexStore.repairRelease (drop the
+    // torn release's partitions in both tiers, map-only re-append from
+    // the release's source slice — partition-bounded, no retrain), and
+    // re-audited to zero. Output = the parity card at both stages, so the
+    // hash pins the detection counts AND the recovery. FULL SQL oracle:
+    // the torn stage's missing count is the corpus size by construction,
+    // the repaired stage is the healthy card. StoreRepairSpec pins the
+    // repaired store ≡ a never-corrupted build, tier for tier.
+    "q208_store_repair" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      fixtureBuildSec.remove("q208_store_repair")
+      val src = fullIndex(s, dir, "q208_store_repair")
+      val path = timedFixture("q208_store_repair") {
+        // tier must exist on the SHARED store before cloning (memoized,
+        // idempotent — same call q188/q207 make)
+        graft.pipeline.IndexStore.sharedRerank(s, src,
+          emb.select(col("vec_id").cast("long").as("cand_id"),
+            col("embedding").cast("array<double>").as("cand_emb")))
+        // a private clone: the tear and the repair MUTATE the store
+        val dst = java.nio.file.Files
+          .createTempDirectory("graft-repair").toString + "/store"
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(src), fs,
+          new org.apache.hadoop.fs.Path(dst), false, conf)
+        // fault injection: drop every r1 partition of the rerank tier
+        // only (codes survive — the exact one-tier-rewritten divergence)
+        val root = new org.apache.hadoop.fs.Path(s"$dst/rerank/codes")
+        fs.listStatus(root)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("cell="))
+          .map(st => new org.apache.hadoop.fs.Path(st.getPath, "release=r1"))
+          .filter(fs.exists)
+          .foreach(p => require(fs.delete(p, true), s"tear failed: $p"))
+        s.catalog.refreshByPath(s"$dst/rerank/codes")
+        dst
+      }
+      def parity = graft.pipeline.StoreAudit.card("rerank_int8",
+        graft.pipeline.IndexStore.readRerankCodes(s, path), "cand_id",
+        graft.pipeline.IndexStore.readCodes(s, path)
+          .select("cand_id", "release"))
+      // pin the torn card before the repair rewrites the files its lazy
+      // plan would re-list
+      val detected = parity.withColumn("stage", lit("detected"))
+        .localCheckpoint()
+      graft.pipeline.IndexStore.repairRelease(s, path, emb,
+        "vec_id", "embedding", "r1")
+      detected.unionByName(parity.withColumn("stage", lit("repaired")))
+        .orderBy("stage", "release")
+    }),
+
     // OPQ-rotated FROZEN index serving (q144's better quantizer finally
     // shipped in the q146 lifecycle): build trains the Householder
     // direction on the seed corpus, persists it as kilobyte metadata
@@ -1457,6 +1513,22 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "q203_truncated_serve" -> truncatedOracleSql(Seq(16, 32, 64)),
+    // the torn stage loses exactly the corpus-sized release from the int8
+    // tier (missing = every code row's parity twin), the repaired stage
+    // is the healthy card — both derivable from the raw table alone
+    "q208_store_repair" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings)
+        |SELECT 'rerank_int8' AS tier, 'r1' AS release,
+        |       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_ids,
+        |       CAST(0 AS BIGINT) AS cross_release_dup,
+        |       CAST(0 AS BIGINT) AS orphan, c AS missing,
+        |       'detected' AS stage
+        |FROM n
+        |UNION ALL
+        |SELECT 'rerank_int8', 'r1', c, c, CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'repaired'
+        |FROM n
+        |ORDER BY stage, release""".stripMargin,
     // expected per-(tier, release) counts derived from the raw tables:
     // slice arithmetic for signatures/codes/rerank, the q132 shingle
     // chain for the gram store's novel margins; all three invariants
