@@ -816,16 +816,22 @@ object TextQueries {
       val isNew = col("doc_id") % 10 >= 8
       val old = docs.where(!isNew)
       val isTomb = col("doc_id") % 9 === 2
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-dtkd").toString
+      VectorQueries.fixtureBuildSec.remove("q205_doc_takedown")
+      // prior-night stores build once per JVM (q206 shares the same
+      // fixture); each pass mutates a filesystem-copied private clone —
+      // the q201 idiom, attributed to fixture_build
+      val root = VectorQueries.timedFixture("q205_doc_takedown") {
+        val shared = VectorQueries.sharedFixtureRoot(dir, "utkd-prior") {
+          r =>
+            graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r1", old,
+              "doc_id", "text")
+            graft.pipeline.GramStore.append(s, s"$r/grams", "r1", old,
+              "text")
+        }
+        VectorQueries.clonePath(s, shared)
+      }
       val sigPath = s"$root/sigs"
       val gramPath = s"$root/grams"
-      VectorQueries.fixtureBuildSec.remove("q205_doc_takedown")
-      VectorQueries.timedFixture("q205_doc_takedown") {
-        graft.pipeline.SignatureStore.append(s, sigPath, "r1", old,
-          "doc_id", "text")
-        graft.pipeline.GramStore.append(s, gramPath, "r1", old, "text")
-      }
       // weights are frozen prior-release state too — the shared fixture
       val w = frozenWeights(s, dir, "q205_doc_takedown")
       graft.pipeline.ReleaseBuild.takedownDocs(s, sigPath, gramPath,
