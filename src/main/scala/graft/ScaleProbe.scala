@@ -533,6 +533,122 @@ object ScaleProbe {
           Seq(("tombstone_serve", s1._1, sf._1, s1._2, sf._2),
             ("takedown_purge", p1._1, pf._1, p1._2, pf._2))
         }
+      // UNIFIED CROSS-TIER TAKEDOWN NIGHT (q206): persisted fixture = the
+      // prior-night TEXT stores (signature + gram, the prior corpus split
+      // into ONE RELEASE PER COPY so the affected-release construction
+      // scales with the corpus: 1 release at 1×, `factor` at factor×) and
+      // the prior-night VECTOR store + graph (single release, the runMnt
+      // shape). The timed op is one whole night on a filesystem clone of
+      // that state (the q206 per-pass-clone idiom — the night MUTATES the
+      // stores, so warmup and timed runs each get a pristine clone; clones
+      // untimed): text takedown (exact signature delete + gram restore
+      // BOUNDED by the one affected release, r0) → text roll-forward →
+      // vector metadata delete → takedown-aware maintain → cross-tier
+      // manifest gate. Takedown batch and night delta both PINNED to the
+      // original id range (requests and nightly crawls don't grow with the
+      // resident corpus); kCoarse ∝ √N. Claim under probe: the composed
+      // night holds the maintain family's ~0.5 exponent — the text tier
+      // adds only compact-store-keyed scans (~200 B/doc signatures, hashed
+      // gram longs) and a one-release-bounded restore, never a corpus-text
+      // term.
+      val utkResults =
+        if (!only.forall(_.contains("unified_takedown"))) Seq.empty
+        else {
+          // frozen prior classifier, trained once on the ORIGINAL old docs
+          // (persisted nightly state; identical at both factors)
+          val utkW = Classifier.denseWeights(Classifier.trainWeights(
+            docs.where(col("doc_id") % 10 < 8), "doc_id", "text",
+            col("lang") === "en", d = 256, iters = 2, lr = 0.5), 256)
+          def cloneFs(src: String, dst: String): String = {
+            val conf = spark.sparkContext.hadoopConfiguration
+            val sp = new org.apache.hadoop.fs.Path(src)
+            val fs = sp.getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs,
+              new org.apache.hadoop.fs.Path(dst), false, conf)
+            dst
+          }
+          def runUtk(d: DataFrame, e: DataFrame, kCoarse: Int, nRel: Int,
+                     tag: String): (Double, Long) = {
+            val base = s"$tmp/utk_$tag"
+            // --- persisted prior-night fixture (untimed) ---
+            // the prior TEXT corpus is every copy's OLD slice: keeping the
+            // copies' new slices in the store would make the pinned delta
+            // (the originals' new slice) an exact duplicate of copy 1's
+            // and the roll-forward would rightly dedup the whole night
+            // away — an empty manifest measures nothing
+            val isNewDoc = col("doc_id") % 10 >= 8
+            val isDeltaDoc = isNewDoc && col("doc_id") < off
+            val priorDocs = d.where(!isNewDoc)
+            for (k <- 0 until nRel) {
+              val slice = priorDocs.where(
+                col("doc_id") >= k.toLong * off &&
+                  col("doc_id") < (k.toLong + 1) * off)
+              graft.pipeline.SignatureStore.append(spark,
+                s"$base/prior/sigs", s"r$k", slice, "doc_id", "text")
+              graft.pipeline.GramStore.append(spark,
+                s"$base/prior/grams", s"r$k", slice, "text")
+            }
+            val isEval = col("vec_id") % 50 === 0
+            val isDeltaVec = col("vec_id") % 10 >= 8 && col("vec_id") < eoff
+            val oldV = e.where(!isEval && !isDeltaVec)
+            val freshV = e.where(!isEval && isDeltaVec)
+            graft.pipeline.IndexStore.build(spark, s"$base/prior/store",
+              oldV, "vec_id", "embedding", dim = 64, kCoarse = kCoarse,
+              coarseIters = 4, m = 16, ksub = 8, iters = 3, release = "r1")
+            def nodes(x: DataFrame) = x.select(
+              col("vec_id").cast("long").as("q_id"),
+              col("embedding").cast("array<double>").as("q_emb"))
+            def cands(x: DataFrame) = x.select(
+              col("vec_id").cast("long").as("cand_id"),
+              col("embedding").cast("array<double>").as("cand_emb"))
+            val model =
+              graft.pipeline.IndexStore.readModel(spark, s"$base/prior/store")
+            val prior = graft.operators.Similarity.ivfExactGraphEdges(
+                nodes(oldV), cands(oldV), model.centroids, 2, 3)
+              .localCheckpoint() // persisted state, not part of the night
+            val evals = nodes(e.where(isEval && col("vec_id") < eoff))
+            // healthy-branch verdict target (the runMnt convention)
+            val kcPop = graft.pipeline.IndexStore
+              .readCodes(spark, s"$base/prior/store")
+              .select("cell").distinct().count().toInt
+            // --- the night, on a pristine clone (the q206 idiom) ---
+            val tombDocs = d.where(col("doc_id") % 97 === 3 &&
+              col("doc_id") < off)
+            val tombVecs = e.where(col("vec_id") % 97 === 3 &&
+              col("vec_id") < eoff)
+            var runIdx = 0
+            def night(): (Double, Long) = {
+              runIdx += 1
+              val root = cloneFs(s"$base/prior", s"$base/run$runIdx")
+              val t0 = System.nanoTime()
+              graft.pipeline.ReleaseBuild.takedownDocs(spark, s"$root/sigs",
+                s"$root/grams", tombDocs.select(col("doc_id")),
+                d.where(col("doc_id") % 97 =!= 3), "doc_id", "text")
+              val manifest = graft.pipeline.ReleaseBuild.rollForwardOnDisk(
+                spark, d.where(isDeltaDoc && col("doc_id") % 97 =!= 3),
+                "doc_id", "text", "source",
+                d.where(col("doc_id") % 97 =!= 3), s"$root/sigs",
+                s"$root/grams", "night", utkW)
+              graft.pipeline.IndexStore.delete(spark, s"$root/store",
+                tombVecs.select(col("vec_id").as("cand_id")))
+              val nightDf = graft.pipeline.VectorRelease.maintain(spark,
+                s"$root/store", freshV, oldV, evals, prior, "vec_id",
+                "embedding", "r2", kCoarse = kcPop, maxShareMilli = 1000)
+              val drops = nightDf.where(col("dropped"))
+                .select(col("src_id").as("doc_id")).distinct()
+              val res = manifest.join(broadcast(drops), Seq("doc_id"),
+                "left_anti")
+              res.write.mode("overwrite").format("noop").save()
+              ((System.nanoTime() - t0) / 1e9, res.count())
+            }
+            night() // untimed warmup clone (codegen, listings)
+            night()
+          }
+          val (t1, o1) = runUtk(docs, embs, 8, 1, "1x")
+          val (tf, of) = runUtk(bigDocs, bigEmbs,
+            math.ceil(8 * math.sqrt(factor)).toInt, factor, "big")
+          Seq(("unified_takedown", t1, tf, o1, of))
+        }
       // Store integrity audit (q207): persisted fixture = signature + gram
       // stores over the corpus; the card is one store-sized groupBy, an
       // id-keyed dup check and an anti-join vs the universe — every piece
@@ -596,7 +712,7 @@ object ScaleProbe {
         }
       val results = results0 ++ serveResults ++ int8Results ++
         graphResults ++ vrelResults ++ mntResults ++ cptResults ++
-        tkdResults ++ auditResults ++ hybridResults
+        tkdResults ++ utkResults ++ auditResults ++ hybridResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

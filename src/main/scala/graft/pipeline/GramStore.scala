@@ -106,10 +106,17 @@ object GramStore {
              keep: String => Boolean): Seq[String] =
     ReleasePartitions.vacuum(spark, path, keep)
 
-  private def exists(spark: SparkSession, path: String): Boolean =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+  /** A store "exists" only once it holds a `release=` partition: the
+    * directory may predate any data — [[ReleaseBuild.takedownDocs]] pins
+    * its `_TAKEDOWN_PENDING` marker here before the restore that writes
+    * the first partition — and such a marker-only directory must still
+    * read as the empty store, not fail parquet schema inference. */
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("release="))
+  }
 
   /** Per-document novelty of a candidate slice against the store — the
     * incremental form of `TextAnalysis.gramNovelty` (same integer-permille

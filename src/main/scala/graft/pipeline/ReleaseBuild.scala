@@ -88,6 +88,12 @@ object ReleaseBuild {
                         verifyDocs: DataFrame, sigPath: String,
                         gramPath: String, release: String,
                         weights: Array[Long], p: Params = Params()): DataFrame = {
+    // converge a takedown crashed between its signature delete and its gram
+    // restore before building on the stores (the [[VectorRelease.maintain]]
+    // step-0 symmetry: a night must not roll forward over torn state);
+    // verifyDocs IS the retained corpus the pinned restore owes its margins
+    // to. Absent marker this is one fs.exists.
+    recoverTakedown(spark, sigPath, gramPath, verifyDocs, idCol, textCol)
     spark.catalog.refreshByPath(sigPath)
     spark.catalog.refreshByPath(gramPath)
     val sig = SignatureStore.read(spark, sigPath)
@@ -161,10 +167,30 @@ object ReleaseBuild {
     * is the corpus minus the taken-down documents (release membership is
     * recovered from the signature store, so one frame serves every
     * release). Cost: bounded by the affected releases' document counts,
-    * never the corpus. Returns signature rows removed. */
+    * never the corpus. Returns signature rows removed.
+    *
+    * CRASH-SAFE via the [[IndexStore.recover]] marker idiom: the affected
+    * releases are computed from PRE-delete membership, so a crash between
+    * the signature delete and the gram restore would leave a rerun unable
+    * to name them (membership is gone) — the dropped documents' grams
+    * would silently outlive the takedown, the unsafe direction for a
+    * right-to-be-forgotten path. So the restore obligation is PINNED
+    * first: the affected list lands in a `_TAKEDOWN_PENDING` marker next
+    * to the gram store (tmp-write + atomic rename) BEFORE the delete, and
+    * is dropped only after the restore passes complete. Every entry calls
+    * [[recoverTakedown]] first, so a rerun — the batch operator re-invoked,
+    * or a streaming replay of the failed micro-batch
+    * ([[graft.streaming.StreamEntry.takedownText]]) — converges the
+    * crashed predecessor's restore before its own work. All windows
+    * converge: pre-marker nothing changed; pre-delete the recovery restore
+    * matches still-intact membership (a semantic no-op) and the rerun
+    * proceeds normally; mid-restore the recovery re-runs the
+    * partition-idempotent appends under post-delete membership; post-
+    * restore it re-restores idempotently and drops the marker. */
   def takedownDocs(spark: SparkSession, sigPath: String, gramPath: String,
                    ids: DataFrame, remainingDocs: DataFrame,
                    idCol: String, textCol: String): Long = {
+    recoverTakedown(spark, sigPath, gramPath, remainingDocs, idCol, textCol)
     val tomb = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct().localCheckpoint()
     // membership BEFORE the delete names the releases whose gram margins
@@ -174,8 +200,50 @@ object ReleaseBuild {
       .join(broadcast(tomb), Seq("doc_id"), "left_semi")
       .select(col("release").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
+    // pin the restore obligation BEFORE the delete erases the membership
+    // that names it (scaladoc: the crash-safety marker)
+    if (affected.nonEmpty) writeMarker(spark, gramPath, affected)
     val removed = SignatureStore.delete(spark, sigPath, tomb)
+    restoreReleases(spark, sigPath, gramPath, remainingDocs, idCol, textCol,
+      affected)
+    dropMarker(spark, gramPath)
+    removed
+  }
+
+  /** Converge a [[takedownDocs]] interrupted between its signature delete
+    * and its gram restore: with the `_TAKEDOWN_PENDING` marker present,
+    * re-run the restore passes for the pinned releases under CURRENT
+    * membership, then drop the marker; absent marker, a no-op (one
+    * `fs.exists`). `remainingDocs` is the caller's current retained corpus
+    * — at-least-once re-delivery (a rerun nightly, a replayed micro-batch)
+    * hands the crashed request set back before any newer one, so current
+    * membership ∩ remaining is exactly the surviving-member set the
+    * crashed restore owed. */
+  def recoverTakedown(spark: SparkSession, sigPath: String, gramPath: String,
+                      remainingDocs: DataFrame, idCol: String,
+                      textCol: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toArray.sorted
+        finally in.close()
+      restoreReleases(spark, sigPath, gramPath, remainingDocs, idCol,
+        textCol, pinned)
+      dropMarker(spark, gramPath)
+    }
+  }
+
+  /** Restore pass 1 + the orphan-gated pass 2 over `affected` — shared by
+    * [[takedownDocs]] and [[recoverTakedown]]. */
+  private def restoreReleases(spark: SparkSession, sigPath: String,
+                              gramPath: String, remainingDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              affected: Array[String]): Unit = {
     def restore(r: String): Unit = {
+      spark.catalog.refreshByPath(sigPath)
       val members = SignatureStore.read(spark, sigPath)
         .where(col("release") === r)
         .select(col("doc_id").as("__m_id"))
@@ -208,7 +276,7 @@ object ReleaseBuild {
     // a second full margin rebuild (ReleaseBuildSpec pins the skip).
     if (affected.length > 1) {
       val members = SignatureStore.read(spark, sigPath)
-        .where(col("release").isin(affected: _*))
+        .where(col("release").isin(affected.toSeq: _*))
         .select(col("doc_id").as("__m_id"))
       val survivors = remainingDocs.join(members,
         col(idCol).cast("long") === col("__m_id"), "left_semi")
@@ -221,7 +289,31 @@ object ReleaseBuild {
         lastRestorePasses = 2
       }
     }
-    removed
+  }
+
+  /** The pending-takedown marker's file name under the gram store —
+    * newline-separated affected release names. Package-visible so specs
+    * can plant a crashed predecessor. */
+  private[graft] val TakedownMarker = "_TAKEDOWN_PENDING"
+
+  private def writeMarker(spark: SparkSession, gramPath: String,
+                          affected: Array[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(gramPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(affected.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val mp = new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker")
+    fs.delete(mp, false)
+    require(fs.rename(tmp, mp), s"failed to commit takedown marker $mp")
+  }
+
+  private def dropMarker(spark: SparkSession, gramPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(gramPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker"),
+      false)
   }
 
   /** Restore passes the LAST [[takedownDocs]] call ran (1 = the orphan

@@ -266,6 +266,45 @@ object StreamEntry {
         ()
       }
 
+  /** Streaming TEXT-TIER takedown — the twin [[deleteIds]] lacked: a
+    * takedown request arriving on the stream is realized against the
+    * persisted signature/gram stores IMMEDIATELY (exact signature delete +
+    * affected-release gram-margin restore, the full
+    * [[graft.pipeline.ReleaseBuild.takedownDocs]] contract) instead of
+    * leaving derived text state stale until the next batch night. Together
+    * with [[deleteIds]] this closes the q206 cross-tier story on the
+    * stream: one request feed can fan into both sinks.
+    *
+    * `corpus` is the retained-document universe (a static frame); each
+    * trigger's remaining set is corpus minus the batch's ids — ids taken
+    * down by EARLIER triggers need no carry-over state because every
+    * restore scopes to the signature store's own post-delete membership
+    * (an id a prior trigger removed is already absent from every release's
+    * member set). Per-trigger cost is bounded by the batch's affected
+    * releases, never the corpus.
+    *
+    * Replay-safe by `takedownDocs`' marker protocol: a replayed COMPLETED
+    * batch deletes zero rows and finds no affected releases (a no-op),
+    * and a batch that crashed between its signature delete and its gram
+    * restore left a `_TAKEDOWN_PENDING` marker the replay's entry recovery
+    * converges first — Structured Streaming re-delivers the failed batch
+    * before any newer one, so the recovery's remaining set is exactly the
+    * crashed trigger's (StreamingSpec pins stream ≡ batch on the same
+    * fixture, mid-restore crash included). */
+  def takedownText(reqs: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, sigPath: String,
+                   gramPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    reqs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col(idCol).cast("long").as("__tomb_id"))
+          .distinct().localCheckpoint()
+        val remaining = corpus.join(ids,
+          col(idCol).cast("long") === col("__tomb_id"), "left_anti")
+        graft.pipeline.ReleaseBuild.takedownDocs(batch.sparkSession,
+          sigPath, gramPath, ids, remaining, idCol, textCol)
+        ()
+      }
+
   /** Streaming SERVING twin of the q146 read path: each micro-batch of
     * query vectors is answered against the FROZEN index store — the same
     * cell-pruned ADC + exact-rerank chain [[graft.pipeline.IndexStore.query]]

@@ -132,6 +132,75 @@ class ReleaseBuildSpec extends SparkSpec {
       "the single-pass restore must already equal the from-scratch build")
   }
 
+  test("a takedown crashed between delete and restore converges on rerun (marker recovery)") {
+    // the crash window the _TAKEDOWN_PENDING marker exists for: the
+    // signature delete committed, the process died before any gram
+    // restore ran. Without the marker a rerun cannot name the affected
+    // releases (membership is gone) and the dropped docs' grams silently
+    // outlive the takedown — the unsafe direction.
+    val isTomb = col("doc_id") % 9 === 2
+    val dir = Files.createTempDirectory("relbuild_tkd5").toString
+    SignatureStore.append(spark, s"$dir/sigs", "r0",
+      docs.where(!isNew), "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r0", docs.where(!isNew), "text")
+    // plant the crashed predecessor: marker pinned, delete committed,
+    // no restore
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/grams", ReleaseBuild.TakedownMarker),
+      "r0".getBytes("UTF-8"))
+    SignatureStore.delete(spark, s"$dir/sigs",
+      docs.where(isTomb).select(col("doc_id").cast("long").as("doc_id")))
+    val freshG = GramStore.grams(docs.where(!isNew && !isTomb), "text")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    assert(!GramStore.read(spark, s"$dir/grams").select("gram_h")
+      .exceptAll(freshG).isEmpty,
+      "fixture must start torn: dropped docs' grams still stored")
+    // the replay — at-least-once re-delivery of the same request set —
+    // recovers the pinned restore on entry, then no-ops (0 rows left)
+    assert(ReleaseBuild.takedownDocs(spark, s"$dir/sigs", s"$dir/grams",
+      docs.where(isTomb).select(col("doc_id")), docs.where(!isTomb),
+      "doc_id", "text") === 0L)
+    spark.catalog.refreshByPath(s"$dir/grams")
+    val after = GramStore.read(spark, s"$dir/grams").select("gram_h")
+    assert(after.exceptAll(freshG).isEmpty && freshG.exceptAll(after).isEmpty,
+      "recovery must restore exactly the gram margin the crashed takedown owed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/grams", ReleaseBuild.TakedownMarker)),
+      "a completed recovery must drop the marker")
+  }
+
+  test("the nightly roll-forward converges a crashed takedown before building (step-0 symmetry)") {
+    // same torn state as the marker-recovery case, but the next actor is
+    // the NIGHTLY, not a takedown replay: rollForwardOnDisk must converge
+    // the pinned restore before building on the stores, or the night's
+    // novelty margins read grams of documents the corpus no longer holds
+    val dir = Files.createTempDirectory("relbuild_tkd6").toString
+    import spark.implicits._
+    val r0Docs = Seq((1L, "alpha beta gamma delta", "s"),
+      (2L, "epsilon zeta eta theta", "s")).toDF("doc_id", "text", "source")
+    SignatureStore.append(spark, s"$dir/sigs", "r0", r0Docs, "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r0", r0Docs, "text")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/grams", ReleaseBuild.TakedownMarker),
+      "r0".getBytes("UTF-8"))
+    SignatureStore.delete(spark, s"$dir/sigs", Seq(1L).toDF("doc_id"))
+    val retained = r0Docs.where($"doc_id" =!= 1L)
+    val newDocs = Seq((10L, "iota kappa lambda mu and plenty more text here", "s"))
+      .toDF("doc_id", "text", "source")
+    ReleaseBuild.rollForwardOnDisk(spark, newDocs, "doc_id", "text",
+      "source", retained.unionByName(newDocs), s"$dir/sigs", s"$dir/grams",
+      "r1", trainedWeights)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/grams", ReleaseBuild.TakedownMarker)),
+      "the nightly must converge and drop the pinned takedown marker")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    val after = GramStore.read(spark, s"$dir/grams")
+      .where(col("release") === "r0").select("gram_h")
+    val fresh = GramStore.grams(retained, "text")
+    assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty,
+      "r0's gram partition must reflect the takedown before the night builds")
+  }
+
   test("takedownDocs vacuums a release the takedown empties") {
     val dir = Files.createTempDirectory("relbuild_tkd2").toString
     // two releases; every r1 member is taken down

@@ -517,6 +517,66 @@ class StreamingSpec extends SparkSpec {
       === nTomb)
   }
 
+  test("streaming text-tier takedown equals the sequential batch takedownDocs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    val isTomb = col("doc_id") % 9 === 2
+    val dir = Files.createTempDirectory("tkdtextstream").toString
+    // identical two-release prior-night stores for the stream side and the
+    // batch side
+    for (side <- Seq("s", "b"); (rel, half) <- Seq(
+        ("r0", col("doc_id") % 2 === 0), ("r1", col("doc_id") % 2 =!= 0))) {
+      graft.pipeline.SignatureStore.append(spark, s"$dir/$side/sigs", rel,
+        docs.where(!isNew && half), "doc_id", "text")
+      graft.pipeline.GramStore.append(spark, s"$dir/$side/grams", rel,
+        docs.where(!isNew && half), "text")
+    }
+    // requests arrive as two files → two micro-batches
+    val req1 = isTomb && col("doc_id") % 2 === 0
+    val req2 = isTomb && col("doc_id") % 2 =!= 0
+    docs.where(req1).select("doc_id").coalesce(1).write.parquet(s"$dir/in/f1")
+    docs.where(req2).select("doc_id").coalesce(1).write.parquet(s"$dir/in/f2")
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.takedownText(
+        spark.readStream.schema("doc_id LONG")
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+        docs, "doc_id", "text", s"$dir/s/sigs", s"$dir/s/grams")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnceThrough()
+    // batch twin: the same two request batches realized sequentially
+    graft.pipeline.ReleaseBuild.takedownDocs(spark, s"$dir/b/sigs",
+      s"$dir/b/grams", docs.where(req1).select("doc_id"),
+      docs.where(!req1), "doc_id", "text")
+    graft.pipeline.ReleaseBuild.takedownDocs(spark, s"$dir/b/sigs",
+      s"$dir/b/grams", docs.where(req2).select("doc_id"),
+      docs.where(!isTomb), "doc_id", "text")
+    def sig(side: String) = {
+      spark.catalog.refreshByPath(s"$dir/$side/sigs")
+      graft.pipeline.SignatureStore.read(spark, s"$dir/$side/sigs")
+        .select("release", "doc_id", "content_md5")
+    }
+    def grams(side: String) = {
+      spark.catalog.refreshByPath(s"$dir/$side/grams")
+      graft.pipeline.GramStore.read(spark, s"$dir/$side/grams")
+        .select("release", "gram_h")
+    }
+    assert(sig("s").exceptAll(sig("b")).isEmpty &&
+      sig("b").exceptAll(sig("s")).isEmpty,
+      "streamed signature store must equal the batch takedown's, release included")
+    assert(grams("s").exceptAll(grams("b")).isEmpty &&
+      grams("b").exceptAll(grams("s")).isEmpty,
+      "streamed gram store must equal the batch takedown's, release included")
+    assert(sig("s").where(col("doc_id") % 9 === 2).isEmpty,
+      "no taken-down id may survive in the streamed signature store")
+    // replay converges: re-deleting removed ids is a no-op, the restores
+    // are partition-idempotent
+    val nS = sig("s").count(); val nG = grams("s").count()
+    runOnceThrough()
+    assert(sig("s").count() === nS && grams("s").count() === nG)
+  }
+
   test("streaming graph roll-forward equals the from-scratch union graph; replay converges") {
     val emb = Tables.load(spark, sf, "embeddings")
     val isNew = col("vec_id") % 10 >= 8
