@@ -577,6 +577,57 @@ class StreamingSpec extends SparkSpec {
     assert(sig("s").count() === nS && grams("s").count() === nG)
   }
 
+  test("one streamed takedown request feed fans into both tiers (q206 on the stream)") {
+    // the cross-tier story: ONE request feed drives takedownText (text
+    // tier: signature delete + gram restore) AND deleteIds (vector tier:
+    // tombstone) — no taken-down id stays reachable through either tier,
+    // without waiting for a batch night
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = Files.createTempDirectory("xtierstream").toString
+    graft.pipeline.SignatureStore.append(spark, s"$dir/sigs", "r0",
+      docs, "doc_id", "text")
+    graft.pipeline.GramStore.append(spark, s"$dir/grams", "r0", docs, "text")
+    graft.pipeline.IndexStore.build(spark, s"$dir/index", emb, "vec_id",
+      "embedding", dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8,
+      iters = 3, release = "r1")
+    // one id set, carried under both tiers' key names
+    docs.where(col("doc_id") % 9 === 2)
+      .select(col("doc_id"), col("doc_id").as("vec_id"))
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+    def feed = spark.readStream.schema("doc_id LONG, vec_id LONG")
+      .parquet(s"$dir/in/*")
+    val qText = StreamEntry.takedownText(feed.select("doc_id"), docs,
+      "doc_id", "text", s"$dir/sigs", s"$dir/grams")
+      .trigger(Trigger.AvailableNow()).start()
+    val qVec = StreamEntry.deleteIds(feed.select("vec_id"), s"$dir/index")
+      .trigger(Trigger.AvailableNow()).start()
+    qText.processAllAvailable(); qText.stop()
+    qVec.processAllAvailable(); qVec.stop()
+    // text tier scrubbed...
+    spark.catalog.refreshByPath(s"$dir/sigs")
+    assert(graft.pipeline.SignatureStore.read(spark, s"$dir/sigs")
+      .where(col("doc_id") % 9 === 2).isEmpty,
+      "a streamed takedown id survived in the signature store")
+    val fresh = graft.pipeline.GramStore.grams(
+      docs.where(col("doc_id") % 9 =!= 2), "text")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    val after = graft.pipeline.GramStore.read(spark, s"$dir/grams")
+      .select("gram_h")
+    assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty,
+      "gram store must equal the from-scratch live build after the stream")
+    // ...and the vector tier excludes the same ids at serve time
+    val served = graft.pipeline.IndexStore.query(spark, s"$dir/index",
+      emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("q_emb")),
+      emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb")),
+      nProbe = 2, k = 5, shortlist = 100)
+    assert(served.where(col("cand_id") % 9 === 2).isEmpty,
+      "a streamed takedown id leaked into the served top-k")
+  }
+
   test("streaming graph roll-forward equals the from-scratch union graph; replay converges") {
     val emb = Tables.load(spark, sf, "embeddings")
     val isNew = col("vec_id") % 10 >= 8
