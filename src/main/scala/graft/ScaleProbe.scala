@@ -601,6 +601,11 @@ object ScaleProbe {
             def cands(x: DataFrame) = x.select(
               col("vec_id").cast("long").as("cand_id"),
               col("embedding").cast("array<double>").as("cand_emb"))
+            // seed the int8 rerank tier (untimed, the runMnt convention) so
+            // the night's vector side IS the q186 kernel — tier purge,
+            // frozen-stats delta append and the parity gate included
+            graft.pipeline.IndexStore.buildRerank(spark,
+              s"$base/prior/store", cands(oldV))
             val model =
               graft.pipeline.IndexStore.readModel(spark, s"$base/prior/store")
             val prior = graft.operators.Similarity.ivfExactGraphEdges(
@@ -683,6 +688,138 @@ object ScaleProbe {
           val af = runAudit(bigDocs, "big")
           Seq(("store_audit", a1._1, af._1, a1._2, af._2))
         }
+      // VECTOR-tier audit-driven repair (q208): persisted fixture = frozen
+      // store + int8 tier with the prior corpus as r1 and a FIXED delta as
+      // r2; the fault injection (untimed) tears r2 out of the rerank tier
+      // — the one-tier-rewritten divergence. The timed op is the
+      // operational loop: DETECT (the code↔int8 parity card), REPAIR
+      // (IndexStore.repairRelease — drop r2's partitions in both tiers,
+      // map-only re-encode of the FIXED delta slice), VERIFY (card to
+      // zero). Claim under probe: repair itself is release-bounded, so
+      // growth tracks the two cards' store-sized keyed scans alone — the
+      // store_audit shape, inside the maintain family's band.
+      val repairResults =
+        if (!only.forall(_.contains("store_repair"))) Seq.empty
+        else {
+          def runRep(e: DataFrame, kCoarse: Int, tag: String): (Double, Long) = {
+            val isDelta = col("vec_id") % 10 >= 8 && col("vec_id") < eoff
+            val old = e.where(!isDelta)
+            val fresh = e.where(isDelta)
+            val p = s"$tmp/rep_$tag"
+            graft.pipeline.IndexStore.build(spark, p, old, "vec_id",
+              "embedding", dim = 64, kCoarse = kCoarse, coarseIters = 4,
+              m = 16, ksub = 8, iters = 3, release = "r1")
+            def cands(d: DataFrame) = d.select(
+              col("vec_id").cast("long").as("cand_id"),
+              col("embedding").cast("array<double>").as("cand_emb"))
+            graft.pipeline.IndexStore.buildRerank(spark, p, cands(old))
+            graft.pipeline.IndexStore.append(spark, p, fresh, "vec_id",
+              "embedding", "r2")
+            graft.pipeline.IndexStore.appendRerank(spark, p, cands(fresh), "r2")
+            val fs = new org.apache.hadoop.fs.Path(p)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            def tear(): Unit = {
+              val root = new org.apache.hadoop.fs.Path(s"$p/rerank/codes")
+              fs.listStatus(root)
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith("cell="))
+                .map(st =>
+                  new org.apache.hadoop.fs.Path(st.getPath, "release=r2"))
+                .filter(fs.exists)
+                .foreach(x => require(fs.delete(x, true), s"tear failed: $x"))
+              spark.catalog.refreshByPath(s"$p/rerank/codes")
+            }
+            def parity = graft.pipeline.StoreAudit.card("rerank_int8",
+              graft.pipeline.IndexStore.readRerankCodes(spark, p), "cand_id",
+              graft.pipeline.IndexStore.readCodes(spark, p)
+                .select("cand_id", "release"))
+            def loop(): Double = {
+              tear() // fault injection, untimed
+              val t0 = System.nanoTime()
+              require(parity.agg(sum("missing")).head.getLong(0) > 0,
+                "the tear must be detectable")
+              graft.pipeline.IndexStore.repairRelease(spark, p, fresh,
+                "vec_id", "embedding", "r2")
+              graft.pipeline.StoreAudit.assertZero(parity,
+                Seq("cross_release_dup", "orphan", "missing"),
+                "store_repair probe")
+              (System.nanoTime() - t0) / 1e9
+            }
+            loop() // untimed warmup (codegen, listings)
+            (loop(), fresh.count())
+          }
+          val (t1, o1) = runRep(embs, 8, "1x")
+          val (tf, of) =
+            runRep(bigEmbs, math.ceil(8 * math.sqrt(factor)).toInt, "big")
+          Seq(("store_repair", t1, tf, o1, of))
+        }
+      // TEXT-tier audit-driven repair (q209): persisted fixture = the
+      // signature + gram stores with the prior corpus as r1 and a FIXED
+      // delta as r2; the fault injection tears r2 out of BOTH stores. The
+      // timed loop: DETECT (the two q207 cards), REPAIR
+      // (ReleaseBuild.repairRelease — re-sign the fixed slice, re-derive
+      // its novel gram margin against the rest of the store), VERIFY
+      // (cards to zero). Claim under probe: the repair's own work is
+      // release-bounded (fixed slice + a gram-keyed anti-join), so growth
+      // tracks the cards' store-keyed scans — the store_audit shape.
+      val textRepairResults =
+        if (!only.forall(_.contains("text_repair"))) Seq.empty
+        else {
+          def runTrep(d: DataFrame, tag: String): (Double, Long) = {
+            val p = s"$tmp/trep_$tag"
+            val isNew = col("doc_id") % 10 >= 8
+            val isDelta = isNew && col("doc_id") < off
+            val prior = d.where(!isNew)
+            val delta = d.where(isDelta)
+            graft.pipeline.SignatureStore.append(spark, s"$p/sigs", "r1",
+              prior, "doc_id", "text")
+            graft.pipeline.SignatureStore.append(spark, s"$p/sigs", "r2",
+              delta, "doc_id", "text")
+            graft.pipeline.GramStore.append(spark, s"$p/grams", "r1",
+              prior, "text")
+            graft.pipeline.GramStore.append(spark, s"$p/grams", "r2",
+              delta, "text")
+            val universe = prior.select(col("doc_id"),
+                lit("r1").as("release"))
+              .unionByName(delta.select(col("doc_id"), lit("r2").as("release")))
+            val stored = d.where(!isNew || isDelta)
+            val fs = new org.apache.hadoop.fs.Path(p)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            def tear(): Unit = {
+              Seq(s"$p/sigs/release=r2", s"$p/grams/release=r2").foreach { x =>
+                require(fs.delete(new org.apache.hadoop.fs.Path(x), true),
+                  s"tear failed: $x")
+              }
+              spark.catalog.refreshByPath(s"$p/sigs")
+              spark.catalog.refreshByPath(s"$p/grams")
+            }
+            def cards = graft.pipeline.StoreAudit.card("signatures",
+                graft.pipeline.SignatureStore.read(spark, s"$p/sigs"),
+                "doc_id", universe)
+              .unionByName(graft.pipeline.StoreAudit.card("grams",
+                graft.pipeline.GramStore.read(spark, s"$p/grams"),
+                "gram_h", graft.pipeline.GramStore.grams(stored, "text")))
+            def loop(): Double = {
+              tear() // fault injection, untimed
+              val t0 = System.nanoTime()
+              require(cards.agg(sum("missing")).head.getLong(0) > 0,
+                "the tear must be detectable")
+              graft.pipeline.ReleaseBuild.repairRelease(spark, s"$p/sigs",
+                s"$p/grams", delta, "doc_id", "text", "r2")
+              spark.catalog.refreshByPath(s"$p/sigs")
+              spark.catalog.refreshByPath(s"$p/grams")
+              graft.pipeline.StoreAudit.assertZero(cards,
+                Seq("cross_release_dup", "orphan", "missing"),
+                "text_repair probe")
+              (System.nanoTime() - t0) / 1e9
+            }
+            loop() // untimed warmup (codegen, listings)
+            (loop(), delta.count())
+          }
+          val a1 = runTrep(docs, "1x")
+          val af = runTrep(bigDocs, "big")
+          Seq(("text_repair", a1._1, af._1, a1._2, af._2))
+        }
       // Hybrid RRF (q191's shape): both arms scan their corpus once (BM25
       // aggregation chain / broadcast-1-query dot map) and collapse to ≤n
       // rows via the bounded top-k aggregate BEFORE fusion, so the fusion
@@ -712,7 +849,8 @@ object ScaleProbe {
         }
       val results = results0 ++ serveResults ++ int8Results ++
         graphResults ++ vrelResults ++ mntResults ++ cptResults ++
-        tkdResults ++ utkResults ++ auditResults ++ hybridResults
+        tkdResults ++ utkResults ++ auditResults ++ repairResults ++
+        textRepairResults ++ hybridResults
       val qs = results.map { case (name, t1, tf, o1, of) =>
         f""""$name":{"t1":$t1%.3f,"t$factor":$tf%.3f,"ratio":${tf / t1}%.2f,""" +
           s""""out1":$o1,"out$factor":$of}"""

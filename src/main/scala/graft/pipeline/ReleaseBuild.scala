@@ -82,7 +82,15 @@ object ReleaseBuild {
     * partition, so a rerun after a partial failure converges — the
     * [[graft.streaming.StreamEntry.ingestDocs]] replay contract), build the
     * release, then append the RETAINED documents' signatures and novel
-    * grams as this release's partitions. Returns the retained rows. */
+    * grams as this release's partitions. Returns the retained rows.
+    *
+    * `verifyDocs` carries a STRONGER contract here than [[rollForward]]'s
+    * candidate-id-keyed lookup: it must be the COMPLETE retained corpus
+    * plus the night's new docs (prior releases' every retained row, with
+    * its stored text). The takedown-recovery path below rebuilds pinned
+    * releases' gram margins from it — a pruned frame would silently drop
+    * live grams from the restored partitions, a loss the release-bounded
+    * end-of-night audits cannot see. */
   def rollForwardOnDisk(spark: SparkSession, newDocs: DataFrame,
                         idCol: String, textCol: String, sourceCol: String,
                         verifyDocs: DataFrame, sigPath: String,
@@ -90,10 +98,17 @@ object ReleaseBuild {
                         weights: Array[Long], p: Params = Params()): DataFrame = {
     // converge a takedown crashed between its signature delete and its gram
     // restore before building on the stores (the [[VectorRelease.maintain]]
-    // step-0 symmetry: a night must not roll forward over torn state);
-    // verifyDocs IS the retained corpus the pinned restore owes its margins
-    // to. Absent marker this is one fs.exists.
-    recoverTakedown(spark, sigPath, gramPath, verifyDocs, idCol, textCol)
+    // step-0 symmetry: a night must not roll forward over torn state).
+    // The recovery frame is the retained PRIOR corpus: the night's new rows
+    // are subtracted ROW-wise (id + text), so a new doc reusing a retained
+    // member's id cannot inject its text into a pinned release's restored
+    // margin (the signature contract allows one id under several releases;
+    // membership semi-joins alone can't tell the two texts apart). Lazy —
+    // absent marker this whole branch is one fs.exists and the exceptAll
+    // never runs.
+    val retainedPrior = verifyDocs.select(col(idCol), col(textCol))
+      .exceptAll(newDocs.select(col(idCol), col(textCol)))
+    recoverTakedown(spark, sigPath, gramPath, retainedPrior, idCol, textCol)
     spark.catalog.refreshByPath(sigPath)
     spark.catalog.refreshByPath(gramPath)
     val sig = SignatureStore.read(spark, sigPath)
@@ -224,6 +239,12 @@ object ReleaseBuild {
                       textCol: String): Unit = {
     val mp = new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a predecessor that crashed between writing the .tmp and committing
+    // the rename changed nothing (the delete runs only after the commit),
+    // but its stale .tmp would survive vacuum and confuse inspection —
+    // sweep it here, on every entry
+    fs.delete(new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker.tmp"),
+      false)
     if (fs.exists(mp)) {
       val in = fs.open(mp)
       val pinned =
@@ -291,11 +312,59 @@ object ReleaseBuild {
     }
   }
 
+  /** REPAIR a corrupted release of the TEXT tier — the
+    * [[IndexStore.repairRelease]] twin for the signature/gram stores, the
+    * bounded recovery verb the integrity card (q207/q209) points at when
+    * the torn tier is textual: a lost or bit-rotted release partition, a
+    * crashed append's ghost rows, an operator-deleted directory.
+    *
+    * `docs` is the release's RETAINED source slice exactly (the same frame
+    * a rerun of that night's append would get — recover it from the
+    * signature store's membership joined to the corpus when the signature
+    * partition survived, from the night's manifest otherwise). Both
+    * repairs are one full rebuild-and-replace of the release's OWN
+    * partition, never another release's bytes:
+    *
+    *   - **signatures**: partitions are independent (each release stores
+    *     all its own documents' rows), so [[SignatureStore.append]]'s
+    *     dynamic overwrite IS the repair — order-free, exact.
+    *   - **grams**: the novel-margin layout makes the partition derived
+    *     state — "this release's grams absent from every OTHER partition"
+    *     — and [[GramStore.append]] re-derives exactly that margin against
+    *     the REST of the store. With the other partitions intact this
+    *     reproduces the original margin bit-for-bit: later releases
+    *     excluded this release's grams when they appended, so a lost gram
+    *     of this release lives nowhere else and re-admits; a gram its docs
+    *     share with an EARLIER release was never in this partition and
+    *     stays excluded (StoreRepairSpec pins repaired ≡ never-corrupted).
+    *     One caveat, inherited from [[GramStore.vacuum]]'s documented
+    *     conservativeness: if another release appended BETWEEN the tear
+    *     and the repair, grams the tear had orphaned may have been
+    *     admitted into that night's margin — provenance then differs from
+    *     the never-torn history while novelty stays exact (one release per
+    *     gram throughout, and the layout card stays zero).
+    *
+    * Cost: one pass over the release's slice (~200 B/doc signatures +
+    * hashed-long grams) plus the margin's gram-keyed anti-join — release-
+    * bounded, never corpus-text-sized. Idempotent: repairing a healthy
+    * release rewrites it to itself. */
+  def repairRelease(spark: SparkSession, sigPath: String, gramPath: String,
+                    docs: DataFrame, idCol: String, textCol: String,
+                    release: String): Unit = {
+    SignatureStore.append(spark, sigPath, release, docs, idCol, textCol)
+    GramStore.append(spark, gramPath, release, docs, textCol)
+  }
+
   /** The pending-takedown marker's file name under the gram store —
     * newline-separated affected release names. Package-visible so specs
     * can plant a crashed predecessor. */
   private[graft] val TakedownMarker = "_TAKEDOWN_PENDING"
 
+  /** Commit the marker via tmp-write + rename. The commit's atomicity is
+    * the filesystem's rename — exact on HDFS/POSIX, NOT on bare object
+    * stores (S3 renames are copy+delete); deployments there need an
+    * HDFS-semantics committer layer, the same assumption every dynamic
+    * partition overwrite in this repo already makes. */
   private def writeMarker(spark: SparkSession, gramPath: String,
                           affected: Array[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(gramPath)
@@ -313,6 +382,9 @@ object ReleaseBuild {
     val fs = new org.apache.hadoop.fs.Path(gramPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker"),
+      false)
+    // and any uncommitted staging twin (see recoverTakedown's sweep)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$gramPath/$TakedownMarker.tmp"),
       false)
   }
 

@@ -186,6 +186,16 @@ object VectorRelease {
     * rebalance retrained the quantizer on), a healthy night appends the
     * delta under the frozen stats.
     *
+    * `purgeBacklog` is the physical-reclamation dial: the nightly
+    * [[IndexStore.purge]] runs only when the tombstone BACKLOG (the list
+    * every serve broadcasts) exceeds it. The default 0 purges on any
+    * pending takedown — the strictest stance, and the one the takedown
+    * queries pin. Raising it lets a fleet amortize the purge rewrite over
+    * several nights while serving stays correct throughout: the list keeps
+    * excluding, inputs/graph are still scrubbed every night, and only the
+    * dead bytes' reclamation is deferred (VectorReleaseSpec pins both
+    * sides of the threshold).
+    *
     * Returns [[rollForward]]'s frame plus a `rebalanced` flag so one output
     * pins the decision branch taken alongside the three artifacts. */
   def maintain(spark: SparkSession, path: String, newVecs: DataFrame,
@@ -193,6 +203,7 @@ object VectorRelease {
                idCol: String, embCol: String, release: String,
                kCoarse: Int, maxShareMilli: Long, priorGeneration: Long = 0L,
                coarseIters: Int = 4, pqIters: Int = 3,
+               purgeBacklog: Long = 0L,
                p: Params = Params()): DataFrame = {
     // 0. converge any interrupted predecessor (a crash mid-swap resumes the
     //    committed rebalance here; a crash pre-marker discards the staging)
@@ -210,7 +221,28 @@ object VectorRelease {
     //     corpus-sized.
     val tomb = IndexStore.readTombstones(spark, path).map(t =>
       t.select(col("cand_id").as("__tomb_id")).localCheckpoint())
-    tomb.foreach(_ => IndexStore.purge(spark, path))
+    val hasTier = IndexStore.hasRerank(spark, path)
+    // purge only when the backlog has crossed the dial (default 0 = any
+    // pending takedown purges, the historical behavior); the affected
+    // RELEASES are named BEFORE the rewrite — they are what the night's
+    // closing integrity gate must audit, and post-purge the cleared list
+    // can no longer name them. Discovery is a column-pruned scan of each
+    // tier's (cand_id, release) with the pinned list broadcast — bounded
+    // by the backlog's blast radius, the purge's own discovery shape.
+    val doPurge = tomb.exists(_.count() > purgeBacklog)
+    val purgedRels: Array[String] =
+      if (!doPurge) Array.empty
+      else tomb.fold(Array.empty[String]) { t =>
+        def rels(d: DataFrame) = d
+          .join(broadcast(t), col("cand_id") === col("__tomb_id"), "left_semi")
+          .select(col("release").cast("string")).distinct()
+        val fromCodes = rels(IndexStore.readCodes(spark, path))
+        (if (hasTier) fromCodes
+            .unionByName(rels(IndexStore.readRerankCodes(spark, path)))
+         else fromCodes)
+          .distinct().collect().map(_.getString(0))
+      }
+    if (doPurge) IndexStore.purge(spark, path)
     def scrubVecs(d: DataFrame) = tomb.fold(d)(t =>
       d.join(broadcast(t), col(idCol).cast("long") === col("__tomb_id"),
         "left_anti"))
@@ -230,7 +262,6 @@ object VectorRelease {
     //    bumps the generation and forces the from-scratch rebuild under
     //    the healed model (see scaladoc).
     val stale = IndexStore.generation(spark, path) != priorGeneration
-    val hasTier = IndexStore.hasRerank(spark, path)
     def cands(d: DataFrame) = d.select(
       col(idCol).cast("long").as("cand_id"),
       col(embCol).cast("array<double>").as("cand_emb"))
@@ -270,32 +301,91 @@ object VectorRelease {
     //    (map-only, dynamic-overwrite idempotent) — after rollForward so
     //    the cell lookup reads the release's just-appended codes.
     if (hasTier) IndexStore.appendRerank(spark, path, cands(newV), release)
-    // 5. INTEGRITY GATE: the night ends by auditing the store it just
-    //    mutated ([[StoreAudit.card]]) and aborting loudly on any non-zero
-    //    invariant — a nightly that corrupts its own store must not report
-    //    success (the q207 card run as a gate, mirroring the reference's
-    //    post-deploy row-count check, `db_etl_update_db/update.py:24-38`).
-    //    Checked: every servable corpus vector has exactly one code row
-    //    (missing/orphan/dup against the scrubbed old∪new ids) and, when
-    //    the int8 tier exists, code↔int8 ROW PARITY — the exact torn-purge
-    //    divergence (one tier rewritten, the other not) that serving would
-    //    otherwise silently mis-rank. The abort leaves the store
-    //    recoverable: every mutation above is partition-idempotent, so
-    //    [[IndexStore.repairRelease]] (or a rerun) converges it. Cost:
-    //    store-sized keyed shuffles, the audit shape q207 measures.
-    val corpusIds = oldV.select(col(idCol).cast("long").as("cand_id"))
-      .unionByName(newV.select(col(idCol).cast("long").as("cand_id")))
+    // 5. INTEGRITY GATE, scoped to what the night TOUCHED — the text
+    //    gate's delta-bounded shape ([[ReleaseBuild.rollForwardOnDisk]]);
+    //    the full five-surface card stays on q207's scheduled cadence. A
+    //    nightly that corrupts its own store must not report success
+    //    (mirroring the reference's post-deploy row-count check,
+    //    `db_etl_update_db/update.py:24-38`); the abort leaves the store
+    //    recoverable — every mutation above is partition-idempotent, so
+    //    [[IndexStore.repairRelease]] (or a rerun) converges it.
     val codesNow = IndexStore.readCodes(spark, path)
-    StoreAudit.assertZero(
-      StoreAudit.card("codes", codesNow, "cand_id", corpusIds),
-      Seq("cross_release_dup", "orphan", "missing"),
-      s"maintain night '$release': code table vs servable corpus")
-    if (hasTier) StoreAudit.assertZero(
-      StoreAudit.card("rerank_int8",
-        IndexStore.readRerankCodes(spark, path), "cand_id",
-        codesNow.select("cand_id", "release")),
-      Seq("cross_release_dup", "orphan", "missing"),
-      s"maintain night '$release': code/int8 row parity")
+    if (needsRebalance || stale) {
+      // the rare verdict-/crash-gated branch rewrote the store wholesale
+      // (rebalance re-encodes every release; a stale night rebuilds the
+      // whole tier), so the only honest audit is the full card —
+      // proportional to the rewrite the branch just paid for. Checked:
+      // every servable corpus vector has exactly one code row, and full
+      // code↔int8 ROW PARITY when the tier exists.
+      val corpusIds = oldV.select(col(idCol).cast("long").as("cand_id"))
+        .unionByName(newV.select(col(idCol).cast("long").as("cand_id")))
+      StoreAudit.assertZero(
+        StoreAudit.card("codes", codesNow, "cand_id", corpusIds),
+        Seq("cross_release_dup", "orphan", "missing"),
+        s"maintain night '$release': code table vs servable corpus")
+      if (hasTier) StoreAudit.assertZero(
+        StoreAudit.card("rerank_int8",
+          IndexStore.readRerankCodes(spark, path), "cand_id",
+          codesNow.select("cand_id", "release")),
+        Seq("cross_release_dup", "orphan", "missing"),
+        s"maintain night '$release': code/int8 row parity")
+    } else {
+      // the healthy night touched exactly: the new release's partitions
+      // (append/appendRerank) and whatever releases the purge rewrote.
+      // Audit those and nothing else — per-night gate cost tracks the
+      // night's delta + takedown blast radius, not the resident store.
+      // Corruption in an UNTOUCHED release is q207's scheduled card's to
+      // catch (StoreRepairSpec pins both sides of that split).
+      val touched = (purgedRels :+ release).distinct
+      val deltaIds = newV.select(col(idCol).cast("long").as("cand_id"))
+        .distinct().localCheckpoint()
+      // (a) the new release's partition holds EXACTLY the night's delta
+      //     (missing = a lost append, orphan = a crashed attempt's ghost
+      //     partition the rerun's dynamic overwrite didn't repopulate)
+      StoreAudit.assertZero(
+        StoreAudit.card("codes",
+          codesNow.where(col("release") === release), "cand_id",
+          deltaIds.withColumn("release", lit(release)),
+          dupInvariant = false),
+        Seq("orphan", "missing"),
+        s"maintain night '$release': new-release delta coverage")
+      // (b) the delta must be NEW to the store — the only cross-release
+      //     dup an append can introduce. One column-pruned scan of the
+      //     prior releases' id column with the delta broadcast (the text
+      //     gate's accepted store-sized-but-keyed dup-check shape; no
+      //     shuffle, no corpus-sized side).
+      val nDup = codesNow.where(col("release") =!= release)
+        .join(broadcast(deltaIds), Seq("cand_id"), "left_semi").count()
+      if (nDup > 0) throw new IllegalStateException(
+        s"store integrity audit failed (maintain night '$release'): " +
+          s"$nDup delta ids already stored under a prior release")
+      // (c) purge verification: no tombstoned id survives in a touched
+      //     partition (partition-pruned to the touched releases; the list
+      //     was pinned before the purge cleared it)
+      tomb.foreach { t =>
+        val nLeft = codesNow
+          .where(col("release").cast("string").isin(touched.toSeq: _*))
+          .join(broadcast(t), col("cand_id") === col("__tomb_id"),
+            "left_semi").count()
+        if (nLeft > 0) throw new IllegalStateException(
+          s"store integrity audit failed (maintain night '$release'): " +
+            s"$nLeft tombstoned rows survive in touched partitions")
+      }
+      // (d) code↔int8 ROW PARITY on exactly the touched releases — the
+      //     torn-purge divergence (one tier rewritten, the other not) can
+      //     only appear where this night wrote; both scans partition-prune
+      if (hasTier) {
+        val inTouched =
+          col("release").cast("string").isin(touched.toSeq: _*)
+        StoreAudit.assertZero(
+          StoreAudit.card("rerank_int8",
+            IndexStore.readRerankCodes(spark, path).where(inTouched),
+            "cand_id",
+            codesNow.where(inTouched).select("cand_id", "release")),
+          Seq("cross_release_dup", "orphan", "missing"),
+          s"maintain night '$release': code/int8 parity (touched releases)")
+      }
+    }
     out.withColumn("rebalanced", lit(needsRebalance))
   }
 

@@ -153,6 +153,26 @@ object VectorQueries {
       (cloneStore(s, root), s.read.parquet(s"$root/prior_graph"))
     }
 
+  /** The shared two-release TEXT stores (signatures + grams, r1 = the old
+    * slice, r2 = the new) that q207 audits and q209 tears a clone of —
+    * the [[sharedFixtureRoot]] contract (deterministic appends, first
+    * caller this pass pays and attributes the build; q209 never mutates
+    * the shared root, only its private clone). */
+  private def auditStores(s: SparkSession, dir: String): String = {
+    val docs = Tables.load(s, dir, "documents")
+    val isNew = col("doc_id") % 10 >= 8
+    sharedFixtureRoot(dir, "audit-stores") { r =>
+      graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r1",
+        docs.where(!isNew), "doc_id", "text")
+      graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r2",
+        docs.where(isNew), "doc_id", "text")
+      graft.pipeline.GramStore.append(s, s"$r/grams", "r1",
+        docs.where(!isNew), "text")
+      graft.pipeline.GramStore.append(s, s"$r/grams", "r2",
+        docs.where(isNew), "text")
+    }
+  }
+
   /** q191's fixed lexical query terms — q112's term set, so the lexical arm
     * carries the already-hash-checked BM25 spelling. */
   private val hybridTerms = Seq("vector", "merge", "window", "stream")
@@ -873,18 +893,7 @@ object VectorQueries {
       // the audited stores are READ-ONLY here — build them once per JVM
       // like every shared fixture (deterministic appends; the audit is
       // the operator under test, not the builds)
-      val root = timedFixture("q207_store_audit") {
-        sharedFixtureRoot(dir, "audit-stores") { r =>
-          graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r1",
-            docs.where(!isNew), "doc_id", "text")
-          graft.pipeline.SignatureStore.append(s, s"$r/sigs", "r2",
-            docs.where(isNew), "doc_id", "text")
-          graft.pipeline.GramStore.append(s, s"$r/grams", "r1",
-            docs.where(!isNew), "text")
-          graft.pipeline.GramStore.append(s, s"$r/grams", "r2",
-            docs.where(isNew), "text")
-        }
-      }
+      val root = timedFixture("q207_store_audit") { auditStores(s, dir) }
       val idxPath = fullIndex(s, dir, "q207_store_audit")
       timedFixture("q207_store_audit") {
         // ensure the shared store carries its int8 tier regardless of
@@ -967,6 +976,63 @@ object VectorQueries {
         "vec_id", "embedding", "r1")
       detected.unionByName(parity.withColumn("stage", lit("repaired")))
         .orderBy("stage", "release")
+    }),
+
+    // TEXT-TIER AUDIT-DRIVEN REPAIR (q208's twin for the signature/gram
+    // stores — round 12 could detect a torn text tier but not repair it):
+    // the fault injection drops the signature store's WHOLE r1 partition
+    // and the gram store's r2 partition (two tiers, two releases, the
+    // lost-partition corruption class a crashed rewrite or an operator
+    // error leaves). DETECTED by the q207 cards — signatures: r1's row
+    // shows missing = every old doc; grams: the store-wide coverage row
+    // loses exactly r2's novel margin (one release per gram, so r2's
+    // grams live nowhere else). REPAIRED by ReleaseBuild.repairRelease
+    // per named release: the signature partition rebuilds independently
+    // from the release's retained slice (order-free, exact); the gram
+    // partition's novel margin RE-DERIVES against the rest of the store
+    // (GramStore.append's anti-join — later releases excluded this one's
+    // grams at their own append time, so the margin reproduces
+    // bit-for-bit). Re-audited to zero; output = both tiers' cards at
+    // both stages, so the hash pins detection counts AND recovery. FULL
+    // SQL oracle: slice arithmetic + the q132 shingle chain, both stages.
+    // StoreRepairSpec pins repaired ≡ never-corrupted per text tier.
+    "q209_text_store_repair" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = col("doc_id") % 10 >= 8
+      fixtureBuildSec.remove("q209_text_store_repair")
+      val root = timedFixture("q209_text_store_repair") {
+        // a private clone of the shared q207 stores: tear + repair MUTATE
+        val dst = clonePath(s, auditStores(s, dir))
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+        Seq(s"$dst/sigs/release=r1", s"$dst/grams/release=r2").foreach { p =>
+          require(fs.delete(new org.apache.hadoop.fs.Path(p), true),
+            s"tear failed: $p")
+        }
+        s.catalog.refreshByPath(s"$dst/sigs")
+        s.catalog.refreshByPath(s"$dst/grams")
+        dst
+      }
+      val sigUniverse = docs.select(col("doc_id"),
+        when(isNew, "r2").otherwise("r1").as("release"))
+      def cards = graft.pipeline.StoreAudit.card("signatures",
+          graft.pipeline.SignatureStore.read(s, s"$root/sigs"),
+          "doc_id", sigUniverse)
+        .unionByName(graft.pipeline.StoreAudit.card("grams",
+          graft.pipeline.GramStore.read(s, s"$root/grams"),
+          "gram_h", graft.pipeline.GramStore.grams(docs, "text")))
+      // pin the torn cards before the repair rewrites the files their
+      // lazy plans would re-list (the q208 idiom)
+      val detected = cards.withColumn("stage", lit("detected"))
+        .localCheckpoint()
+      graft.pipeline.ReleaseBuild.repairRelease(s, s"$root/sigs",
+        s"$root/grams", docs.where(!isNew), "doc_id", "text", "r1")
+      graft.pipeline.ReleaseBuild.repairRelease(s, s"$root/sigs",
+        s"$root/grams", docs.where(isNew), "doc_id", "text", "r2")
+      s.catalog.refreshByPath(s"$root/sigs")
+      s.catalog.refreshByPath(s"$root/grams")
+      detected.unionByName(cards.withColumn("stage", lit("repaired")))
+        .orderBy("stage", "tier", "release")
     }),
 
     // OPQ-rotated FROZEN index serving (q144's better quantizer finally
@@ -1542,6 +1608,56 @@ object VectorQueries {
         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'repaired'
         |FROM n
         |ORDER BY stage, release""".stripMargin,
+    // the torn stage loses the sig store's whole r1 partition (missing =
+    // every old doc, flagged on r1's row) and the gram store's r2
+    // partition (missing = exactly r2's novel margin, on the store-wide
+    // coverage row — one release per gram, so those grams live nowhere
+    // else and r2 vanishes from the card entirely); the repaired stage is
+    // the healthy q207 card for both text tiers. All counts derivable
+    // from the documents table alone: slice arithmetic + the q132
+    // shingle chain.
+    "q209_text_store_repair" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |    END)) AS gram
+        |  FROM toks
+        |),
+        |oldg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 < 8),
+        |newg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 >= 8),
+        |novel2 AS (SELECT gram FROM newg ANTI JOIN oldg USING (gram)),
+        |no AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 10 < 8),
+        |nn AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 10 >= 8),
+        |go AS (SELECT COUNT(*) AS c FROM oldg),
+        |g2 AS (SELECT COUNT(*) AS c FROM novel2),
+        |card AS (
+        |  SELECT 'grams' AS tier, '(store)' AS release, 0 AS n_rows, 0 AS n_ids,
+        |         (SELECT c FROM g2) AS missing, 'detected' AS stage
+        |  UNION ALL
+        |  SELECT 'grams', 'r1', (SELECT c FROM go), (SELECT c FROM go), 0, 'detected'
+        |  UNION ALL
+        |  SELECT 'signatures', 'r1', 0, 0, (SELECT c FROM no), 'detected'
+        |  UNION ALL
+        |  SELECT 'signatures', 'r2', (SELECT c FROM nn), (SELECT c FROM nn), 0, 'detected'
+        |  UNION ALL
+        |  SELECT 'grams', '(store)', 0, 0, 0, 'repaired'
+        |  UNION ALL
+        |  SELECT 'grams', 'r1', (SELECT c FROM go), (SELECT c FROM go), 0, 'repaired'
+        |  UNION ALL
+        |  SELECT 'grams', 'r2', (SELECT c FROM g2), (SELECT c FROM g2), 0, 'repaired'
+        |  UNION ALL
+        |  SELECT 'signatures', 'r1', (SELECT c FROM no), (SELECT c FROM no), 0, 'repaired'
+        |  UNION ALL
+        |  SELECT 'signatures', 'r2', (SELECT c FROM nn), (SELECT c FROM nn), 0, 'repaired'
+        |)
+        |SELECT tier, release, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_ids AS BIGINT) AS n_ids,
+        |       CAST(0 AS BIGINT) AS cross_release_dup,
+        |       CAST(0 AS BIGINT) AS orphan,
+        |       CAST(missing AS BIGINT) AS missing, stage
+        |FROM card ORDER BY stage, tier, release""".stripMargin,
     // expected per-(tier, release) counts derived from the raw tables:
     // slice arithmetic for signatures/codes/rerank, the q132 shingle
     // chain for the gram store's novel margins; all three invariants

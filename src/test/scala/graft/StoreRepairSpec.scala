@@ -55,9 +55,10 @@ class StoreRepairSpec extends SparkSpec {
     victim.toString
   }
 
-  test("a torn int8 tier aborts maintain with the card in the error; repairRelease recovers; rerun converges") {
+  test("the gate audits what the night touched: a takedown night aborts on a torn purged release; repair + rerun converge to the clean twin") {
     val root = Files.createTempDirectory("repair_gate").toString
     val idx = s"$root/index"
+    val isTomb = col("vec_id") % 5 === 0
     val old = emb.where(!isEval && !isNew)
     val fresh = emb.where(!isEval && isNew)
     buildWithTier(idx, old)
@@ -66,39 +67,111 @@ class StoreRepairSpec extends SparkSpec {
       model.centroids, nProbe = 2, k = 3).localCheckpoint()
     // the corruption: r1 loses one rerank partition while its code twin
     // survives (codes stay healthy, so the health verdict does NOT trip a
-    // rebalance — only the parity gate can catch this)
+    // rebalance). A pending takedown makes the night's purge TOUCH r1, so
+    // the release-bounded gate's parity card covers the torn partition.
     tearOnePartition(idx, "rerank/codes", "r1")
-    def night() = VectorRelease.maintain(spark, idx, fresh, old,
-      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
-      kCoarse = 8, maxShareMilli = 300,
-      priorGeneration = IndexStore.generation(spark, idx))
-    val thrown = intercept[IllegalStateException] { night().count() }
+    val tomb = old.where(isTomb).select(col("vec_id").as("cand_id"))
+    IndexStore.delete(spark, idx, tomb)
+    def night(store: String, oldSlice: org.apache.spark.sql.DataFrame) =
+      VectorRelease.maintain(spark, store, fresh, oldSlice,
+        nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+        kCoarse = 8, maxShareMilli = 300,
+        priorGeneration = IndexStore.generation(spark, store))
+    val thrown = intercept[IllegalStateException] { night(idx, old).count() }
     assert(thrown.getMessage.contains("rerank_int8") ||
       thrown.getMessage.contains("parity"),
       s"the abort must carry the card: ${thrown.getMessage}")
-    // the card names (rerank_int8, r1); the repair re-appends exactly that
-    // release's slice — note the night's r2 append DID land before the
-    // gate fired (partition-idempotent, so this is fine), and the repair
-    // touches only r1's partitions
-    IndexStore.repairRelease(spark, idx, old, "vec_id", "embedding", "r1")
-    val out = night()
-    assert(out.count() > 0)
-    // converged: the repaired store's night equals one on a never-torn
-    // store, tier for tier
+    // the card names (rerank_int8, r1); the aborted night had already
+    // realized the purge, so r1's source slice is now the RETAINED old
+    // corpus — the repair re-appends exactly that (the night's r2 append
+    // also landed before the gate fired; partition-idempotent, fine)
+    IndexStore.repairRelease(spark, idx, old.where(!isTomb),
+      "vec_id", "embedding", "r1")
+    assert(night(idx, old.where(!isTomb)).count() > 0)
+    // converged: the repaired store equals a never-torn store that ran
+    // the same takedown night, tier for tier
     val cleanIdx = s"$root/clean"
     buildWithTier(cleanIdx, old)
-    VectorRelease.maintain(spark, cleanIdx, fresh, old,
+    IndexStore.delete(spark, cleanIdx, tomb)
+    night(cleanIdx, old).count()
+    assert(IndexStore.readCodes(spark, idx).collect().toSet ===
+      IndexStore.readCodes(spark, cleanIdx).collect().toSet)
+    assert(IndexStore.readRerankCodes(spark, idx).collect().toSet ===
+      IndexStore.readRerankCodes(spark, cleanIdx).collect().toSet,
+      "the repaired int8 tier must equal the never-corrupted one")
+  }
+
+  test("corruption in an UNTOUCHED release passes the release-bounded gate; the scheduled full card (q207) catches it; repairRelease heals") {
+    val root = Files.createTempDirectory("repair_unt").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    buildWithTier(idx, old)
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    tearOnePartition(idx, "rerank/codes", "r1")
+    // a quiet night (no takedown, no rebalance) touches only r2 — the
+    // delta-bounded gate must NOT pay a store-sized audit for it, so the
+    // r1 tear sails through the night...
+    val out = VectorRelease.maintain(spark, idx, fresh, old,
       nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
       kCoarse = 8, maxShareMilli = 300,
-      priorGeneration = IndexStore.generation(spark, cleanIdx)).count()
-    val gotCodes = IndexStore.readCodes(spark, idx).collect().toSet
-    val cleanCodes = IndexStore.readCodes(spark, cleanIdx).collect().toSet
-    assert(gotCodes === cleanCodes)
-    val gotTier = IndexStore.readRerankCodes(spark, idx).collect().toSet
-    val cleanTier = IndexStore.readRerankCodes(spark, cleanIdx)
-      .collect().toSet
-    assert(gotTier === cleanTier,
-      "the repaired int8 tier must equal the never-corrupted one")
+      priorGeneration = IndexStore.generation(spark, idx))
+    assert(out.count() > 0,
+      "an untouched release's corruption must not abort a quiet night")
+    // ...and is caught by the SCHEDULED full five-surface card instead
+    def parity = StoreAudit.card("rerank_int8",
+      IndexStore.readRerankCodes(spark, idx), "cand_id",
+      IndexStore.readCodes(spark, idx).select("cand_id", "release"))
+    assert(parity.agg(sum("missing")).head().getLong(0) > 0,
+      "q207's full parity card must flag the torn untouched release")
+    IndexStore.repairRelease(spark, idx, old, "vec_id", "embedding", "r1")
+    StoreAudit.assertZero(parity,
+      Seq("cross_release_dup", "orphan", "missing"), "post-repair card")
+  }
+
+  test("text repairRelease: torn signature and gram partitions repair to the never-corrupted stores; rerun idempotent") {
+    import graft.pipeline.{GramStore, ReleaseBuild, SignatureStore}
+    val docs = Tables.load(spark, sf, "documents")
+    val isNewDoc = col("doc_id") % 10 >= 8
+    val dir = Files.createTempDirectory("repair_text").toString
+    SignatureStore.append(spark, s"$dir/sigs", "r1",
+      docs.where(!isNewDoc), "doc_id", "text")
+    SignatureStore.append(spark, s"$dir/sigs", "r2",
+      docs.where(isNewDoc), "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r1", docs.where(!isNewDoc), "text")
+    GramStore.append(spark, s"$dir/grams", "r2", docs.where(isNewDoc), "text")
+    val sigBefore = SignatureStore.read(spark, s"$dir/sigs").collect().toSet
+    val gramBefore = GramStore.read(spark, s"$dir/grams").collect().toSet
+    // the q209 fault injection: two tiers, two releases
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/release=r1"), true))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/grams/release=r2"), true))
+    spark.catalog.refreshByPath(s"$dir/sigs")
+    spark.catalog.refreshByPath(s"$dir/grams")
+    assert(SignatureStore.read(spark, s"$dir/sigs").collect().toSet
+      !== sigBefore)
+    def repairAll(): Unit = {
+      ReleaseBuild.repairRelease(spark, s"$dir/sigs", s"$dir/grams",
+        docs.where(!isNewDoc), "doc_id", "text", "r1")
+      ReleaseBuild.repairRelease(spark, s"$dir/sigs", s"$dir/grams",
+        docs.where(isNewDoc), "doc_id", "text", "r2")
+      spark.catalog.refreshByPath(s"$dir/sigs")
+      spark.catalog.refreshByPath(s"$dir/grams")
+    }
+    repairAll()
+    assert(SignatureStore.read(spark, s"$dir/sigs").collect().toSet ===
+      sigBefore, "repaired signature store must equal the never-torn one")
+    assert(GramStore.read(spark, s"$dir/grams").collect().toSet ===
+      gramBefore, "the repaired gram margins must reproduce bit-for-bit")
+    // idempotent: repairing healthy releases rewrites them to themselves
+    repairAll()
+    assert(SignatureStore.read(spark, s"$dir/sigs").collect().toSet ===
+      sigBefore)
+    assert(GramStore.read(spark, s"$dir/grams").collect().toSet ===
+      gramBefore)
   }
 
   test("repairRelease restores a torn CODE partition to the from-scratch store; other releases untouched") {

@@ -135,6 +135,65 @@ class VectorReleaseSpec extends SparkSpec {
       .map(_.getBoolean(0)).toSeq === Seq(false))
   }
 
+  test("purgeBacklog defers physical reclamation: a below-threshold night keeps the list (serving stays scrubbed); crossing the dial purges and resets") {
+    val root = Files.createTempDirectory("vrel_dial").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    val isTomb = col("vec_id") % 7 === 3
+    val nTomb = IndexStore.delete(spark, idx,
+      emb.where(isTomb).select(col("vec_id").as("cand_id")))
+    // below the dial: the night defers the purge — the list survives, the
+    // dead bytes stay resident, but every DERIVED artifact is already
+    // scrubbed (inputs, graph, drop list): correctness never waits on
+    // reclamation
+    val deferred = VectorRelease.maintain(spark, idx, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300,
+      purgeBacklog = nTomb + 1).localCheckpoint()
+    assert(deferred.where(col("src_id") % 7 === 3 ||
+      col("dst_id") % 7 === 3).isEmpty,
+      "a deferred-purge night must still scrub its artifacts")
+    assert(IndexStore.readTombstones(spark, idx)
+      .map(_.count()).contains(nTomb),
+      "below the dial the tombstone list must survive the night")
+    assert(!IndexStore.readCodes(spark, idx)
+      .where(col("cand_id") % 7 === 3).isEmpty,
+      "below the dial the dead bytes stay resident (that is the deferral)")
+    // the deferred night's graph equals the realize-now night's — the
+    // threshold moves WHEN bytes are reclaimed, never what is served
+    val eager = s"$root/eager"
+    IndexStore.build(spark, eager, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    IndexStore.delete(spark, eager,
+      emb.where(isTomb).select(col("vec_id").as("cand_id")))
+    val now = VectorRelease.maintain(spark, eager, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300).localCheckpoint()
+    val cols = Seq("src_id", "dst_id", "score", "rank", "mutual", "release",
+      "dropped").map(col)
+    assert(deferred.select(cols: _*).exceptAll(now.select(cols: _*)).isEmpty
+      && now.select(cols: _*).exceptAll(deferred.select(cols: _*)).isEmpty,
+      "deferral must not change the night's artifacts")
+    // the default dial (0) purges on any backlog: rerunning the same night
+    // realizes the deferred takedown and resets the list
+    VectorRelease.maintain(spark, idx, fresh, old.where(!isTomb),
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300).count()
+    assert(IndexStore.readTombstones(spark, idx).isEmpty,
+      "crossing the dial must purge and reset the list")
+    assert(IndexStore.readCodes(spark, idx)
+      .where(col("cand_id") % 7 === 3).isEmpty,
+      "crossing the dial must reclaim the dead bytes")
+  }
+
   test("maintain: verdict gates the rebalance, both branches converge, crash between steps recovers") {
     val old = emb.where(!isEval && !isNew)
     val fresh = emb.where(!isEval && isNew)

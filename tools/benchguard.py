@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Mechanical bench noise guard — the commit gate for BENCH_FULL/BENCH_STEADY.
+
+This host hits recurring whole-VM drift episodes: a 20-60x slow window lands
+on one alphabetical query neighborhood per run while the median per-query
+ratio stays ~1x (SCALE.md "Measurement noise", four case files; the round-12
+driver artifact showed the same signature). A contaminated artifact must not
+land in a commit, and the check must not live only in prose — this tool IS
+the check.
+
+Usage:
+    python3 tools/benchguard.py <candidate.json> [reference.json]
+
+The reference defaults to the committed artifact of the same name
+(`git show HEAD:<basename>`). Exit 0 = clean (prints the median ratio);
+exit 1 = the candidate has at least one >MAX_RATIO mover vs the reference
+that its own fixture_build attribution cannot explain — rerun the bench
+instead of committing (drift episodes pass; code regressions don't).
+
+A mover is EXCUSED only when subtracting the candidate's fixture_build
+seconds for that query brings it back under the threshold (a first-pass
+shared-fixture build legitimately lands on whichever query runs first).
+Queries present on only one side are reported informationally (new/removed
+queries are expected when the round adds operators) and never fail the run.
+"""
+import json
+import subprocess
+import sys
+
+MAX_RATIO = 10.0
+MIN_SEC = 0.5  # ignore sub-noise-floor queries: 0.05s -> 0.6s is not drift
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_ref(candidate_path, ref_arg):
+    if ref_arg is not None:
+        return load(ref_arg), ref_arg
+    base = candidate_path.rsplit("/", 1)[-1]
+    out = subprocess.run(["git", "show", f"HEAD:{base}"],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.exit(f"benchguard: no committed {base} to compare against "
+                 f"(pass a reference explicitly): {out.stderr.strip()}")
+    return json.loads(out.stdout), f"HEAD:{base}"
+
+
+def main():
+    if len(sys.argv) not in (2, 3):
+        sys.exit(__doc__)
+    cand_path = sys.argv[1]
+    cand = load(cand_path)
+    ref, ref_name = load_ref(cand_path, sys.argv[2] if len(sys.argv) == 3 else None)
+    cq, rq = cand.get("queries", {}), ref.get("queries", {})
+    fixture = cand.get("fixture_build", {}) or {}
+    common = sorted(set(cq) & set(rq))
+    if not common:
+        sys.exit("benchguard: no common queries between candidate and reference")
+
+    ratios = sorted(cq[q] / rq[q] for q in common if rq[q] > 0)
+    median = ratios[len(ratios) // 2]
+
+    movers, excused = [], []
+    for q in common:
+        if rq[q] <= 0 or max(cq[q], rq[q]) < MIN_SEC:
+            continue
+        ratio = cq[q] / rq[q]
+        if ratio <= MAX_RATIO:
+            continue
+        adj = (cq[q] - fixture.get(q, 0.0)) / rq[q]
+        if adj <= MAX_RATIO:
+            excused.append((q, ratio, adj))
+        else:
+            movers.append((q, ratio))
+
+    only_c = sorted(set(cq) - set(rq))
+    only_r = sorted(set(rq) - set(cq))
+    print(f"benchguard: {len(common)} common queries vs {ref_name}; "
+          f"median ratio {median:.2f}; "
+          f"total {cand.get('value', '?')}s vs {ref.get('value', '?')}s")
+    if only_c:
+        print(f"  new queries (not judged): {', '.join(only_c)}")
+    if only_r:
+        print(f"  removed queries (not judged): {', '.join(only_r)}")
+    for q, ratio, adj in excused:
+        print(f"  excused {q}: {ratio:.1f}x raw -> {adj:.1f}x after "
+              f"fixture_build attribution")
+    if movers:
+        print(f"FAIL: {len(movers)} unexcused >{MAX_RATIO:.0f}x movers "
+              f"(the drift signature — rerun the bench, do not commit):")
+        for q, ratio in movers:
+            print(f"  {q}: {rq[q]:.2f}s -> {cq[q]:.2f}s ({ratio:.1f}x)")
+        sys.exit(1)
+    print("clean: no unexcused movers")
+
+
+if __name__ == "__main__":
+    main()
