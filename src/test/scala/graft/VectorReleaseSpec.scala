@@ -194,6 +194,31 @@ class VectorReleaseSpec extends SparkSpec {
       "crossing the dial must reclaim the dead bytes")
   }
 
+  test("the nightly gate aborts a delta that re-appends ids a prior release already stores") {
+    val root = Files.createTempDirectory("vrel_dup").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    // a misdrawn delta: half the "new" slice is ids r1 already stores —
+    // the one cross-release dup an append can introduce, and exactly what
+    // the release-bounded gate's delta-newness probe exists to catch
+    // (the full card caught it store-wide before round 13)
+    val badDelta = emb.where(!isEval && isNew)
+      .unionByName(old.where(col("vec_id") % 11 === 0))
+    val thrown = intercept[IllegalStateException] {
+      VectorRelease.maintain(spark, idx, badDelta, old,
+        nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+        kCoarse = 8, maxShareMilli = 300).count()
+    }
+    assert(thrown.getMessage.contains("already stored under a prior release"),
+      s"the abort must name the dup probe: ${thrown.getMessage}")
+  }
+
   test("maintain: verdict gates the rebalance, both branches converge, crash between steps recovers") {
     val old = emb.where(!isEval && !isNew)
     val fresh = emb.where(!isEval && isNew)
