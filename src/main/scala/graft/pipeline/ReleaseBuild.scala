@@ -130,9 +130,15 @@ object ReleaseBuild {
     // dup is scoped out — the signature contract allows an id under
     // several releases), this release's gram partition is a subset of the
     // retained docs' grams (orphan only: missing is legitimate — the
-    // margin excludes grams held elsewhere), and the whole gram store
-    // keeps its one-release-per-gram layout. Cost: delta-sized passes
-    // plus one gram-store-sized dup check (hashed longs). The abort
+    // margin excludes grams held elsewhere), and the night's freshly
+    // written gram margin is NEW to the store — the only
+    // one-release-per-gram layout violation an append can introduce,
+    // probed with one column-pruned scan of the other partitions' hashed
+    // longs against the broadcast delta margin (the
+    // [[VectorRelease.maintain]] delta-newness shape; a dup between two
+    // PRIOR partitions is pre-existing corruption, the scheduled q207
+    // card's to catch). Cost: delta-sized passes plus that one
+    // column-pruned probe — nothing store-sized shuffles. The abort
     // leaves the store recoverable — both appends are release-partition
     // idempotent, so a rerun converges.
     val retainedIds = retained.select(col(idCol).cast("long").as("doc_id"),
@@ -150,9 +156,15 @@ object ReleaseBuild {
         GramStore.grams(retained, textCol)
           .withColumn("release", lit(release)), dupInvariant = false),
       Seq("orphan"), s"release '$release': gram margin provenance")
-    StoreAudit.assertZero(StoreAudit.card("grams", gramsNow, "gram_h",
-        gramsNow.select("gram_h", "release"), dupInvariant = true),
-      Seq("cross_release_dup"), s"release '$release': gram store layout")
+    val deltaGrams = gramsNow.where(col("release") === release)
+      .select("gram_h")
+    val nLayoutDup = gramsNow.where(col("release") =!= release)
+      .select("gram_h")
+      .join(broadcast(deltaGrams), Seq("gram_h"), "left_semi").count()
+    if (nLayoutDup > 0) throw new IllegalStateException(
+      s"store integrity audit failed (release '$release': gram store " +
+        s"layout): $nLayoutDup of this release's grams already stored " +
+        "under a prior release")
     out
   }
 

@@ -131,6 +131,39 @@ class StoreRepairSpec extends SparkSpec {
       Seq("cross_release_dup", "orphan", "missing"), "post-repair card")
   }
 
+  test("the release-bounded gate's scans partition-prune to the touched release and broadcast the delta") {
+    val root = Files.createTempDirectory("gate_plan").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    IndexStore.append(spark, idx, fresh, "vec_id", "embedding", "r2")
+    val codes = IndexStore.readCodes(spark, idx)
+    // (a) the delta-coverage card reads ONLY the new release's partitions
+    val p1 = codes.where(col("release") === "r2")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findAllIn(p1).nonEmpty,
+      s"the new-release scan must partition-prune: ${p1.take(1500)}")
+    // (b) the delta-newness dup probe is a broadcast semi join over a scan
+    // pruned to the id column — no shuffle, no PQ-codes bytes read
+    val delta = fresh.select(col("vec_id").cast("long").as("cand_id"))
+      .distinct()
+    // the gate ends in count(), whose aggregate is what lets Catalyst
+    // prune the PQ-codes column out of the scan — plan the same shape
+    val p2 = codes.where(col("release") =!= "r2")
+      .join(org.apache.spark.sql.functions.broadcast(delta),
+        Seq("cand_id"), "left_semi")
+      .groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin") && p2.contains("LeftSemi"),
+      s"the dup probe must broadcast the delta: ${p2.take(1500)}")
+    assert(!p2.contains("SortMergeJoin"))
+    assert("ReadSchema: struct<cand_id:bigint>".r.findAllIn(p2).nonEmpty,
+      s"the dup probe must read only the id column: ${p2.take(1500)}")
+  }
+
   test("text repairRelease: torn signature and gram partitions repair to the never-corrupted stores; rerun idempotent") {
     import graft.pipeline.{GramStore, ReleaseBuild, SignatureStore}
     val docs = Tables.load(spark, sf, "documents")
