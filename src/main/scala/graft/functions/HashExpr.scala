@@ -74,7 +74,8 @@ object HashFunctions {
     "graft_adc" -> (exprs => AdcSumExpr(exprs(0), exprs(1))),
     "graft_minhash" -> (exprs => HashFunctions.buildMinhash(exprs)),
     "graft_nfc" -> (exprs => NormalizeExpr(Cast(exprs(0), StringType), "NFC")),
-    "graft_nfkc" -> (exprs => NormalizeExpr(Cast(exprs(0), StringType), "NFKC")))
+    "graft_nfkc" -> (exprs => NormalizeExpr(Cast(exprs(0), StringType), "NFKC")),
+    "graft_bloom_contains" -> (exprs => HashFunctions.buildBloomContains(exprs)))
 
   /** Register the graft function surface for SQL / `expr()` /
     * `call_function` use on an already-built session. */
@@ -102,6 +103,20 @@ object HashFunctions {
   /** Column API: BLAKE2b hex (unkeyed slug form unless a key is supplied). */
   def blake2bHex(data: Column, key: String, digestSize: Int): Column =
     call_function("blake2b_hex", data, lit(key), lit(digestSize))
+
+  /** Builder for `graft_bloom_contains(value, sketch)` — the sketch must be
+    * a binary literal (the filter is frozen at plan time; per-row sketches
+    * would mean per-row deserialization, the exact cost the expression
+    * exists to avoid). */
+  private[graft] val buildBloomContains: Seq[Expression] => Expression = { exprs =>
+    val bytes = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(b: Array[Byte], BinaryType) => b
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_contains sketch must be a binary literal, got $other")
+    }
+    BloomMightContainExpr(
+      Cast(exprs(0), org.apache.spark.sql.types.LongType), bytes)
+  }
 
   /** Builder for `graft_minhash(baseHashes, numHashes, seed)` — the count
     * and seed must be literals (coefficients are fixed at plan time). */
