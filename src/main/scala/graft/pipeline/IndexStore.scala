@@ -83,6 +83,14 @@ object IndexStore {
     writeRotation(spark, s"$path/meta", rot)
     writeCodes(dfR, idCol, embCol, model, release, s"$path/codes",
       dynamic = false)
+    // a build IS the store: stale sketches of a previous incarnation's
+    // releases must not survive into the fresh one
+    val sketchDir = new org.apache.hadoop.fs.Path(s"$path/$IdSketchDir")
+    if (fsOf(spark, path).exists(sketchDir))
+      require(fsOf(spark, path).delete(sketchDir, true),
+        s"build failed to reset $sketchDir")
+    writeIdSketch(spark, path, release,
+      df.select(col(idCol).cast("long").as("cand_id")))
   }
 
   /** Apply the store rotation (if any) to `embCol`, values widened to
@@ -184,7 +192,9 @@ object IndexStore {
 
   /** Encode a new release against the frozen quantizers and append it —
     * map-only over the new slice (through the frozen rotation, if the
-    * store has one), idempotent per release. */
+    * store has one), idempotent per release. Writes the release's id
+    * sketch alongside ([[readIdSketches]]) so the nightly delta-newness
+    * audit can clear prior releases without scanning them. */
   def append(spark: SparkSession, path: String, newVecs: DataFrame,
              idCol: String, embCol: String, release: String): Unit =
     if (newVecs.isEmpty)
@@ -194,10 +204,114 @@ object IndexStore {
       // a takedown scrubbed the whole night) must drop the partial
       // append's ghost partitions — code table AND rerank tier — itself
       vacuum(spark, path, name => name != release)
-    else
+    else {
       writeCodes(rotate(newVecs, embCol, readRotation(spark, path)),
         idCol, embCol, readModel(spark, path), release,
         s"$path/codes", dynamic = true)
+      writeIdSketch(spark, path, release,
+        newVecs.select(col(idCol).cast("long").as("cand_id")))
+    }
+
+  /** Per-release kilobyte ID SKETCHES — a [[graft.functions.BloomSketch]]
+    * of each release partition's stored `cand_id`s, persisted beside the
+    * quantizer metadata. They exist for ONE caller: the nightly
+    * delta-newness audit ([[VectorRelease.maintain]] step b), which must
+    * prove the night's delta ids are new to the store. Without sketches
+    * that proof is a column-pruned scan of every prior release's id column
+    * — the last per-night cost that grows with the RESIDENT STORE rather
+    * than the delta at 100 TB. With them, a clean night reads kilobytes of
+    * sketch + one map pass over the delta, and the scan survives only as
+    * the on-hit fallback ([[sketchHitReleases]]).
+    *
+    * Maintenance invariant (the correctness condition): a release's sketch
+    * is always a SUPERSET of its stored ids. Every path that ADDS ids to a
+    * partition rebuilds its sketch ([[build]], [[append]],
+    * [[repairRelease]] via append); paths that only REMOVE rows
+    * ([[purge]], a tombstone-scrubbing [[rebalance]]) may leave the sketch
+    * stale-wide, which costs at most a spurious fallback scan, never a
+    * missed duplicate. A release with NO sketch (a store predating them)
+    * is conservatively treated as a hit. */
+  private val IdSketchDir = "meta/idsketch"
+
+  private def writeIdSketch(spark: SparkSession, path: String,
+                            release: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val bytes = graft.functions.BloomSketch.build(ids, ids.columns.head,
+      ids.count())
+    Seq((bytes, release)).toDF("sketch", "release")
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("release").parquet(s"$path/$IdSketchDir")
+  }
+
+  /** Every persisted release sketch, keyed by release name — kilobytes per
+    * release, driver-collected like the rest of the store metadata. */
+  def readIdSketches(spark: SparkSession, path: String): Map[String, Array[Byte]] = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$IdSketchDir")))
+      Map.empty
+    else {
+      spark.catalog.refreshByPath(s"$path/$IdSketchDir")
+      spark.read.parquet(s"$path/$IdSketchDir")
+        .select(col("release").cast("string"), col("sketch"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    }
+  }
+
+  /** The prior releases that MIGHT share an id with `deltaIds` — the
+    * sketch consult that makes a clean night's dup audit O(delta). One map
+    * pass over the delta evaluates every sketched release's
+    * might-contain aggregate at once (sketch bytes ride the plan as
+    * literals); releases without a sketch are returned unconditionally
+    * (the conservative fallback). Empty result = proof of no duplicate
+    * (Bloom `false` is definitive); a listed release = "scan it" — a hit
+    * may be a false positive, never the reverse. When the combined sketch
+    * bytes exceed [[SketchPlanBudgetBytes]] the consult is skipped and all
+    * prior releases are returned — the pre-sketch behavior, rather than a
+    * plan bloated with hundreds of MB of literals. */
+  def sketchHitReleases(spark: SparkSession, path: String,
+                        deltaIds: DataFrame, exclude: String): Seq[String] = {
+    val priors = listCodeReleases(spark, path).filterNot(_ == exclude)
+    if (priors.isEmpty) return Seq.empty
+    val sketches = readIdSketches(spark, path) - exclude
+    val (sketched, unsketched) = priors.partition(sketches.contains)
+    val hits =
+      if (sketched.isEmpty) Seq.empty[String]
+      else if (sketched.map(sketches(_).length.toLong).sum > SketchPlanBudgetBytes)
+        sketched
+      else {
+        graft.functions.HashFunctions.register(spark)
+        val idCol = col(deltaIds.columns.head).cast("long")
+        val aggs = sketched.zipWithIndex.map { case (r, i) =>
+          max(when(graft.functions.BloomSketch.mightContain(
+            idCol, sketches(r)), 1L).otherwise(0L)).as(s"__h$i")
+        }
+        val row = deltaIds.agg(aggs.head, aggs.tail: _*).collect()(0)
+        // an empty delta aggregates to nulls: no rows, no possible hit
+        sketched.zipWithIndex.collect {
+          case (r, i) if !row.isNullAt(i) && row.getLong(i) == 1L => r
+        }
+      }
+    (hits ++ unsketched).sorted
+  }
+
+  /** Ceiling on sketch bytes a single consult may embed as plan literals. */
+  private val SketchPlanBudgetBytes = 64L << 20
+
+  /** Distinct release names present in the code table, from the partition
+    * directory listing (no file reads — the [[vacuum]] walk). */
+  private def listCodeReleases(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = fsOf(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else (for {
+      cell <- fs.listStatus(root).toSeq
+      if cell.isDirectory && cell.getPath.getName.startsWith("cell=")
+      rel <- fs.listStatus(cell.getPath).toSeq
+      if rel.isDirectory && rel.getPath.getName.startsWith("release=")
+    } yield rel.getPath.getName.stripPrefix("release=")).distinct
+  }
 
   /** Query-only serving: no training, no encoding — metadata load + probe +
     * cell-pruned ADC + exact rerank. `queries` is (q_id long, q_emb
@@ -840,7 +954,8 @@ object IndexStore {
     * interruption anywhere leaves serving correct (the anti-join still
     * excludes whatever rows survive) and a rerun converges — already-purged
     * partitions simply stop matching the semi-join. Returns rows removed
-    * per table. */
+    * per table. Release id sketches are left as-is: a purge only REMOVES
+    * ids, so the sketches stay valid supersets ([[readIdSketches]]). */
   def purge(spark: SparkSession, path: String): Map[String, Long] =
     readTombstones(spark, path) match {
       case None => Map("codes" -> 0L, "rerank/codes" -> 0L)
@@ -937,6 +1052,11 @@ object IndexStore {
         name
       }
     }
+    // a dropped release's id sketch goes with it ([[readIdSketches]] —
+    // otherwise the dup consult would keep naming a release whose
+    // partitions no longer exist; harmless for correctness, but the clean
+    // night's "no prior files touched" claim should hold by construction)
+    ReleasePartitions.vacuum(spark, s"$path/$IdSketchDir", keep)
     (sweep("codes") ++ sweep("rerank/codes")).distinct
   }
 
@@ -1126,6 +1246,17 @@ object IndexStore {
     // the swapped-in store is a new quantizer epoch: stamp the staged meta
     // with the bumped generation so the commit is atomic with the swap
     writeGeneration(spark, s"$path/meta.next", generation(spark, path) + 1)
+    // carry the per-release id sketches across the swap (the meta dir is
+    // replaced wholesale): a rebalance re-encodes the SAME resident ids —
+    // minus the realized tombstones — so the old sketches stay valid
+    // supersets ([[readIdSketches]]' invariant; a scrubbed id costs at
+    // most a spurious fallback scan)
+    val oldSketches = new org.apache.hadoop.fs.Path(s"$path/$IdSketchDir")
+    if (fsOf(spark, path).exists(oldSketches))
+      org.apache.hadoop.fs.FileUtil.copy(fsOf(spark, path), oldSketches,
+        fsOf(spark, path),
+        new org.apache.hadoop.fs.Path(s"$path/meta.next/idsketch"),
+        false, spark.sparkContext.hadoopConfiguration)
     enc.write.mode("overwrite").partitionBy("cell", "release")
       .parquet(s"$path/codes.next")
     val fs = fsOf(spark, path)

@@ -133,14 +133,14 @@ object ReleaseBuild {
     // margin excludes grams held elsewhere), and the night's freshly
     // written gram margin is NEW to the store — the only
     // one-release-per-gram layout violation an append can introduce,
-    // probed with one column-pruned scan of the other partitions' hashed
-    // longs against the broadcast delta margin (the
-    // [[VectorRelease.maintain]] delta-newness shape; a dup between two
-    // PRIOR partitions is pre-existing corruption, the scheduled q207
-    // card's to catch). Cost: delta-sized passes plus that one
-    // column-pruned probe — nothing store-sized shuffles. The abort
-    // leaves the store recoverable — both appends are release-partition
-    // idempotent, so a rerun converges.
+    // proved against the per-release gram SKETCHES with the column-pruned
+    // scan as the on-hit fallback (a dup between two PRIOR partitions is
+    // pre-existing corruption, the scheduled q207 card's to catch). Cost:
+    // delta-sized passes only on a clean night — nothing store-sized is
+    // read, let alone shuffled. The abort leaves the store recoverable —
+    // both appends are release-partition idempotent, so a rerun converges
+    // (which also re-pairs a sketch torn from its partition by a crash
+    // between the two writes — the store-wide crash contract).
     val retainedIds = retained.select(col(idCol).cast("long").as("doc_id"),
       lit(release).as("release"))
     spark.catalog.refreshByPath(sigPath)
@@ -156,17 +156,43 @@ object ReleaseBuild {
         GramStore.grams(retained, textCol)
           .withColumn("release", lit(release)), dupInvariant = false),
       Seq("orphan"), s"release '$release': gram margin provenance")
+    // The layout probe consults the per-release gram sketches first
+    // ([[GramStore.sketchHitReleases]] — the [[VectorRelease.maintain]]
+    // delta-newness shape): a Bloom miss is definitive, so a clean night
+    // proves its margin new with kilobytes of sketch + one map pass over
+    // the delta and reads NO other partition's files; the column-pruned
+    // scan survives as the on-hit fallback, pruned to the hit releases.
+    // The fallback broadcasts the delta margin only below
+    // [[VectorRelease.BroadcastRowCeiling]] (a nightly's novel grams can
+    // be hundreds of MB); above it a keyed left-semi shuffle degrades
+    // gracefully instead of risking the driver.
     val deltaGrams = gramsNow.where(col("release") === release)
       .select("gram_h")
-    val nLayoutDup = gramsNow.where(col("release") =!= release)
-      .select("gram_h")
-      .join(broadcast(deltaGrams), Seq("gram_h"), "left_semi").count()
+    val gramHits = GramStore.sketchHitReleases(spark, gramPath, deltaGrams,
+      release)
+    lastGramProbeScanned = gramHits
+    val nLayoutDup =
+      if (gramHits.isEmpty) 0L
+      else {
+        val probe =
+          if (deltaGrams.count() <= VectorRelease.BroadcastRowCeiling)
+            broadcast(deltaGrams)
+          else deltaGrams
+        gramsNow.where(col("release").cast("string").isin(gramHits: _*))
+          .select("gram_h")
+          .join(probe, Seq("gram_h"), "left_semi").count()
+      }
     if (nLayoutDup > 0) throw new IllegalStateException(
       s"store integrity audit failed (release '$release': gram store " +
         s"layout): $nLayoutDup of this release's grams already stored " +
         "under a prior release")
     out
   }
+
+  /** The releases the LAST [[rollForwardOnDisk]] gram-layout probe
+    * actually scanned (empty = sketches cleared the store) — test
+    * instrumentation only, the [[lastRestorePasses]] idiom. */
+  @volatile private[graft] var lastGramProbeScanned: Seq[String] = Nil
 
   /** Realize a document TAKEDOWN across the text tier's persisted stores —
     * the q204 contract ([[VectorRelease.maintain]]'s takedown step) for

@@ -52,6 +52,19 @@ object VectorRelease {
   case class Params(nProbe: Int = 2, k: Int = 3, shortlist: Int = 100,
                     threshold: Double = 0.3)
 
+  /** Largest delta (rows) the integrity gate's fallback dup scan will
+    * broadcast — ~32 MB of longs plus overhead; beyond it the probe joins
+    * as a keyed left-semi shuffle, which degrades gracefully where an
+    * oversized broadcast would fail the night outright. */
+  private[graft] val BroadcastRowCeiling = 4000000L
+
+  /** The prior releases the LAST maintain night's dup audit actually
+    * scanned (empty = the sketches cleared every release and no prior
+    * file was read) — test instrumentation only, the
+    * [[ReleaseBuild.lastRestorePasses]] idiom; VectorReleaseSpec pins the
+    * clean night to Nil and the planted-dup night to a sketch hit. */
+  @volatile private[graft] var lastDupProbeScanned: Seq[String] = Nil
+
   /** The one nightly call, against the persisted index at `path` (already
     * holding the prior releases) and the prior release's edge list.
     *
@@ -350,12 +363,31 @@ object VectorRelease {
         Seq("orphan", "missing"),
         s"maintain night '$release': new-release delta coverage")
       // (b) the delta must be NEW to the store — the only cross-release
-      //     dup an append can introduce. One column-pruned scan of the
-      //     prior releases' id column with the delta broadcast (the text
-      //     gate's accepted store-sized-but-keyed dup-check shape; no
-      //     shuffle, no corpus-sized side).
-      val nDup = codesNow.where(col("release") =!= release)
-        .join(broadcast(deltaIds), Seq("cand_id"), "left_semi").count()
+      //     dup an append can introduce. The per-release id sketches are
+      //     consulted FIRST ([[IndexStore.sketchHitReleases]]): a Bloom
+      //     miss is definitive absence, so a clean night proves newness
+      //     with kilobytes of sketch + one map pass over the delta and
+      //     reads NO prior release's files; the column-pruned scan
+      //     survives only as the on-hit fallback, partition-pruned to the
+      //     hit releases (a hit may be a false positive — the scan, not
+      //     the sketch, decides the abort). This removes the last
+      //     per-night term that grew with the resident store instead of
+      //     the delta. The fallback broadcasts the delta only below
+      //     [[BroadcastRowCeiling]]; above it a keyed left-semi shuffle
+      //     degrades gracefully instead of risking the driver.
+      val hitRels = IndexStore.sketchHitReleases(spark, path, deltaIds,
+        release)
+      lastDupProbeScanned = hitRels
+      val nDup =
+        if (hitRels.isEmpty) 0L
+        else {
+          val probe =
+            if (deltaIds.count() <= BroadcastRowCeiling) broadcast(deltaIds)
+            else deltaIds
+          codesNow.where(col("release").cast("string")
+              .isin(hitRels: _*))
+            .join(probe, Seq("cand_id"), "left_semi").count()
+        }
       if (nDup > 0) throw new IllegalStateException(
         s"store integrity audit failed (maintain night '$release'): " +
           s"$nDup delta ids already stored under a prior release")

@@ -217,6 +217,61 @@ class VectorReleaseSpec extends SparkSpec {
     }
     assert(thrown.getMessage.contains("already stored under a prior release"),
       s"the abort must name the dup probe: ${thrown.getMessage}")
+    // the catch went through the SKETCH-HIT path: r1's id sketch flagged
+    // the dup and the fallback scan (pruned to r1) confirmed it
+    assert(VectorRelease.lastDupProbeScanned === Seq("r1"),
+      s"planted dup must reach the scan via a sketch hit: " +
+        s"${VectorRelease.lastDupProbeScanned}")
+  }
+
+  test("a clean night's dup audit clears every prior release from sketches alone — no prior release's files are read") {
+    val root = Files.createTempDirectory("vrel_sketch").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    // the build persisted r1's id sketch beside the quantizer metadata
+    assert(IndexStore.readIdSketches(spark, idx).keySet === Set("r1"))
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    VectorRelease.maintain(spark, idx, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300).count()
+    // the whole prior store was cleared by its sketches: the O(store)
+    // fallback scan never ran (the round-14 headline — the healthy night
+    // is O(delta))
+    assert(VectorRelease.lastDupProbeScanned.isEmpty,
+      s"clean night scanned ${VectorRelease.lastDupProbeScanned}")
+    // and the night's own append wrote r2's sketch for tomorrow's audit
+    assert(IndexStore.readIdSketches(spark, idx).keySet === Set("r1", "r2"))
+  }
+
+  test("a release without a sketch (pre-sketch store) falls back to the scan — conservatively, and with the same answers") {
+    val root = Files.createTempDirectory("vrel_nosketch").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    // simulate a store that predates sketches
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$idx/meta/idsketch"), true))
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    val out = VectorRelease.maintain(spark, idx, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300).localCheckpoint()
+    // unsketched r1 was scanned (the conservative fallback), and the
+    // clean night still passes
+    assert(VectorRelease.lastDupProbeScanned === Seq("r1"))
+    assert(out.count() > 0)
   }
 
   test("maintain: verdict gates the rebalance, both branches converge, crash between steps recovers") {
