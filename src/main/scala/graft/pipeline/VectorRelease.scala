@@ -58,6 +58,13 @@ object VectorRelease {
     * oversized broadcast would fail the night outright. */
   private[graft] val BroadcastRowCeiling = 4000000L
 
+  /** Broadcast footprint of one tombstoned id — the 8-byte long payload
+    * each serve's exclusion anti-join ships per id (constant per-broadcast
+    * overhead excluded). `purgeBudgetBytes` is denominated through this:
+    * the motivating budget is the list's broadcast bytes, and rows were
+    * only ever a proxy for it. */
+  private[graft] val TombstoneBytesPerId = 8L
+
   /** The prior releases the LAST maintain night's dup audit actually
     * scanned (empty = the sketches cleared every release and no prior
     * file was read) — test instrumentation only, the
@@ -207,7 +214,22 @@ object VectorRelease {
     * several nights while serving stays correct throughout: the list keeps
     * excluding, inputs/graph are still scrubbed every night, and only the
     * dead bytes' reclamation is deferred (VectorReleaseSpec pins both
-    * sides of the threshold).
+    * sides of the threshold). `purgeBudgetBytes >= 0` switches the dial to
+    * the quantity the deferral actually budgets — the list's broadcast
+    * footprint ([[TombstoneBytesPerId]] per id) that every serve pays —
+    * and takes precedence over the row dial (which stays as the compat
+    * overload); `0` bytes purges on any backlog, like `purgeBacklog = 0`.
+    *
+    * `deepAuditEvery = k > 0` mechanizes the full five-surface card's
+    * cadence: the release-bounded nightly gate deliberately trusts
+    * untouched prior releases, so every k-th night — and any night whose
+    * purge crossed a POSITIVE dial — escalates to the full card (the
+    * rebalance/stale branch already pays it and stamps the same clock).
+    * The counter is persisted in the store ([[IndexStore.readAuditClock]])
+    * and only advances on a night whose gates all passed, so an aborted
+    * deep audit re-arms until the corruption is repaired. Default 0 keeps
+    * the round-13 behavior (full card only on the rebalance/stale branch;
+    * q207 as the on-demand cross-tier card).
     *
     * Returns [[rollForward]]'s frame plus a `rebalanced` flag so one output
     * pins the decision branch taken alongside the three artifacts. */
@@ -217,7 +239,10 @@ object VectorRelease {
                kCoarse: Int, maxShareMilli: Long, priorGeneration: Long = 0L,
                coarseIters: Int = 4, pqIters: Int = 3,
                purgeBacklog: Long = 0L,
+               purgeBudgetBytes: Long = -1L,
+               deepAuditEvery: Int = 0,
                p: Params = Params()): DataFrame = {
+    lastDupProbeScanned = Nil
     // 0. converge any interrupted predecessor (a crash mid-swap resumes the
     //    committed rebalance here; a crash pre-marker discards the staging)
     IndexStore.recover(spark, path)
@@ -242,7 +267,11 @@ object VectorRelease {
     // can no longer name them. Discovery is a column-pruned scan of each
     // tier's (cand_id, release) with the pinned list broadcast — bounded
     // by the backlog's blast radius, the purge's own discovery shape.
-    val doPurge = tomb.exists(_.count() > purgeBacklog)
+    val backlogRows = tomb.map(_.count()).getOrElse(0L)
+    val doPurge =
+      if (purgeBudgetBytes >= 0L)
+        backlogRows * TombstoneBytesPerId > purgeBudgetBytes
+      else backlogRows > purgeBacklog
     val purgedRels: Array[String] =
       if (!doPurge) Array.empty
       else tomb.fold(Array.empty[String]) { t =>
@@ -323,23 +352,52 @@ object VectorRelease {
     //    recoverable — every mutation above is partition-idempotent, so
     //    [[IndexStore.repairRelease]] (or a rerun) converges it.
     val codesNow = IndexStore.readCodes(spark, path)
-    if (needsRebalance || stale) {
-      // the rare verdict-/crash-gated branch rewrote the store wholesale
+    // the deep-audit CADENCE (the persisted [[IndexStore.readAuditClock]]):
+    // with `deepAuditEvery = k > 0` the engine itself runs the full card
+    // every k-th night and after any DIAL-CROSSING purge (a deferral fleet
+    // just rewrote partitions the release-bounded gate would otherwise
+    // trust) — before round 14 that cadence was prose, and untouched-
+    // release corruption waited on an operator remembering q207. The
+    // rebalance/stale branch counts as a deep audit (same surfaces,
+    // already paid for); an aborted night never advances the clock, so a
+    // missed deep audit re-arms until it passes.
+    val (nightsSoFar, lastDeepNight) = IndexStore.readAuditClock(spark, path)
+    val night = nightsSoFar + 1
+    val dialCrossingPurge = doPurge &&
+      (if (purgeBudgetBytes >= 0L) purgeBudgetBytes > 0L
+       else purgeBacklog > 0L)
+    val deepDue = deepAuditEvery > 0 &&
+      (night - lastDeepNight >= deepAuditEvery || dialCrossingPurge)
+    val fullCardNight = needsRebalance || stale || deepDue
+    if (fullCardNight) {
+      // the verdict-/crash-gated branch rewrote the store wholesale
       // (rebalance re-encodes every release; a stale night rebuilds the
       // whole tier), so the only honest audit is the full card —
-      // proportional to the rewrite the branch just paid for. Checked:
-      // every servable corpus vector has exactly one code row, and full
-      // code↔int8 ROW PARITY when the tier exists.
+      // proportional to the rewrite the branch just paid for; a scheduled
+      // deep-audit night pays it by appointment. Checked: every servable
+      // corpus vector has exactly one code row, and full code↔int8 ROW
+      // PARITY when the tier exists. DEFERRAL-AWARE: when the purge was
+      // deferred below the dial, the tiers legitimately still hold the
+      // un-purged tombstoned rows while the corpus (and a stale night's
+      // rebuilt rerank tier) are scrubbed — anti-join the PINNED list out
+      // of both audit sides, or a healthy deferral night would spuriously
+      // abort as orphan/missing (the round-13 ADVICE case;
+      // VectorReleaseSpec pins it). After a realized purge the scrub is a
+      // no-op.
+      def scrubCodes(d: DataFrame) = tomb.fold(d)(t =>
+        d.join(broadcast(t), col("cand_id") === col("__tomb_id"),
+          "left_anti"))
+      val codesAudit = scrubCodes(codesNow)
       val corpusIds = oldV.select(col(idCol).cast("long").as("cand_id"))
         .unionByName(newV.select(col(idCol).cast("long").as("cand_id")))
       StoreAudit.assertZero(
-        StoreAudit.card("codes", codesNow, "cand_id", corpusIds),
+        StoreAudit.card("codes", codesAudit, "cand_id", corpusIds),
         Seq("cross_release_dup", "orphan", "missing"),
         s"maintain night '$release': code table vs servable corpus")
       if (hasTier) StoreAudit.assertZero(
         StoreAudit.card("rerank_int8",
-          IndexStore.readRerankCodes(spark, path), "cand_id",
-          codesNow.select("cand_id", "release")),
+          scrubCodes(IndexStore.readRerankCodes(spark, path)), "cand_id",
+          codesAudit.select("cand_id", "release")),
         Seq("cross_release_dup", "orphan", "missing"),
         s"maintain night '$release': code/int8 row parity")
     } else {
@@ -418,6 +476,11 @@ object VectorRelease {
           s"maintain night '$release': code/int8 parity (touched releases)")
       }
     }
+    // every gate passed — the night is committed: advance the clock (an
+    // aborted night deliberately leaves it untouched, so the due deep
+    // audit re-arms on the rerun)
+    IndexStore.writeAuditClock(spark, path, night,
+      if (fullCardNight) night else lastDeepNight)
     out.withColumn("rebalanced", lit(needsRebalance))
   }
 

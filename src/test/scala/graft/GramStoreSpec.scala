@@ -30,6 +30,45 @@ class GramStoreSpec extends SparkSpec {
     assert(fromDisk === inline)
   }
 
+  test("sketchHitReleases: a shared gram hits, a disjoint delta clears, a sketch-less release always lists, vacuum drops the sketch") {
+    val dir = Files.createTempDirectory("gramstore_sketch").toString + "/store"
+    GramStore.append(spark, dir, "r1", docs.where(!isNew), "text")
+    GramStore.append(spark, dir, "r2", docs.where(isNew), "text")
+    // a delta that re-presents r1's stored grams MUST hit r1 (this is the
+    // corruption-detection direction the self-protecting append can never
+    // produce end-to-end — the layout probe is defense-in-depth, so its
+    // trigger is pinned at the mechanism level)
+    val r1Grams = GramStore.read(spark, dir)
+      .where(col("release") === "r1").select("gram_h").limit(50)
+      .localCheckpoint()
+    assert(GramStore.sketchHitReleases(spark, dir, r1Grams, "r3")
+      .contains("r1"))
+    // the exclude arm: the same grams probed AS r1 must not hit r1 itself
+    assert(!GramStore.sketchHitReleases(spark, dir, r1Grams, "r1")
+      .contains("r1"))
+    // a disjoint delta (fresh synthetic hashes) clears the whole store —
+    // the Bloom miss is definitive, so empty = proof, no scan needed
+    val disjoint = (1L to 500L).map(i => -i).toDF("gram_h")
+    assert(GramStore.sketchHitReleases(spark, dir, disjoint, "r3").isEmpty)
+    // an empty delta clears trivially (the aggregate returns nulls)
+    assert(GramStore.sketchHitReleases(spark, dir,
+      disjoint.limit(0), "r3").isEmpty)
+    // a release whose sketch is missing is conservatively always listed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_sketch/release=r1"), true))
+    spark.catalog.refreshByPath(s"$dir/_sketch")
+    assert(GramStore.sketchHitReleases(spark, dir, disjoint, "r3")
+      === Seq("r1"))
+    // vacuum drops sketch and partition together
+    GramStore.vacuum(spark, dir, name => name != "r2")
+    assert(GramStore.readSketches(spark, dir).keySet.isEmpty
+      || !GramStore.readSketches(spark, dir).contains("r2"))
+    assert(GramStore.sketchHitReleases(spark, dir, r1Grams, "r3")
+      === Seq("r1"))
+  }
+
   test("a nonexistent store reads as an empty typed frame") {
     val dir = Files.createTempDirectory("gramstore_none").toString + "/store"
     // the fresh-store empty-novel branch of append leaves the path

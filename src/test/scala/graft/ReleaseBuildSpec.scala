@@ -37,6 +37,39 @@ class ReleaseBuildSpec extends SparkSpec {
     assert(fromDisk.exceptAll(inline).isEmpty && inline.exceptAll(fromDisk).isEmpty)
   }
 
+  test("a clean disk night's gram-layout audit clears the store from sketches alone; a sketch-less store falls back with the same answer") {
+    val dir = Files.createTempDirectory("relbuild_sketch").toString
+    SignatureStore.append(spark, s"$dir/sigs", "r0",
+      docs.where(!isNew), "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r0", docs.where(!isNew), "text")
+    assert(GramStore.readSketches(spark, s"$dir/grams").keySet === Set("r0"))
+    val out = ReleaseBuild.rollForwardOnDisk(spark, docs.where(isNew),
+      "doc_id", "text", "source", docs, s"$dir/sigs", s"$dir/grams", "r1",
+      trainedWeights).localCheckpoint()
+    // the night's novel margin is disjoint from r0's by construction, and
+    // r0's sketch PROVED it — no prior partition was scanned (O(delta))
+    assert(ReleaseBuild.lastGramProbeScanned.isEmpty,
+      s"clean night scanned ${ReleaseBuild.lastGramProbeScanned}")
+    assert(GramStore.readSketches(spark, s"$dir/grams").keySet
+      === Set("r0", "r1"))
+    // pre-sketch store: same night, sketches deleted → conservative scan
+    // of every prior release, identical retained rows
+    val dir2 = Files.createTempDirectory("relbuild_nosketch").toString
+    SignatureStore.append(spark, s"$dir2/sigs", "r0",
+      docs.where(!isNew), "doc_id", "text")
+    GramStore.append(spark, s"$dir2/grams", "r0", docs.where(!isNew), "text")
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir2/grams/_sketch"), true))
+    val out2 = ReleaseBuild.rollForwardOnDisk(spark, docs.where(isNew),
+      "doc_id", "text", "source", docs, s"$dir2/sigs", s"$dir2/grams", "r1",
+      trainedWeights).localCheckpoint()
+    assert(ReleaseBuild.lastGramProbeScanned === Seq("r0"))
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty,
+      "the sketch fast path must not change the night's answers")
+  }
+
   test("takedownDocs: exact signature removal, gram margin restored, equals stores built without the docs") {
     val isTomb = col("doc_id") % 9 === 2
     val dir = Files.createTempDirectory("relbuild_tkd").toString

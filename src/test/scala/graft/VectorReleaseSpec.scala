@@ -274,6 +274,152 @@ class VectorReleaseSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("a deferred purge does not spuriously abort a stale full-card night (deferral-aware cards)") {
+    // the round-13 ADVICE case: purge deferred below the dial + a stale
+    // generation (crashed predecessor) -> the full-card branch, where the
+    // codes still hold the un-purged tombstoned rows while the corpus and
+    // the rebuilt int8 tier are scrubbed. The cards must anti-join the
+    // pinned list out of both sides instead of aborting a healthy night.
+    val root = Files.createTempDirectory("vrel_defer_stale").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    // the int8 tier makes the parity card part of the trap
+    IndexStore.buildRerank(spark, idx, cands(old))
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    val isTomb = col("vec_id") % 7 === 3
+    val nTomb = IndexStore.delete(spark, idx,
+      emb.where(isTomb).select(col("vec_id").as("cand_id")))
+    // priorGeneration mismatch forces the stale full-card branch without a
+    // rebalance; the dial defers the purge
+    val out = VectorRelease.maintain(spark, idx, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300, priorGeneration = 999L,
+      purgeBacklog = nTomb + 1).localCheckpoint()
+    // the deferral held (list + dead bytes survive) and the night served
+    // scrubbed artifacts — no spurious abort
+    assert(IndexStore.readTombstones(spark, idx)
+      .map(_.count()).contains(nTomb))
+    assert(!IndexStore.readCodes(spark, idx)
+      .where(col("cand_id") % 7 === 3).isEmpty)
+    assert(out.where(col("src_id") % 7 === 3 || col("dst_id") % 7 === 3)
+      .isEmpty, "deferral night must still scrub its artifacts")
+  }
+
+  test("deepAuditEvery mechanizes the scheduled full card: untouched corruption survives k-1 nights, aborts the k-th, repair re-arms; a dial-crossing purge forces it early") {
+    val root = Files.createTempDirectory("vrel_deep").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh1 = emb.where(!isEval && isNew && col("vec_id") % 2 === 0)
+    val fresh2 = emb.where(!isEval && isNew && col("vec_id") % 2 === 1)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    val evals = nodes(emb.where(isEval))
+    def priorOf(): DataFrame = {
+      val m = IndexStore.readModel(spark, idx)
+      Similarity.ivfExactGraphEdges(nodes(old), cands(old), m.centroids,
+        nProbe = 2, k = 3).localCheckpoint()
+    }
+    def corrupt(): Unit = {
+      // tear rows out of UNTOUCHED release r1: delete its partition under
+      // the first cell directory that has one
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/codes"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(st => new org.apache.hadoop.fs.Path(st.getPath, "release=r1"))
+        .find(fs.exists).get
+      require(fs.delete(victim, true))
+      spark.catalog.refreshByPath(s"$idx/codes")
+    }
+    corrupt()
+    // night 1 (k-1 survival): the release-bounded gate trusts untouched
+    // r1 by design — the night passes over the corruption
+    val n1 = VectorRelease.maintain(spark, idx, fresh1, old, evals,
+      priorOf(), "vec_id", "embedding", "r2", kCoarse = 8,
+      maxShareMilli = 300,
+      priorGeneration = IndexStore.generation(spark, idx),
+      deepAuditEvery = 2).localCheckpoint()
+    assert(n1.count() > 0)
+    assert(IndexStore.readAuditClock(spark, idx) === (1L, 0L))
+    // night 2: the k-th night escalates to the full card and catches it
+    val g1 = n1.select("src_id", "dst_id", "score", "rank").localCheckpoint()
+    def night2() = VectorRelease.maintain(spark, idx, fresh2,
+      old.unionByName(fresh1), evals, g1, "vec_id", "embedding", "r3",
+      kCoarse = 8, maxShareMilli = 300,
+      priorGeneration = IndexStore.generation(spark, idx),
+      deepAuditEvery = 2)
+    val thrown = intercept[IllegalStateException] { night2().count() }
+    assert(thrown.getMessage.contains("code table vs servable corpus"),
+      thrown.getMessage)
+    // the aborted night did not advance the clock: the deep audit re-arms
+    assert(IndexStore.readAuditClock(spark, idx) === (1L, 0L))
+    // repair the torn release, rerun the night: passes and stamps the clock
+    IndexStore.repairRelease(spark, idx, old, "vec_id", "embedding", "r1")
+    assert(night2().count() > 0)
+    assert(IndexStore.readAuditClock(spark, idx) === (2L, 2L))
+    // a dial-crossing purge forces the full card ahead of cadence: tear r1
+    // again, schedule far-off deep audits, cross a positive dial
+    corrupt()
+    IndexStore.delete(spark, idx, emb.where(!isEval && !isNew)
+      .where(col("vec_id") % 13 === 5).select(col("vec_id").as("cand_id")))
+    val g2 = VectorRelease.readGraph _ // (unused; keeps the shape obvious)
+    val thrown2 = intercept[IllegalStateException] {
+      VectorRelease.maintain(spark, idx, fresh2,
+        old.unionByName(fresh1), evals, g1, "vec_id", "embedding", "r3",
+        kCoarse = 8, maxShareMilli = 300,
+        priorGeneration = IndexStore.generation(spark, idx),
+        purgeBacklog = 1L, deepAuditEvery = 10).count()
+    }
+    assert(thrown2.getMessage.contains("code table vs servable corpus"),
+      thrown2.getMessage)
+  }
+
+  test("purgeBudgetBytes: the byte-denominated dial defers at the budget and purges just under it") {
+    val root = Files.createTempDirectory("vrel_bytes").toString
+    val idx = s"$root/index"
+    val old = emb.where(!isEval && !isNew)
+    val fresh = emb.where(!isEval && isNew)
+    IndexStore.build(spark, idx, old, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    val model = IndexStore.readModel(spark, idx)
+    val prior = Similarity.ivfExactGraphEdges(nodes(old), cands(old),
+      model.centroids, nProbe = 2, k = 3).localCheckpoint()
+    val isTomb = col("vec_id") % 7 === 3
+    val nTomb = IndexStore.delete(spark, idx,
+      emb.where(isTomb).select(col("vec_id").as("cand_id")))
+    val footprint = nTomb * VectorRelease.TombstoneBytesPerId
+    // backlog footprint == budget: not OVER it -> defer (and the byte dial
+    // overrides the stricter default row dial, proving precedence)
+    VectorRelease.maintain(spark, idx, fresh, old,
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300,
+      purgeBudgetBytes = footprint).count()
+    assert(IndexStore.readTombstones(spark, idx)
+      .map(_.count()).contains(nTomb),
+      "at the budget the tombstone list must survive the night")
+    assert(!IndexStore.readCodes(spark, idx)
+      .where(col("cand_id") % 7 === 3).isEmpty,
+      "at the budget the dead bytes stay resident")
+    // one byte less: the backlog crosses the budget -> purge and reset
+    VectorRelease.maintain(spark, idx, fresh, old.where(!isTomb),
+      nodes(emb.where(isEval)), prior, "vec_id", "embedding", "r2",
+      kCoarse = 8, maxShareMilli = 300,
+      purgeBudgetBytes = footprint - 1L).count()
+    assert(IndexStore.readTombstones(spark, idx).isEmpty,
+      "over the budget the purge must run and reset the list")
+    assert(IndexStore.readCodes(spark, idx)
+      .where(col("cand_id") % 7 === 3).isEmpty,
+      "over the budget the dead bytes must be reclaimed")
+  }
+
   test("maintain: verdict gates the rebalance, both branches converge, crash between steps recovers") {
     val old = emb.where(!isEval && !isNew)
     val fresh = emb.where(!isEval && isNew)

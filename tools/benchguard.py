@@ -24,6 +24,8 @@ Queries present on only one side are reported informationally (new/removed
 queries are expected when the round adds operators) and never fail the run.
 """
 import json
+import os
+import statistics
 import subprocess
 import sys
 
@@ -36,16 +38,28 @@ def load(path):
         return json.load(f)
 
 
+def git_relpath(path):
+    """The candidate's path relative to the repo toplevel — `HEAD:<spec>`
+    is toplevel-relative, so a bare basename silently compares against the
+    wrong blob (or nothing) when the tool runs from a subdirectory or the
+    artifact moves out of the root."""
+    top = subprocess.run(["git", "rev-parse", "--show-toplevel"],
+                         capture_output=True, text=True)
+    if top.returncode != 0:
+        sys.exit(f"benchguard: not inside a git repo: {top.stderr.strip()}")
+    return os.path.relpath(os.path.abspath(path), top.stdout.strip())
+
+
 def load_ref(candidate_path, ref_arg):
     if ref_arg is not None:
         return load(ref_arg), ref_arg
-    base = candidate_path.rsplit("/", 1)[-1]
-    out = subprocess.run(["git", "show", f"HEAD:{base}"],
+    spec = f"HEAD:{git_relpath(candidate_path)}"
+    out = subprocess.run(["git", "show", spec],
                          capture_output=True, text=True)
     if out.returncode != 0:
-        sys.exit(f"benchguard: no committed {base} to compare against "
+        sys.exit(f"benchguard: no committed {spec} to compare against "
                  f"(pass a reference explicitly): {out.stderr.strip()}")
-    return json.loads(out.stdout), f"HEAD:{base}"
+    return json.loads(out.stdout), spec
 
 
 def main():
@@ -60,8 +74,7 @@ def main():
     if not common:
         sys.exit("benchguard: no common queries between candidate and reference")
 
-    ratios = sorted(cq[q] / rq[q] for q in common if rq[q] > 0)
-    median = ratios[len(ratios) // 2]
+    median = statistics.median(cq[q] / rq[q] for q in common if rq[q] > 0)
 
     movers, excused = [], []
     for q in common:
