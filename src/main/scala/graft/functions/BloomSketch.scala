@@ -57,12 +57,20 @@ case class BloomMightContainExpr(child: Expression, sketch: Array[Byte])
   * construction (BloomSketchSpec pins zero false negatives). */
 object BloomSketch {
 
-  /** Default false-positive rate: at 1% a false positive costs one
-    * partition-pruned fallback scan per ~100 clean nights — noise against
-    * the store-sized scan it replaces — while the sketch stays at
-    * ~1.2 bytes/key (a release of 1M keys ≈ 1.2 MB, kilobytes at nightly
-    * delta scale). */
-  val DefaultFpp = 0.01
+  /** Default false-positive rate. The consult's clean-skip property needs
+    * P(ANY false positive over the night's delta × resident releases)
+    * small — a single fp anywhere re-triggers the fallback scan — so the
+    * per-probe rate must be ≪ 1/(|delta| · releases), not the ~1% a
+    * point-lookup filter would use (at 1% a 10k-key delta would fp against
+    * SOME release essentially every night, deterministically for a fixed
+    * corpus). Bloom bytes grow only logarithmically in 1/fpp (~0.18 B/key
+    * per decade), so buying 1e-8 costs ~4.8 B/key — a 1M-key release is a
+    * ~5 MB sketch — and keeps a 100M-probe night's any-fp chance ~1.
+    * Below that scale (every fixture here, and any nightly delta under
+    * ~1M × 100 releases) clean nights skip with near-certainty; above it
+    * the fallback scan is the documented degradation, same as the
+    * plan-budget guard's. */
+  val DefaultFpp = 1e-8
 
   /** One serialized sketch of `df`'s `column` (cast to long). `expected`
     * sizes the filter — pass the (distinct-ish) row count the caller

@@ -104,11 +104,14 @@ object GramStore {
       .partitionBy("release").parquet(s"$path/$SketchDir")
   }
 
-  /** Every persisted release sketch, keyed by release name. */
+  /** Every persisted release sketch, keyed by release name. A sketch dir
+    * left EMPTY by a vacuum (all partitions dropped) reads as no sketches,
+    * not a schema-inference failure. */
   def readSketches(spark: SparkSession, path: String): Map[String, Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$SketchDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p) || !fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("release="))) Map.empty
     else {
       spark.catalog.refreshByPath(s"$path/$SketchDir")
       spark.read.parquet(s"$path/$SketchDir")

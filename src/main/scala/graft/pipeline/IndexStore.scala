@@ -245,10 +245,14 @@ object IndexStore {
   }
 
   /** Every persisted release sketch, keyed by release name — kilobytes per
-    * release, driver-collected like the rest of the store metadata. */
+    * release, driver-collected like the rest of the store metadata. A
+    * sketch dir left EMPTY by a vacuum reads as no sketches, not a
+    * schema-inference failure. */
   def readIdSketches(spark: SparkSession, path: String): Map[String, Array[Byte]] = {
     val fs = fsOf(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$IdSketchDir")))
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$IdSketchDir")
+    if (!fs.exists(dir) || !fs.listStatus(dir).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("release=")))
       Map.empty
     else {
       spark.catalog.refreshByPath(s"$path/$IdSketchDir")

@@ -380,7 +380,11 @@ object ReleaseBuild {
     *     and the repair, grams the tear had orphaned may have been
     *     admitted into that night's margin — provenance then differs from
     *     the never-torn history while novelty stays exact (one release per
-    *     gram throughout, and the layout card stays zero).
+    *     gram throughout, and the layout card stays zero). The divergence
+    *     is BOUNDED and spec-pinned (StoreRepairSpec "gram repair after an
+    *     interleaved append"): exactly the torn∩interleaved straddle set,
+    *     re-homed to the interleaved release — never a lost gram, never a
+    *     duplicated one.
     *
     * Cost: one pass over the release's slice (~200 B/doc signatures +
     * hashed-long grams) plus the margin's gram-keyed anti-join — release-

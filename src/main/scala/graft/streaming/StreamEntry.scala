@@ -423,10 +423,19 @@ object StreamEntry {
     * is written AFTER the graph, so a crash between the two leaves a stale
     * stamp that can only force the conservative from-scratch graph rebuild,
     * never a wrong merge). StreamingSpec pins stream ≡ the batch
-    * three-night sequence and replay convergence. */
+    * three-night sequence and replay convergence.
+    *
+    * `deepAuditEvery` passes through to the batch verb's scheduled
+    * full-card cadence: a streaming nightly over a TORN release aborts its
+    * micro-batch with the card (failing the query — a streaming night must
+    * not report success over corruption either), and after
+    * [[graft.pipeline.IndexStore.repairRelease]] a fresh query over the
+    * same files replays and converges to the batch twin (StreamingSpec
+    * pins abort → repair → resume). */
   def maintainIndex(vecs: DataFrame, indexPath: String, vecStorePath: String,
                     graphPath: String, evals: DataFrame, kCoarse: Int,
                     maxShareMilli: Long,
+                    deepAuditEvery: Int = 0,
                     p: graft.pipeline.VectorRelease.Params =
                       graft.pipeline.VectorRelease.Params()): DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.outputMode(OutputMode.Append)
@@ -449,6 +458,7 @@ object StreamEntry {
             kCoarse, maxShareMilli,
             priorGeneration =
               graft.pipeline.VectorRelease.readGeneration(s, genPath),
+            deepAuditEvery = deepAuditEvery,
             p = p)
           .localCheckpoint()
         graft.pipeline.VectorRelease.writeGraph(out, graphPath)

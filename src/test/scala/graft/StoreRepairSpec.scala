@@ -162,6 +162,18 @@ class StoreRepairSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"))
     assert("ReadSchema: struct<cand_id:bigint>".r.findAllIn(p2).nonEmpty,
       s"the dup probe must read only the id column: ${p2.take(1500)}")
+    // (c) the round-14 sketch-hit FALLBACK scans `release IN (<hits>)` —
+    // partition-pruned to exactly the sketch-flagged releases, same
+    // broadcast + id-only-column shape
+    val p3 = codes.where(col("release").cast("string").isin("r1"))
+      .join(org.apache.spark.sql.functions.broadcast(delta),
+        Seq("cand_id"), "left_semi")
+      .groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findAllIn(p3).nonEmpty,
+      s"the on-hit fallback must partition-prune to the hit releases: " +
+        p3.take(1500))
+    assert(p3.contains("BroadcastHashJoin") && !p3.contains("SortMergeJoin"))
   }
 
   test("text repairRelease: torn signature and gram partitions repair to the never-corrupted stores; rerun idempotent") {
@@ -205,6 +217,74 @@ class StoreRepairSpec extends SparkSpec {
       sigBefore)
     assert(GramStore.read(spark, s"$dir/grams").collect().toSet ===
       gramBefore)
+  }
+
+  test("gram repair after an interleaved append: layout zero, novelty set exact, provenance diverges by EXACTLY the adopted straddle") {
+    // the documented caveat (ReleaseBuild.repairRelease): release A tears,
+    // release B appends BEFORE the repair — A's orphaned grams that B's
+    // docs also carry are admitted into B's margin, so the repaired store
+    // differs from the never-torn history in PROVENANCE ONLY. This pins
+    // the caveat to its exact extent: the divergence is precisely the
+    // A∩B straddle set re-homed rA -> rB, with the one-release-per-gram
+    // layout and the whole-store gram set (what novelty serves from)
+    // bit-identical.
+    import graft.pipeline.{GramStore, ReleaseBuild, SignatureStore}
+    val docs = Tables.load(spark, sf, "documents")
+    val isNewDoc = col("doc_id") % 10 >= 8
+    val docsA = docs.where(!isNewDoc)
+    // plant a guaranteed straddle: one A doc re-keyed into the B slice
+    val docsB = docs.where(isNewDoc).unionByName(
+      docsA.limit(1).withColumn("doc_id", col("doc_id") + 1000000L))
+    import spark.implicits._
+    val gramsA = GramStore.grams(docsA, "text").as[Long].collect().toSet
+    val gramsB = GramStore.grams(docsB, "text").as[Long].collect().toSet
+    val straddle = gramsA.intersect(gramsB)
+    assert(straddle.nonEmpty, "fixture must plant a gram straddle")
+
+    def seed(dir: String): Unit = {
+      SignatureStore.append(spark, s"$dir/sigs", "rA", docsA, "doc_id", "text")
+      SignatureStore.append(spark, s"$dir/sigs", "rB", docsB, "doc_id", "text")
+      GramStore.append(spark, s"$dir/grams", "rA", docsA, "text")
+    }
+    // never-torn history: A then B
+    val clean = Files.createTempDirectory("interleave_clean").toString
+    seed(clean)
+    GramStore.append(spark, s"$clean/grams", "rB", docsB, "text")
+    // torn history: A, tear A, B appends over the torn store, repair A
+    val torn = Files.createTempDirectory("interleave_torn").toString
+    seed(torn)
+    val fs = new org.apache.hadoop.fs.Path(torn)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$torn/grams/release=rA"), true))
+    spark.catalog.refreshByPath(s"$torn/grams")
+    GramStore.append(spark, s"$torn/grams", "rB", docsB, "text")
+    ReleaseBuild.repairRelease(spark, s"$torn/sigs", s"$torn/grams",
+      docsA, "doc_id", "text", "rA")
+    spark.catalog.refreshByPath(s"$torn/grams")
+
+    def rows(dir: String): Set[(Long, String)] =
+      GramStore.read(spark, s"$dir/grams")
+        .select(col("gram_h"), col("release").cast("string"))
+        .as[(Long, String)].collect().toSet
+    val cleanRows = rows(clean)
+    val tornRows = rows(torn)
+    // layout card: one release per gram, both invariant directions zero
+    graft.pipeline.StoreAudit.assertZero(
+      graft.pipeline.StoreAudit.card("grams",
+        GramStore.read(spark, s"$torn/grams"), "gram_h",
+        GramStore.grams(docsA.unionByName(docsB), "text")),
+      Seq("cross_release_dup", "orphan", "missing"), "interleaved repair")
+    // novelty serves from the gram SET, which is exact
+    assert(tornRows.map(_._1) === cleanRows.map(_._1),
+      "the whole-store gram set must equal the never-torn history's")
+    // the provenance divergence is EXACTLY the straddle, re-homed rA -> rB
+    val moved = cleanRows.diff(tornRows).map(_._1)
+    assert(moved === straddle,
+      s"divergence must be exactly the straddle: ${moved.size} moved vs " +
+        s"${straddle.size} straddling")
+    assert(tornRows.diff(cleanRows) === straddle.map(g => (g, "rB")),
+      "every moved gram must have been adopted by the interleaved release")
   }
 
   test("repairRelease restores a torn CODE partition to the from-scratch store; other releases untouched") {

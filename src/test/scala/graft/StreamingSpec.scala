@@ -787,6 +787,91 @@ class StreamingSpec extends SparkSpec {
     assert(again.exceptAll(scr4).isEmpty && scr4.exceptAll(again).isEmpty)
   }
 
+  test("streaming nightly over a torn release aborts with the card; repairRelease + stream replay converge to the batch twin") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val isEval = col("vec_id") % 50 === 0
+    val corpus = emb.where(!isEval)
+    val m10 = col("vec_id") % 10
+    val base = corpus.where(m10 <= 7)
+    val evals = emb.where(isEval)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    def nodes(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    def cands(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+    val dir = Files.createTempDirectory("repairstream").toString
+    val idx = s"$dir/index"
+    // a HEALTHY store at the target geometry — no heal, so only the
+    // deep-audit cadence can surface the tear
+    graft.pipeline.IndexStore.build(spark, idx, base, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, coarseIters = 4, m = 16, ksub = 8, iters = 3,
+      release = "r1")
+    base.select("vec_id", "embedding").withColumn("release", lit("r1"))
+      .write.partitionBy("release").parquet(s"$dir/vecs")
+    val m0 = graft.pipeline.IndexStore.readModel(spark, idx)
+    graft.pipeline.VectorRelease.writeGraph(
+      graft.operators.Similarity.ivfExactGraphEdges(nodes(base), cands(base),
+        m0.centroids, nProbe = 2, k = 3), s"$dir/graph")
+    graft.pipeline.VectorRelease.writeGeneration(spark, s"$dir/graph.gen",
+      graft.pipeline.IndexStore.generation(spark, idx))
+    // the tear: r1 loses one code partition (bit-rot / operator error)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, "release=r1"))
+      .find(fs.exists).get
+    assert(fs.delete(victim, true))
+    spark.catalog.refreshByPath(s"$idx/codes")
+    // two micro-batch nights
+    corpus.where(m10 === 8).coalesce(1).write.parquet(s"$dir/in/a")
+    corpus.where(m10 === 9).coalesce(1).write.parquet(s"$dir/in/b")
+    def part(sub: String) = new java.io.File(s"$dir/in/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    part("a").setLastModified(1_000_000_000_000L)
+    part("b").setLastModified(1_000_000_002_000L)
+    def runOnceThrough(): Unit = {
+      val q = StreamEntry.maintainIndex(
+        spark.readStream.schema(StreamEntry.embSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+        idx, s"$dir/vecs", s"$dir/graph", evals,
+        kCoarse = 8, maxShareMilli = 300, deepAuditEvery = 1)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      // a failed micro-batch surfaces on the query handle, not as a throw
+      // from processAllAvailable — re-raise it
+      q.exception.foreach(e => { q.stop(); throw e })
+      q.stop()
+    }
+    // night b0 is a deep-audit night (every 1) over the torn store: the
+    // micro-batch must FAIL the query with the card, not report success
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnceThrough()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(causes(thrown).exists(_.contains("code table vs servable corpus")),
+      s"the stream abort must carry the card: ${causes(thrown)}")
+    // repair the torn release, then a FRESH query over the same files
+    // replays the failed night and converges
+    graft.pipeline.IndexStore.repairRelease(spark, idx, base,
+      "vec_id", "embedding", "r1")
+    runOnceThrough()
+    // converged ≡ the from-scratch union graph under the frozen model (the
+    // batch twin — generation never moved, so the model is m0 throughout)
+    val scratch = graft.operators.Similarity.ivfExactGraphEdges(
+        nodes(corpus), cands(corpus), m0.centroids, nProbe = 2, k = 3)
+      .select("src_id", "dst_id", "score", "rank")
+    val got = graft.pipeline.VectorRelease.readGraph(spark, s"$dir/graph")
+    assert(got.count() > 0)
+    assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty,
+      "post-repair replay must converge to the batch twin")
+  }
+
   test("foreachBatch runs the batch transform per micro-batch (trigger model)") {
     var seen = 0L
     val writer = StreamEntry.foreachBatchPipeline(

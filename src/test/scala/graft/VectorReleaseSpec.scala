@@ -327,15 +327,22 @@ class VectorReleaseSpec extends SparkSpec {
         nProbe = 2, k = 3).localCheckpoint()
     }
     def corrupt(): Unit = {
-      // tear rows out of UNTOUCHED release r1: delete its partition under
-      // the first cell directory that has one
+      // lose HALF the rows of one of r1's partitions (bit-rot / torn
+      // rewrite). Halving — not deleting — keeps every cell populated, so
+      // the health verdict stays clean and only an audit can see the loss
+      // (deleting the partition would empty a cell and trip the rebalance,
+      // which pays the full card immediately — a different test)
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/codes"))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
         .map(st => new org.apache.hadoop.fs.Path(st.getPath, "release=r1"))
         .find(fs.exists).get
-      require(fs.delete(victim, true))
+      spark.catalog.refreshByPath(victim.toString)
+      val rows = spark.read.parquet(victim.toString).localCheckpoint()
+      val half = rows.limit((rows.count() / 2).toInt.max(1)).localCheckpoint()
+      assert(half.count() < rows.count(), "fixture partition too small to halve")
+      half.coalesce(1).write.mode("overwrite").parquet(victim.toString)
       spark.catalog.refreshByPath(s"$idx/codes")
     }
     corrupt()
@@ -369,7 +376,6 @@ class VectorReleaseSpec extends SparkSpec {
     corrupt()
     IndexStore.delete(spark, idx, emb.where(!isEval && !isNew)
       .where(col("vec_id") % 13 === 5).select(col("vec_id").as("cand_id")))
-    val g2 = VectorRelease.readGraph _ // (unused; keeps the shape obvious)
     val thrown2 = intercept[IllegalStateException] {
       VectorRelease.maintain(spark, idx, fresh2,
         old.unionByName(fresh1), evals, g1, "vec_id", "embedding", "r3",
