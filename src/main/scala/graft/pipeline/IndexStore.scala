@@ -303,46 +303,11 @@ object IndexStore {
   /** Ceiling on sketch bytes a single consult may embed as plan literals. */
   private val SketchPlanBudgetBytes = 64L << 20
 
-  /** The store's AUDIT CLOCK — (nights run, night of the last deep audit),
-    * the persisted state behind [[VectorRelease.maintain]]'s
-    * `deepAuditEvery` cadence. Before round 14 the full five-surface card
-    * "stays on q207's scheduled cadence" was a CONVENTION — nothing in the
-    * engine ran it, so the release-bounded gate split's safety depended on
-    * an operator remembering to. The clock mechanizes it: maintain bumps
-    * `nights` after every successful night, stamps `lastDeep` whenever a
-    * full card ran (scheduled, dial-crossing purge, or the
-    * rebalance/stale branch — all audit the same surfaces), and escalates
-    * to the full card when the gap reaches the dial. Lives at the store
-    * ROOT (one tiny text file) because the `meta/` directory is replaced
-    * wholesale by a rebalance swap and the clock must survive it. A store
-    * without the file reads (0, 0) — first maintained night is night 1
-    * with a deep audit immediately due at any positive dial's first
-    * k-night boundary. */
-  private val AuditClockFile = "_auditclock"
-
-  def readAuditClock(spark: SparkSession, path: String): (Long, Long) = {
-    val fs = fsOf(spark, path)
-    val p = new org.apache.hadoop.fs.Path(s"$path/$AuditClockFile")
-    if (!fs.exists(p)) (0L, 0L)
-    else {
-      val in = fs.open(p)
-      val parts =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-        finally in.close()
-      (parts(0).toLong, parts(1).toLong)
-    }
-  }
-
-  private[pipeline] def writeAuditClock(spark: SparkSession, path: String,
-                                        nights: Long, lastDeep: Long): Unit = {
-    val fs = fsOf(spark, path)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$path/$AuditClockFile"), true)
-    try out.write(s"$nights $lastDeep"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  /** The index store's AUDIT CLOCK ([[StoreAudit.readAuditClock]]) lives
+    * at the store ROOT — NOT under `meta/`, which a rebalance swap
+    * replaces wholesale; the clock must survive the swap. */
+  def readAuditClock(spark: SparkSession, path: String): (Long, Long) =
+    StoreAudit.readAuditClock(spark, path)
 
   /** Distinct release names present in the code table, from the partition
     * directory listing (no file reads — the [[vacuum]] walk). */

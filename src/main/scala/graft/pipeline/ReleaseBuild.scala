@@ -95,7 +95,8 @@ object ReleaseBuild {
                         idCol: String, textCol: String, sourceCol: String,
                         verifyDocs: DataFrame, sigPath: String,
                         gramPath: String, release: String,
-                        weights: Array[Long], p: Params = Params()): DataFrame = {
+                        weights: Array[Long], p: Params = Params(),
+                        deepAuditEvery: Int = 0): DataFrame = {
     // converge a takedown crashed between its signature delete and its gram
     // restore before building on the stores (the [[VectorRelease.maintain]]
     // step-0 symmetry: a night must not roll forward over torn state).
@@ -186,6 +187,43 @@ object ReleaseBuild {
       s"store integrity audit failed (release '$release': gram store " +
         s"layout): $nLayoutDup of this release's grams already stored " +
         "under a prior release")
+    // SCHEDULED DEEP AUDIT — the text tier's [[VectorRelease.maintain]]
+    // `deepAuditEvery` cadence ([[StoreAudit.readAuditClock]] beside the
+    // gram store): the release-bounded gates above deliberately trust
+    // untouched prior releases, so every k-th night pays the full
+    // fixture-free text card. Checked: every signature row's doc exists in
+    // the retained corpus AND every retained doc signs somewhere (orphan +
+    // store-wide missing — this is where verifyDocs' strong contract pays
+    // off: it IS the retained corpus plus tonight's new docs, so the
+    // signed population is derivable); the gram store holds each gram
+    // under exactly ONE release and no gram outside the corpus's gram set
+    // (cross_release_dup + orphan — the `missing` direction is
+    // deliberately unchecked store-wide: GramStore.vacuum's documented
+    // takedown conservativeness legitimately forgets straddling grams, so
+    // corpus-grams-absent-from-store is not an invariant). Cost: one
+    // corpus text pass for the gram set + signature-store-keyed scans —
+    // the scheduled price, paid every k nights instead of never. An
+    // aborted night leaves the clock unstamped, so the audit re-arms.
+    val (nightsSoFar, lastDeep) = StoreAudit.readAuditClock(spark, gramPath)
+    val night = nightsSoFar + 1
+    val deepDue = deepAuditEvery > 0 && night - lastDeep >= deepAuditEvery
+    if (deepDue) {
+      spark.catalog.refreshByPath(sigPath)
+      val signedUniverse = retainedPrior
+        .select(col(idCol).cast("long").as("doc_id"))
+        .unionByName(retained.select(col(idCol).cast("long").as("doc_id")))
+      StoreAudit.assertZero(StoreAudit.card("signatures",
+          SignatureStore.read(spark, sigPath), "doc_id",
+          signedUniverse, dupInvariant = false),
+        Seq("orphan", "missing"),
+        s"release '$release' deep audit: signature store vs retained corpus")
+      StoreAudit.assertZero(StoreAudit.card("grams", gramsNow, "gram_h",
+          GramStore.grams(verifyDocs, textCol)),
+        Seq("cross_release_dup", "orphan"),
+        s"release '$release' deep audit: gram store layout")
+    }
+    StoreAudit.writeAuditClock(spark, gramPath, night,
+      if (deepDue) night else lastDeep)
     out
   }
 

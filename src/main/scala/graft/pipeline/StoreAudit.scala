@@ -118,6 +118,48 @@ object StoreAudit {
         "orphan", "missing")
   }
 
+  /** A store's AUDIT CLOCK — (nights run, night of the last deep audit),
+    * the persisted state behind the `deepAuditEvery` cadence of
+    * [[VectorRelease.maintain]] and [[ReleaseBuild.rollForwardOnDisk]].
+    * Before round 14 "the full card stays on q207's scheduled cadence"
+    * was a CONVENTION — nothing in the engine ran it, so the
+    * release-bounded gate split's safety depended on an operator
+    * remembering to. The clock mechanizes it: the nightly bumps `nights`
+    * after every night whose gates all passed, stamps `lastDeep` whenever
+    * a full card ran, and escalates to the full card when the gap reaches
+    * the dial; an ABORTED night never advances the clock, so a due deep
+    * audit re-arms until the corruption is repaired. One tiny
+    * whitespace-separated text file at `path` (the caller picks a
+    * location that survives that store's maintenance rewrites); a store
+    * without the file reads (0, 0). */
+  def readAuditClock(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$AuditClockFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      val in = fs.open(p)
+      val parts =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+        finally in.close()
+      (parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  private[pipeline] def writeAuditClock(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      nights: Long, lastDeep: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$AuditClockFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$nights $lastDeep"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val AuditClockFile = "_auditclock"
+
   /** Assert a card's invariant columns are all zero, failing LOUDLY with
     * the offending rows in the message — the nightly-gate verb
     * ([[VectorRelease.maintain]] / [[ReleaseBuild.rollForwardOnDisk]] end

@@ -479,7 +479,7 @@ object VectorRelease {
     // every gate passed — the night is committed: advance the clock (an
     // aborted night deliberately leaves it untouched, so the due deep
     // audit re-arms on the rerun)
-    IndexStore.writeAuditClock(spark, path, night,
+    StoreAudit.writeAuditClock(spark, path, night,
       if (fullCardNight) night else lastDeepNight)
     out.withColumn("rebalanced", lit(needsRebalance))
   }

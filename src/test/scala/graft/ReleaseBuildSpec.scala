@@ -70,6 +70,51 @@ class ReleaseBuildSpec extends SparkSpec {
       "the sketch fast path must not change the night's answers")
   }
 
+  test("text-tier deepAuditEvery: a torn untouched release survives k-1 nights, aborts the k-th, repairRelease re-arms the clock") {
+    import graft.pipeline.StoreAudit
+    val dir = Files.createTempDirectory("relbuild_deep").toString
+    val s0 = col("doc_id") % 10 < 3
+    val s0b = col("doc_id") % 10 >= 3 && col("doc_id") % 10 < 6
+    val s1 = col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8
+    val s2 = col("doc_id") % 10 >= 8
+    SignatureStore.append(spark, s"$dir/sigs", "r0",
+      docs.where(s0), "doc_id", "text")
+    SignatureStore.append(spark, s"$dir/sigs", "r0b",
+      docs.where(s0b), "doc_id", "text")
+    GramStore.append(spark, s"$dir/grams", "r0", docs.where(s0), "text")
+    GramStore.append(spark, s"$dir/grams", "r0b", docs.where(s0b), "text")
+    // corruption in a release no nightly will touch: r0's signature
+    // partition is torn out (lost append / operator error)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/sigs/release=r0"), true))
+    spark.catalog.refreshByPath(s"$dir/sigs")
+    val w = trainedWeights
+    // night 1 (k-1 survival): release-bounded gates trust untouched r0
+    val n1 = ReleaseBuild.rollForwardOnDisk(spark, docs.where(s1),
+      "doc_id", "text", "source", docs.where(s0 || s0b || s1), s"$dir/sigs",
+      s"$dir/grams", "r1", w, deepAuditEvery = 2).localCheckpoint()
+    assert(StoreAudit.readAuditClock(spark, s"$dir/grams") === (1L, 0L))
+    // night 2 is the k-th: the full text card runs and catches the tear
+    val retained1 = docs.join(n1.select("doc_id"), Seq("doc_id"), "left_semi")
+    val verify2 = docs.where(s0 || s0b).unionByName(retained1)
+      .unionByName(docs.where(s2))
+    def night2() = ReleaseBuild.rollForwardOnDisk(spark, docs.where(s2),
+      "doc_id", "text", "source", verify2, s"$dir/sigs", s"$dir/grams",
+      "r2", w, deepAuditEvery = 2)
+    val thrown = intercept[IllegalStateException] { night2().count() }
+    assert(thrown.getMessage.contains("deep audit: signature store"),
+      thrown.getMessage)
+    // the aborted night leaves the clock unstamped: the audit re-arms
+    assert(StoreAudit.readAuditClock(spark, s"$dir/grams") === (1L, 0L))
+    // repair the torn release; the rerun passes and stamps the clock
+    ReleaseBuild.repairRelease(spark, s"$dir/sigs", s"$dir/grams",
+      docs.where(s0), "doc_id", "text", "r0")
+    night2().count()
+    assert(StoreAudit.readAuditClock(spark, s"$dir/grams") === (2L, 2L))
+  }
+
   test("takedownDocs: exact signature removal, gram margin restored, equals stores built without the docs") {
     val isTomb = col("doc_id") % 9 === 2
     val dir = Files.createTempDirectory("relbuild_tkd").toString
