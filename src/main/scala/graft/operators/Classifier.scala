@@ -253,7 +253,10 @@ object Classifier {
     * addition commutes, so the result is bit-identical to the (idx, cnt)
     * aggregated form whatever the token order or partitioning. */
   def scoreExpr(textCol: Column, weights: Array[Long]): Column = {
-    val wLit = array(weights.map(lit): _*)
+    // one ArrayType literal (a codegen reference), not d inlined longs:
+    // refreshed weights then reuse the same generated code (the
+    // Similarity.litVec reasoning)
+    val wLit = lit(weights)
     aggregate(
       transform(TextAnalysis.tokens(textCol),
         t => element_at(wLit,

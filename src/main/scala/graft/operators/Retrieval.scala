@@ -233,17 +233,20 @@ object Retrieval {
     }
     var exhausted = seedRows.isEmpty
     while (!exhausted && selected.length < k) {
-      val selIds = selected.map(_._2).toSet
+      val selIds = selected.map(_._2).toArray
       // max over selected of the ROUNDED dot: each term rounds before the
-      // greatest(), matching the oracle's max over per-pair rounded sums
-      val sims = selected.toSeq.map { case (_, _, e, _) =>
-        round(Similarity.dot(col("emb"), array(e.map(lit): _*)), scale)
-      }
-      val maxSim = if (sims.lengthIs == 1) sims.head else greatest(sims: _*)
+      // max, matching the oracle's max over per-pair rounded sums. The
+      // selected set rides as ONE matrix literal + array_max(transform(…))
+      // instead of k growing greatest(dot(lit-array), …) arms, so every
+      // round (and every pool) shares one compiled stage (the
+      // Similarity.litVec reasoning); same rounded values, same max.
+      val selMat = Similarity.litMat(selected.map(_._3.toArray).toArray)
+      val maxSim = array_max(transform(selMat,
+        se => round(Similarity.dot(col("emb"), se), scale)))
       // the winner's embedding rides in the same TakeOrdered row, so each
       // round is exactly ONE job over the pool
       val pick = base
-        .where(!col("vec_id").isin(selIds.toSeq: _*))
+        .where(!array_contains(Similarity.litVecL(selIds), col("vec_id")))
         .select(col("vec_id"), maxSim.as("ms"), col("emb"))
         .orderBy(col("ms").asc, col("vec_id").asc)
         .limit(1)

@@ -24,6 +24,62 @@ object Similarity {
     * (`HashFunctions.register` or `GraftExtensions`). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Model constants (centroids, codebooks, weights, selected vectors) as
+    * SINGLE array-typed literals. An ArrayType literal is codegen'd as one
+    * entry in the plan's `references` array, so two plans that differ only
+    * in the VALUES — successive Lloyd/PQ/power iterations, different
+    * frozen stores, refreshed weights — generate byte-identical Java
+    * source and hit the JVM-wide codegen cache; the element-wise
+    * `array(lit, lit, …)` spelling inlines every double into the source,
+    * so every iteration of every trainer recompiled its whole stage (and
+    * serialized a task binary carrying the unrolled expression tree).
+    * Values, arithmetic and IEEE evaluation order are unchanged — only
+    * how the constants ride the plan. */
+  private[graft] def litVec(a: Array[Double]): Column = lit(a)
+  private[graft] def litVecL(a: Array[Long]): Column = lit(a)
+  private[graft] def litMat(m: Array[Array[Double]]): Column =
+    typedlit(m.map(_.toSeq).toSeq)
+  private[graft] def litCube(c: Array[Array[Array[Double]]]): Column =
+    typedlit(c.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** ‖c‖² per row of a centroid matrix — driver-side, the exact
+    * accumulation order the inlined spelling used. */
+  private def normsSq(c: Array[Array[Double]]): Array[Double] =
+    c.map { cv =>
+      var nsq = 0d; var i = 0
+      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
+      nsq
+    }
+
+  /** The probe/assignment score table (‖c_j‖² − 2·emb·c_j, j) as an array
+    * of structs, built from sequence+transform over matrix literals so the
+    * generated code is value-independent (see [[litMat]]). Field names and
+    * per-cell arithmetic match the previous unrolled spelling exactly. */
+  private def cellScoreArr(c: Array[Array[Double]], emb: Column,
+                           idxName: String): Column = {
+    val cMat = litMat(c)
+    val nsqArr = litVec(normsSq(c))
+    transform(sequence(lit(0), lit(c.length - 1)), j =>
+      // aliases inside a lambda don't name struct fields — the rename-only
+      // cast does (values untouched)
+      struct(element_at(nsqArr, j + 1) -
+        lit(2d) * dot(emb, element_at(cMat, j + 1)), j)
+        .cast(s"struct<d:double,$idxName:int>"))
+  }
+
+  /** The query-side ADC lookup tables `parts[s][j] = floor(q_s · c_{s,j} ·
+    * 1e6 + 0.5)` over codebook literals — the [[litCube]] spelling of the
+    * previously unrolled double array-of-arrays (same values, same
+    * evaluation order per entry). */
+  private def adcParts(cb: Array[Array[Array[Double]]], resid: Column,
+                       dsub: Int): Column = {
+    val cbCube = litCube(cb)
+    transform(sequence(lit(0), lit(cb.length - 1)), s =>
+      transform(element_at(cbCube, s + 1), cvec =>
+        floor(dot(slice(resid, s * lit(dsub) + lit(1), lit(dsub)), cvec)
+          * 1e6 + 0.5).cast("long")))
+  }
+
   /** The composed higher-order-function form of [[dot]] — kept as the
     * registration-free fallback and the semantic reference the native
     * expression is tested against. */
@@ -354,18 +410,23 @@ object Similarity {
     * it. The HOF lambda references the accumulator as a variable, keeping the
     * tree linear in k; the heavy per-row math (the dot products) stays in the
     * native codegen'd expression either way. */
-  private def assignExpr(c: Array[Array[Double]], emb: Column): Column = {
-    val scored = c.zipWithIndex.map { case (cv, j) =>
-      var nsq = 0d; var i = 0
-      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
-      struct((lit(nsq) - lit(2d) * dot(emb, array(cv.map(lit): _*)))
-        .as("d"), lit(j).as("j"))
+  private def assignExpr(c: Array[Array[Double]], emb: Column): Column =
+    if (c.length == 1) lit(0)
+    else {
+      val cMat = litMat(c)
+      val nsqArr = litVec(normsSq(c))
+      def scored(j: Column) =
+        struct(element_at(nsqArr, j + 1) -
+          lit(2d) * dot(emb, element_at(cMat, j + 1)), j)
+          .cast("struct<d:double,j:int>")
+      // fold j = 1..k-1 onto the j = 0 zero — the same strict-< comparison
+      // sequence as the previous unrolled array spelling, and still exactly
+      // one dot evaluation per cell per row
+      aggregate(transform(sequence(lit(1), lit(c.length - 1)), scored(_)),
+        scored(lit(0)),
+        (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
+        .getField("j")
     }
-    if (scored.length == 1) scored.head.getField("j")
-    else aggregate(array(scored.tail: _*), scored.head,
-      (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
-      .getField("j")
-  }
 
   /** Lloyd iterations only — returns the final centroids (k × dim doubles)
     * so callers can reuse the assignment expression without a join. */
@@ -423,8 +484,8 @@ object Similarity {
                               dim: Int, iters: Int = 3): DataFrame = {
     def q(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
     val (mu, v) = topComponent(df, idCol, embCol, dim, iters)
-    val muLit = array(mu.map(lit): _*)
-    val vLit = array(v.map(lit): _*)
+    val muLit = litVec(mu)
+    val vLit = litVec(v)
     df.select(col(idCol),
         zip_with(col(embCol).cast("array<double>"), muLit, (a, b) => a - b).as("__c"))
       .select(col(idCol),
@@ -454,14 +515,14 @@ object Similarity {
         .collect().foreach { r =>
           mu(r.getAs[Int]("i")) = r.getAs[Long]("sx").toDouble / n.toDouble / 1e6
         }
-      val muLit = array(mu.map(lit): _*)
+      val muLit = litVec(mu)
       def centered: Column = zip_with(col("__v"), muLit, (a, b) => a - b)
       def proj(vLit: Column): Column =
         aggregate(zip_with(col("__c"), vLit, (a, b) => a * b),
           lit(0d), (acc, x) => acc + x)
       var v = Array.fill(dim)(1.0)
       for (_ <- 1 to iters) {
-        val vLit = array(v.map(lit): _*)
+        val vLit = litVec(v)
         val u = new Array[Double](dim)
         vecs.select(centered.as("__c"))
           .select(col("__c"), proj(vLit).as("__s"))
@@ -536,7 +597,7 @@ object Similarity {
     * element). */
   def householderRotate(df: DataFrame, embCol: String,
                         w: Array[Double]): DataFrame = {
-    val wLit = array(w.map(lit): _*)
+    val wLit = litVec(w)
     val others = df.columns.filter(_ != embCol).map(col)
     df.withColumn("__hh_d2",
         aggregate(zip_with(col(embCol), wLit, (a, b) => a * b),
@@ -676,7 +737,7 @@ object Similarity {
     val dsub = dim / m
     val perSub = array((0 until m).map { s =>
       val sl = slice(col(embCol).cast("array<double>"), s * dsub + 1, dsub)
-      val cents = array(cb(s).map(c => array(c.map(lit): _*)): _*)
+      val cents = litMat(cb(s))
       val chosen = element_at(cents, assignExpr(cb(s), sl) + 1)
       val sq = aggregate(zip_with(sl, chosen, (a, b) => (a - b) * (a - b)),
         lit(0d), (acc, x) => acc + x)
@@ -721,11 +782,7 @@ object Similarity {
     val dsub = dim / m
     val enc = pqEncode(df, idCol, embCol, dim, cb)
       .select(col(idCol).cast("long").as("cand_id"), col("codes"))
-    val parts = array((0 until m).map { s =>
-      val qs = slice(col("__q"), s * dsub + 1, dsub)
-      array(cb(s).map(c =>
-        floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
-    }: _*)
+    val parts = adcParts(cb, col("__q"), dsub)
     val qd = df.where(queryFilter)
       .select(col(idCol).cast("long").as("q_id"),
         col(embCol).cast("array<double>").as("__q"))
@@ -820,7 +877,7 @@ object Similarity {
     * frozen centroids — pure map (centroids ride as array literals). */
   private def ivfPqResiduals(df: DataFrame, idCol: String, embCol: String,
                              cents: Array[Array[Double]]): DataFrame = {
-    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    val centArr = litMat(cents)
     df.select(col(idCol).cast("long").as("cand_id"),
         col(embCol).cast("array<double>").as("__v"))
       .withColumn("cell", assignExpr(cents, col("__v")))
@@ -848,12 +905,7 @@ object Similarity {
                  nProbe: Int): DataFrame = {
     require(nProbe > 0 && nProbe <= model.kCoarse,
       s"nProbe=$nProbe must be in 1..kCoarse=${model.kCoarse}")
-    val cellScores = array(model.centroids.zipWithIndex.map { case (cv, j) =>
-      var nsq = 0d; var i = 0
-      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
-      struct((lit(nsq) - lit(2d) * dot(col("q_emb"), array(cv.map(lit): _*))).as("d"),
-        lit(j).as("cell"))
-    }: _*)
+    val cellScores = cellScoreArr(model.centroids, col("q_emb"), "cell")
     queries.select(col("q_id"), col("q_emb"), explode(cellScores).as("cs"))
       .select(col("q_id"), col("q_emb"),
         col("cs.d").as("__d"), col("cs.cell").as("cell"))
@@ -883,14 +935,10 @@ object Similarity {
                  shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val dsub = model.dim / model.m
-    val centArr = array(model.centroids.map(cv => array(cv.map(lit): _*)): _*)
+    val centArr = litMat(model.centroids)
     val probed = ivfPqProbe(queries, model, nProbe)
     // per-(query, probed cell) residual lookup tables
-    val parts = array((0 until model.m).map { s =>
-      val qs = slice(col("__qr"), s * dsub + 1, dsub)
-      array(model.codebooks(s).map(c =>
-        floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
-    }: _*)
+    val parts = adcParts(model.codebooks, col("__qr"), dsub)
     val qtab = probed
       .withColumn("__qr",
         zip_with(col("q_emb"), element_at(centArr, col("cell") + 1), (a, b) => a - b))
@@ -936,12 +984,7 @@ object Similarity {
       s"nProbe=$nProbe must be in 1..${cents.length}")
     // probe by the same (‖c‖² − 2·q·c) metric as assignment (the
     // ivfPqProbe spelling, against raw centroids — no codebooks needed)
-    val cellScores = array(cents.zipWithIndex.map { case (cv, j) =>
-      var nsq = 0d; var i = 0
-      while (i < cv.length) { nsq += cv(i) * cv(i); i += 1 }
-      struct((lit(nsq) - lit(2d) * dot(col("q_emb"), array(cv.map(lit): _*))).as("d"),
-        lit(j).as("cell"))
-    }: _*)
+    val cellScores = cellScoreArr(cents, col("q_emb"), "cell")
     val probed = nodes.select(col("q_id"), col("q_emb"), explode(cellScores).as("cs"))
       .select(col("q_id"), col("q_emb"),
         col("cs.d").as("__d"), col("cs.cell").as("cell"))
@@ -1014,13 +1057,9 @@ object Similarity {
                       shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val dsub = model.dim / model.m
-    val centArr = array(model.centroids.map(cv => array(cv.map(lit): _*)): _*)
+    val centArr = litMat(model.centroids)
     val probed = ivfPqProbe(nodes, model, nProbe)
-    val parts = array((0 until model.m).map { s =>
-      val qs = slice(col("__qr"), s * dsub + 1, dsub)
-      array(model.codebooks(s).map(c =>
-        floor(dot(qs, array(c.map(lit): _*)) * 1e6 + 0.5).cast("long")): _*)
-    }: _*)
+    val parts = adcParts(model.codebooks, col("__qr"), dsub)
     val qtab = probed
       .withColumn("__qr",
         zip_with(col("q_emb"), element_at(centArr, col("cell") + 1), (a, b) => a - b))

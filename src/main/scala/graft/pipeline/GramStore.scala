@@ -39,7 +39,8 @@ object GramStore {
     * previously failed partway — fully rebuilds and replaces its partition
     * instead of being suppressed by its own partial leftovers. */
   def append(spark: SparkSession, path: String, release: String,
-             docs: DataFrame, textCol: String): Unit = {
+             docs: DataFrame, textCol: String,
+             docGrams: Option[DataFrame] = None): Unit = {
     val existing =
       if (exists(spark, path)) {
         // the session FileStatusCache may hold a pre-overwrite listing from
@@ -50,8 +51,11 @@ object GramStore {
     // materialize the novel-gram set BEFORE the write: the write's commit
     // dynamically replaces files under the same path this plan reads, so
     // the anti-join must not still be scanning the store while (or after)
-    // its listing is being replaced — localCheckpoint pins the result
-    val novel = grams(docs, textCol)
+    // its listing is being replaced — localCheckpoint pins the result.
+    // `docGrams` lets a caller that already computed [[grams]] of `docs`
+    // (ReleaseBuild.rollForwardOnDisk shares it with its audit card) hand
+    // the frame in instead of this append re-running the shingle pass.
+    val novel = docGrams.getOrElse(grams(docs, textCol))
       .join(existing, Seq("gram_h"), "left_anti")
       .localCheckpoint()
     if (novel.isEmpty && exists(spark, path))

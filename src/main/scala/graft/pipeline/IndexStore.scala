@@ -190,6 +190,18 @@ object IndexStore {
   private val sharedBuilds =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The driver-resident metadata one serving/maintenance call needs —
+    * frozen quantizers + optional OPQ rotation — read ONCE per call and
+    * passed down ([[VectorRelease.maintain]]/[[VectorRelease.rollForward]])
+    * instead of each sub-step re-reading the meta parquet: the night's
+    * model is frozen for its whole duration (any rebalance happens before
+    * the read), so the repeated reads were pure per-step job overhead —
+    * and at scale, repeated driver round-trips to storage. */
+  final case class StoreMeta(model: IvfPqModel, rotation: Option[Array[Double]])
+
+  def readMeta(spark: SparkSession, path: String): StoreMeta =
+    StoreMeta(readModel(spark, path), readRotation(spark, path))
+
   /** Encode a new release against the frozen quantizers and append it —
     * map-only over the new slice (through the frozen rotation, if the
     * store has one), idempotent per release. Writes the release's id
@@ -197,6 +209,14 @@ object IndexStore {
     * audit can clear prior releases without scanning them. */
   def append(spark: SparkSession, path: String, newVecs: DataFrame,
              idCol: String, embCol: String, release: String): Unit =
+    appendWith(spark, path, newVecs, idCol, embCol, release, None)
+
+  /** [[append]] with an optionally preloaded [[StoreMeta]] (read lazily:
+    * the empty-release branch never needs it). */
+  private[pipeline] def appendWith(spark: SparkSession, path: String,
+                                   newVecs: DataFrame, idCol: String,
+                                   embCol: String, release: String,
+                                   meta: Option[StoreMeta]): Unit =
     if (newVecs.isEmpty)
       // the empty-release contract every release-partitioned store here
       // carries (SignatureStore/GramStore.append): a dynamic overwrite of
@@ -205,9 +225,9 @@ object IndexStore {
       // append's ghost partitions — code table AND rerank tier — itself
       vacuum(spark, path, name => name != release)
     else {
-      writeCodes(rotate(newVecs, embCol, readRotation(spark, path)),
-        idCol, embCol, readModel(spark, path), release,
-        s"$path/codes", dynamic = true)
+      val m = meta.getOrElse(readMeta(spark, path))
+      writeCodes(rotate(newVecs, embCol, m.rotation),
+        idCol, embCol, m.model, release, s"$path/codes", dynamic = true)
       writeIdSketch(spark, path, release,
         newVecs.select(col(idCol).cast("long").as("cand_id")))
     }
@@ -536,7 +556,14 @@ object IndexStore {
     * lookup reads the release's just-written codes);
     * [[graft.pipeline.VectorRelease.maintain]] does both. */
   def appendRerank(spark: SparkSession, path: String, newVecs: DataFrame,
-                   release: String): Unit = {
+                   release: String): Unit =
+    appendRerankWith(spark, path, newVecs, release, None)
+
+  /** [[appendRerank]] with an optionally preloaded frozen rotation. */
+  private[pipeline] def appendRerankWith(spark: SparkSession, path: String,
+                                         newVecs: DataFrame, release: String,
+                                         rot: Option[Option[Array[Double]]])
+      : Unit = {
     // same epoch guard as the serve path: appending under another
     // generation's frozen stats would quantize with dead ranges and mix
     // quantizer epochs in one tier — rebuild first (see [[rerankVecs]])
@@ -546,7 +573,8 @@ object IndexStore {
         s"int8 rerank tier is stamped with model generation $g but the " +
           s"store is at generation $cur — rebuild it before appending")
     }
-    val fv = rotate(newVecs, "cand_emb", readRotation(spark, path))
+    val fv = rotate(newVecs, "cand_emb",
+      rot.getOrElse(readRotation(spark, path)))
     val ex = fv.select(col("cand_id"),
       posexplode(col("cand_emb")).as(Seq("i", "v")))
     writeRerankCodes(spark, path, ex, readRerankStats(spark, path),
@@ -656,8 +684,10 @@ object IndexStore {
     val stats = readRerankStats(spark, path)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
-    val loArr = array(stats.map(s => lit(s._2)): _*)
-    val hiArr = array(stats.map(s => lit(s._3)): _*)
+    // single array literals (codegen references): every store's dequantize
+    // plan shares one compiled stage (the Similarity.litVec reasoning)
+    val loArr = Similarity.litVec(stats.map(_._2))
+    val hiArr = Similarity.litVec(stats.map(_._3))
     // an appendRerank may have dynamically grown this table since a prior
     // read in this session — drop any cached file listing first
     spark.catalog.refreshByPath(s"$path/rerank/codes")
@@ -683,9 +713,19 @@ object IndexStore {
     * probed population, exactly like [[query]]. */
   def decontaminate(spark: SparkSession, path: String, evals: DataFrame,
                     fullVecs: DataFrame, nProbe: Int, shortlist: Int,
-                    threshold: Double): DataFrame = {
-    val model = readModel(spark, path)
-    val rot = readRotation(spark, path)
+                    threshold: Double): DataFrame =
+    decontaminateWith(spark, path, evals, fullVecs, nProbe, shortlist,
+      threshold, None)
+
+  /** [[decontaminate]] with an optionally preloaded [[StoreMeta]]. */
+  private[pipeline] def decontaminateWith(spark: SparkSession, path: String,
+                                          evals: DataFrame,
+                                          fullVecs: DataFrame, nProbe: Int,
+                                          shortlist: Int, threshold: Double,
+                                          meta: Option[StoreMeta]): DataFrame = {
+    val m = meta.getOrElse(readMeta(spark, path))
+    val model = m.model
+    val rot = m.rotation
     val ev = rotate(evals, "q_emb", rot)
     val fv = rotate(fullVecs, "cand_emb", rot)
     val probedCells = Similarity.ivfPqProbe(ev, model, nProbe)

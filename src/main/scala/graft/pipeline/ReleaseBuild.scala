@@ -122,7 +122,12 @@ object ReleaseBuild {
       sig, grams, weights, p).localCheckpoint()
     val retained = newDocs.join(out.select(idCol), Seq(idCol), "left_semi")
     SignatureStore.append(spark, sigPath, release, retained, idCol, textCol)
-    GramStore.append(spark, gramPath, release, retained, textCol)
+    // the retained slice's gram set feeds BOTH the append's novel margin
+    // and the gate's provenance card below — compute the shingle pass once
+    // and pin it (delta-sized: the night's retained docs only)
+    val retGrams = GramStore.grams(retained, textCol).localCheckpoint()
+    GramStore.append(spark, gramPath, release, retained, textCol,
+      docGrams = Some(retGrams))
     // INTEGRITY GATE (the text-tier twin of [[VectorRelease.maintain]]'s):
     // the night ends by auditing the partitions it just wrote and aborting
     // loudly on any non-zero invariant, so a torn append cannot report
@@ -154,7 +159,7 @@ object ReleaseBuild {
     val gramsNow = GramStore.read(spark, gramPath)
     StoreAudit.assertZero(StoreAudit.card("grams",
         gramsNow.where(col("release") === release), "gram_h",
-        GramStore.grams(retained, textCol)
+        retGrams
           .withColumn("release", lit(release)), dupInvariant = false),
       Seq("orphan"), s"release '$release': gram margin provenance")
     // The layout probe consults the per-release gram sketches first

@@ -50,11 +50,20 @@ object StoreAudit {
   def card(tier: String, store: DataFrame, idCol: String,
            universe: DataFrame, dupInvariant: Boolean = true): DataFrame = {
     val hasRel = universe.columns.contains("release")
-    val idRel = store.select(col(idCol).cast("long").as("__id"),
-      col("release").cast("string").as("release")).distinct()
-    val perRel = store.groupBy(col("release").cast("string").as("release"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col(idCol)).as("n_ids"))
+    // ONE keyed pass over the store yields every store-side input: the
+    // distinct (id, release) set (the old `idRel`), per-release row/id
+    // counts (the old second store scan with its countDistinct expand),
+    // and the dup check's base — so the store is scanned and shuffled
+    // once, not twice, per card. Counts replicate the previous spelling
+    // exactly: n_rows counts every row (null ids included), n_ids counts
+    // DISTINCT NON-NULL ids (countDistinct semantics).
+    val idRelCnt = store.select(col(idCol).cast("long").as("__id"),
+        col("release").cast("string").as("release"))
+      .groupBy(col("__id"), col("release")).agg(count(lit(1)).as("__nr"))
+    val idRel = idRelCnt.select(col("__id"), col("release"))
+    val perRel = idRelCnt.groupBy(col("release"))
+      .agg(sum(col("__nr")).as("n_rows"),
+        count(when(col("__id").isNotNull, lit(1))).as("n_ids"))
     val dup =
       if (dupInvariant) {
         val dupIds = idRel.groupBy("__id")
@@ -69,12 +78,20 @@ object StoreAudit {
         col("release").cast("string").as("release")).distinct()
       else universe.select(col(uniIdCol).cast("long").as("__id")).distinct()
     val joinKeys = if (hasRel) Seq("__id", "release") else Seq("__id")
-    val orph = idRel.join(uni, joinKeys, "left_anti")
+    // orphan and missing are the two direction counts of ONE full-outer
+    // join (each side's unmatched rows), replacing the two separate
+    // anti-joins — same counts: with a release-keyed universe the join is
+    // per (id, release) pair; with an id-only universe the store side
+    // keeps its release column and the universe side is unique per id, so
+    // store-null rows count exactly the old distinct-id anti-join.
+    val both = idRel.withColumn("__s", lit(1))
+      .join(uni.withColumn("__u", lit(1)), joinKeys, "full_outer")
+    val orph = both.where(col("__u").isNull)
       .groupBy("release").agg(count(lit(1)).as("orphan"))
     val miss =
-      if (hasRel) uni.join(idRel, joinKeys, "left_anti")
+      if (hasRel) both.where(col("__s").isNull)
         .groupBy("release").agg(count(lit(1)).as("missing"))
-      else uni.join(idRel.select("__id").distinct(), joinKeys, "left_anti")
+      else both.where(col("__s").isNull)
         .agg(count(lit(1)).as("missing"))
         .select(lit(StoreRow).as("release"), col("missing"))
     // the release dimension must cover BOTH sides: a release torn out of

@@ -91,21 +91,37 @@ object VectorRelease {
   def rollForward(spark: SparkSession, path: String, newVecs: DataFrame,
                   oldVecs: DataFrame, evals: DataFrame, priorGraph: DataFrame,
                   idCol: String, embCol: String, release: String,
-                  p: Params = Params()): DataFrame = {
+                  p: Params = Params()): DataFrame =
+    rollForwardWith(spark, path, newVecs, oldVecs, evals, priorGraph, idCol,
+      embCol, release, p, None)
+
+  /** [[rollForward]] with an optionally preloaded [[IndexStore.StoreMeta]]
+    * — [[maintain]] reads the (post-rebalance, frozen-for-the-night) meta
+    * once and threads it through every sub-step. */
+  private[pipeline] def rollForwardWith(spark: SparkSession, path: String,
+                                        newVecs: DataFrame,
+                                        oldVecs: DataFrame, evals: DataFrame,
+                                        priorGraph: DataFrame, idCol: String,
+                                        embCol: String, release: String,
+                                        p: Params,
+                                        metaOpt: Option[IndexStore.StoreMeta])
+      : DataFrame = {
     // a rerun of the same night dynamically replaces this release's code
     // partitions — refresh so no stale file listing from a previous attempt
     // survives into this plan (the rollForwardOnDisk contract)
     spark.catalog.refreshByPath(path)
+    val meta = metaOpt.getOrElse(IndexStore.readMeta(spark, path))
     // 1. map-only frozen-model append of the new release's codes
-    IndexStore.append(spark, path, newVecs, idCol, embCol, release)
-    val model = IndexStore.readModel(spark, path)
+    IndexStore.appendWith(spark, path, newVecs, idCol, embCol, release,
+      Some(meta))
+    val model = meta.model
     // the store's centroids live in its ROTATED space when it carries an
     // OPQ rotation — build the graph there too, or the cell pruning would
     // probe rotated centroids with unrotated vectors. The reflection is
     // orthogonal, so scores are the same dot products; identity (and
     // bit-identical plans) for a plain store. Prior graphs from earlier
     // nights were built in the same frozen space, so merges stay exact.
-    val rot = IndexStore.readRotation(spark, path)
+    val rot = meta.rotation
     def nodes(d: DataFrame) = {
       val n = d.select(col(idCol).cast("long").as("q_id"),
         col(embCol).cast("array<double>").as("q_emb"))
@@ -132,8 +148,8 @@ object VectorRelease {
 
     // 3. eval drop list served FROM the just-appended index — which
     //    rotates its own inputs, so it gets the RAW candidates
-    val drops = IndexStore.decontaminate(spark, path, evals, candsRaw(union),
-      p.nProbe, p.shortlist, p.threshold)
+    val drops = IndexStore.decontaminateWith(spark, path, evals,
+      candsRaw(union), p.nProbe, p.shortlist, p.threshold, Some(meta))
 
     // one frame pinning all three artifacts: edge rows + the source's
     // release (from the store's own codes) + its drop status
@@ -304,6 +320,10 @@ object VectorRelease {
     //    bumps the generation and forces the from-scratch rebuild under
     //    the healed model (see scaladoc).
     val stale = IndexStore.generation(spark, path) != priorGeneration
+    // the night's model is frozen from here on (the rebalance, if any,
+    // already committed) — read the meta ONCE and thread it through every
+    // remaining step instead of each sub-step re-reading the meta parquet
+    val meta = IndexStore.readMeta(spark, path)
     def cands(d: DataFrame) = d.select(
       col(idCol).cast("long").as("cand_id"),
       col(embCol).cast("array<double>").as("cand_emb"))
@@ -320,29 +340,30 @@ object VectorRelease {
       IndexStore.buildRerank(spark, path, cands(oldV))
     val graphBase =
       if (!stale) tomb.fold(priorGraph)(t =>
-        repairGraph(spark, path, priorGraph, t, oldV, idCol, embCol, p))
+        repairGraph(spark, path, priorGraph, t, oldV, idCol, embCol, p,
+          Some(meta)))
       else {
         // rebuild in the healed store's native space: an OPQ rebalance
         // retrains the rotation too, so reflect the resident vectors
         // through the NEW frozen w before cell pruning (identity for a
         // plain store — see rollForward's rotation note). oldV is already
         // takedown-scrubbed, so the rebuild is servable-only by input.
-        val healed = IndexStore.readModel(spark, path)
-        val rot = IndexStore.readRotation(spark, path)
+        val rot = meta.rotation
         val n0 = oldV.select(col(idCol).cast("long").as("q_id"),
           col(embCol).cast("array<double>").as("q_emb"))
         Similarity.ivfExactGraphEdges(
           rot.fold(n0)(w => Similarity.householderRotate(n0, "q_emb", w)),
           rot.fold(cands(oldV))(w =>
             Similarity.householderRotate(cands(oldV), "cand_emb", w)),
-          healed.centroids, p.nProbe, p.k)
+          meta.model.centroids, p.nProbe, p.k)
       }
-    val out = rollForward(spark, path, newV, oldV, evals, graphBase,
-      idCol, embCol, release, p)
+    val out = rollForwardWith(spark, path, newV, oldV, evals, graphBase,
+      idCol, embCol, release, p, Some(meta))
     // 4. append the delta to the rerank tier under the FROZEN stats
     //    (map-only, dynamic-overwrite idempotent) — after rollForward so
     //    the cell lookup reads the release's just-appended codes.
-    if (hasTier) IndexStore.appendRerank(spark, path, cands(newV), release)
+    if (hasTier) IndexStore.appendRerankWith(spark, path, cands(newV),
+      release, Some(meta.rotation))
     // 5. INTEGRITY GATE, scoped to what the night TOUCHED — the text
     //    gate's delta-bounded shape ([[ReleaseBuild.rollForwardOnDisk]]);
     //    the full five-surface card stays on q207's scheduled cadence. A
@@ -505,7 +526,9 @@ object VectorRelease {
   private def repairGraph(spark: SparkSession, path: String,
                           priorGraph: DataFrame, tomb: DataFrame,
                           oldServable: DataFrame, idCol: String,
-                          embCol: String, p: Params): DataFrame = {
+                          embCol: String, p: Params,
+                          metaOpt: Option[IndexStore.StoreMeta] = None)
+      : DataFrame = {
     val affected = priorGraph
       .join(broadcast(tomb), col("dst_id") === col("__tomb_id"), "left_semi")
       .select(col("src_id")).distinct()
@@ -515,8 +538,9 @@ object VectorRelease {
       .join(broadcast(tomb), col("src_id") === col("__tomb_id"), "left_anti")
       .join(broadcast(tomb), col("dst_id") === col("__tomb_id"), "left_anti")
       .join(broadcast(affected), Seq("src_id"), "left_anti")
-    val model = IndexStore.readModel(spark, path)
-    val rot = IndexStore.readRotation(spark, path)
+    val meta = metaOpt.getOrElse(IndexStore.readMeta(spark, path))
+    val model = meta.model
+    val rot = meta.rotation
     val n0 = oldServable
       .join(broadcast(affected), col(idCol).cast("long") === col("src_id"),
         "left_semi")
