@@ -150,18 +150,21 @@ object ReleaseBuild {
     val retainedIds = retained.select(col(idCol).cast("long").as("doc_id"),
       lit(release).as("release"))
     spark.catalog.refreshByPath(sigPath)
-    StoreAudit.assertZero(StoreAudit.card("signatures",
+    spark.catalog.refreshByPath(gramPath)
+    val gramsNow = GramStore.read(spark, gramPath)
+    // both release-bounded cards verify in ONE collect (per-card
+    // invariants and contexts preserved — StoreAudit.assertZeroAll)
+    StoreAudit.assertZeroAll(Seq(
+      (StoreAudit.card("signatures",
         SignatureStore.read(spark, sigPath)
           .where(col("release") === release),
         "doc_id", retainedIds, dupInvariant = false),
-      Seq("orphan", "missing"), s"release '$release': signature coverage")
-    spark.catalog.refreshByPath(gramPath)
-    val gramsNow = GramStore.read(spark, gramPath)
-    StoreAudit.assertZero(StoreAudit.card("grams",
+        Seq("orphan", "missing"), s"release '$release': signature coverage"),
+      (StoreAudit.card("grams",
         gramsNow.where(col("release") === release), "gram_h",
         retGrams
           .withColumn("release", lit(release)), dupInvariant = false),
-      Seq("orphan"), s"release '$release': gram margin provenance")
+        Seq("orphan"), s"release '$release': gram margin provenance")))
     // The layout probe consults the per-release gram sketches first
     // ([[GramStore.sketchHitReleases]] — the [[VectorRelease.maintain]]
     // delta-newness shape): a Bloom miss is definitive, so a clean night
@@ -217,15 +220,16 @@ object ReleaseBuild {
       val signedUniverse = retainedPrior
         .select(col(idCol).cast("long").as("doc_id"))
         .unionByName(retained.select(col(idCol).cast("long").as("doc_id")))
-      StoreAudit.assertZero(StoreAudit.card("signatures",
+      StoreAudit.assertZeroAll(Seq(
+        (StoreAudit.card("signatures",
           SignatureStore.read(spark, sigPath), "doc_id",
           signedUniverse, dupInvariant = false),
-        Seq("orphan", "missing"),
-        s"release '$release' deep audit: signature store vs retained corpus")
-      StoreAudit.assertZero(StoreAudit.card("grams", gramsNow, "gram_h",
+          Seq("orphan", "missing"),
+          s"release '$release' deep audit: signature store vs retained corpus"),
+        (StoreAudit.card("grams", gramsNow, "gram_h",
           GramStore.grams(verifyDocs, textCol)),
-        Seq("cross_release_dup", "orphan"),
-        s"release '$release' deep audit: gram store layout")
+          Seq("cross_release_dup", "orphan"),
+          s"release '$release' deep audit: gram store layout")))
     }
     StoreAudit.writeAuditClock(spark, gramPath, night,
       if (deepDue) night else lastDeep)

@@ -186,12 +186,26 @@ object StoreAudit {
     * release-list-sized (kilobytes per release), so the collect is
     * bounded driver state, the k-means-centroid idiom. */
   def assertZero(card: DataFrame, invariants: Seq[String],
-                 context: String): Unit = {
-    val bad = card.where(invariants.map(c => col(c) > 0).reduce(_ || _))
-      .collect()
+                 context: String): Unit =
+    assertZeroAll(Seq((card, invariants, context)))
+
+  /** [[assertZero]] over SEVERAL cards in ONE Spark job: each card keeps
+    * its own invariant set and context (the violation row carries the
+    * context it tripped, so abort messages are unchanged per fault), but
+    * the violation probes union into a single collect — a nightly gate
+    * that runs two or three cards pays one driver round-trip instead of
+    * one per card. */
+  def assertZeroAll(checks: Seq[(DataFrame, Seq[String], String)]): Unit = {
+    val cols7 = Seq("tier", "release", "n_rows", "n_ids",
+      "cross_release_dup", "orphan", "missing")
+    val bad = checks.map { case (card, invariants, context) =>
+      card.where(invariants.map(c => col(c) > 0).reduce(_ || _))
+        .select(lit(context).as("__ctx") +: cols7.map(col): _*)
+    }.reduce(_ unionByName _).collect()
     if (bad.nonEmpty)
       throw new IllegalStateException(
-        s"store integrity audit failed ($context): " +
-          bad.map(_.toString).mkString("; "))
+        bad.map(r => s"store integrity audit failed (${r.getString(0)}): " +
+            s"[${r.toSeq.drop(1).mkString(",")}]")
+          .mkString("; "))
   }
 }

@@ -411,16 +411,20 @@ object VectorRelease {
       val codesAudit = scrubCodes(codesNow)
       val corpusIds = oldV.select(col(idCol).cast("long").as("cand_id"))
         .unionByName(newV.select(col(idCol).cast("long").as("cand_id")))
-      StoreAudit.assertZero(
+      // both full cards verify in ONE collect (per-card invariants and
+      // abort contexts preserved — StoreAudit.assertZeroAll)
+      val codesCheck = (
         StoreAudit.card("codes", codesAudit, "cand_id", corpusIds),
         Seq("cross_release_dup", "orphan", "missing"),
         s"maintain night '$release': code table vs servable corpus")
-      if (hasTier) StoreAudit.assertZero(
-        StoreAudit.card("rerank_int8",
+      val tierCheck =
+        if (!hasTier) Nil
+        else Seq((StoreAudit.card("rerank_int8",
           scrubCodes(IndexStore.readRerankCodes(spark, path)), "cand_id",
           codesAudit.select("cand_id", "release")),
-        Seq("cross_release_dup", "orphan", "missing"),
-        s"maintain night '$release': code/int8 row parity")
+          Seq("cross_release_dup", "orphan", "missing"),
+          s"maintain night '$release': code/int8 row parity"))
+      StoreAudit.assertZeroAll(codesCheck +: tierCheck)
     } else {
       // the healthy night touched exactly: the new release's partitions
       // (append/appendRerank) and whatever releases the purge rewrote.
@@ -434,13 +438,29 @@ object VectorRelease {
       // (a) the new release's partition holds EXACTLY the night's delta
       //     (missing = a lost append, orphan = a crashed attempt's ghost
       //     partition the rerun's dynamic overwrite didn't repopulate)
-      StoreAudit.assertZero(
+      // (a) and (d) verify in ONE collect (contexts preserved per card —
+      // the d-card moves ahead of probes b/c, which only reorders WHICH
+      // abort message surfaces when several independent faults coexist)
+      val deltaCheck = (
         StoreAudit.card("codes",
           codesNow.where(col("release") === release), "cand_id",
           deltaIds.withColumn("release", lit(release)),
           dupInvariant = false),
         Seq("orphan", "missing"),
         s"maintain night '$release': new-release delta coverage")
+      val parityCheck =
+        if (!hasTier) Nil
+        else {
+          val inTouched =
+            col("release").cast("string").isin(touched.toSeq: _*)
+          Seq((StoreAudit.card("rerank_int8",
+            IndexStore.readRerankCodes(spark, path).where(inTouched),
+            "cand_id",
+            codesNow.where(inTouched).select("cand_id", "release")),
+            Seq("cross_release_dup", "orphan", "missing"),
+            s"maintain night '$release': code/int8 parity (touched releases)"))
+        }
+      StoreAudit.assertZeroAll(deltaCheck +: parityCheck)
       // (b) the delta must be NEW to the store — the only cross-release
       //     dup an append can introduce. The per-release id sketches are
       //     consulted FIRST ([[IndexStore.sketchHitReleases]]): a Bloom
@@ -484,18 +504,8 @@ object VectorRelease {
       }
       // (d) code↔int8 ROW PARITY on exactly the touched releases — the
       //     torn-purge divergence (one tier rewritten, the other not) can
-      //     only appear where this night wrote; both scans partition-prune
-      if (hasTier) {
-        val inTouched =
-          col("release").cast("string").isin(touched.toSeq: _*)
-        StoreAudit.assertZero(
-          StoreAudit.card("rerank_int8",
-            IndexStore.readRerankCodes(spark, path).where(inTouched),
-            "cand_id",
-            codesNow.where(inTouched).select("cand_id", "release")),
-          Seq("cross_release_dup", "orphan", "missing"),
-          s"maintain night '$release': code/int8 parity (touched releases)")
-      }
+      //     only appear where this night wrote; both scans partition-prune.
+      //     Verified above, unioned with (a) into one collect.
     }
     // every gate passed — the night is committed: advance the clock (an
     // aborted night deliberately leaves it untouched, so the due deep
