@@ -61,9 +61,6 @@ object StoreAudit {
         col("release").cast("string").as("release"))
       .groupBy(col("__id"), col("release")).agg(count(lit(1)).as("__nr"))
     val idRel = idRelCnt.select(col("__id"), col("release"))
-    val perRel = idRelCnt.groupBy(col("release"))
-      .agg(sum(col("__nr")).as("n_rows"),
-        count(when(col("__id").isNotNull, lit(1))).as("n_ids"))
     val dup =
       if (dupInvariant) {
         val dupIds = idRel.groupBy("__id")
@@ -78,35 +75,44 @@ object StoreAudit {
         col("release").cast("string").as("release")).distinct()
       else universe.select(col(uniIdCol).cast("long").as("__id")).distinct()
     val joinKeys = if (hasRel) Seq("__id", "release") else Seq("__id")
-    // orphan and missing are the two direction counts of ONE full-outer
-    // join (each side's unmatched rows), replacing the two separate
-    // anti-joins — same counts: with a release-keyed universe the join is
-    // per (id, release) pair; with an id-only universe the store side
-    // keeps its release column and the universe side is unique per id, so
-    // store-null rows count exactly the old distinct-id anti-join.
-    val both = idRel.withColumn("__s", lit(1))
+    // ONE full-outer join + ONE release-keyed aggregation yield the
+    // per-release row/id counts AND both invariant directions (previously
+    // three separate aggregates and a releases-dimension union): matched
+    // rows carry the store counts, store-side-unmatched rows are orphans,
+    // universe-side-unmatched rows are missing — same counts as the old
+    // anti-join pair because the join is per (id, release) with a
+    // release-keyed universe, and with an id-only universe the unique-id
+    // universe side never duplicates store rows. The release dimension is
+    // covered by construction (a release present on either side groups
+    // here).
+    val both = idRelCnt.withColumn("__s", lit(1))
       .join(uni.withColumn("__u", lit(1)), joinKeys, "full_outer")
-    val orph = both.where(col("__u").isNull)
-      .groupBy("release").agg(count(lit(1)).as("orphan"))
-    val miss =
-      if (hasRel) both.where(col("__s").isNull)
-        .groupBy("release").agg(count(lit(1)).as("missing"))
-      else both.where(col("__s").isNull)
-        .agg(count(lit(1)).as("missing"))
-        .select(lit(StoreRow).as("release"), col("missing"))
-    // the release dimension must cover BOTH sides: a release torn out of
-    // the store entirely still shows (all-zero counts, non-zero missing),
-    // and the store-wide coverage row always appears for an id-only
-    // universe
-    val releases = perRel.select("release")
-      .unionByName(
-        if (hasRel) uni.select("release")
-        else miss.select("release"))
-      .distinct()
-    releases.join(perRel, Seq("release"), "left")
-      .join(dup, Seq("release"), "left")
-      .join(orph, Seq("release"), "left")
-      .join(miss, Seq("release"), "left")
+    val agg = both.groupBy(col("release"))
+      .agg(coalesce(sum(when(col("__s") === 1, col("__nr"))), lit(0L))
+          .as("n_rows"),
+        count(when(col("__s") === 1 && col("__id").isNotNull, lit(1)))
+          .as("n_ids"),
+        count(when(col("__u").isNull, lit(1))).as("orphan"),
+        count(when(col("__s").isNull, lit(1))).as("__miss"))
+    // with an id-only universe, `missing` is store-wide on the synthetic
+    // (store) row — the universe-unmatched rows grouped under the null
+    // release (these stores never write null release partitions; an
+    // id-only universe row has no release at all), re-homed to StoreRow;
+    // the row appears even with zero missing, as before
+    val basis =
+      if (hasRel) agg.withColumn("missing", col("__miss")).drop("__miss")
+      else {
+        val perRel = agg.where(col("release").isNotNull)
+          .select(col("release"), col("n_rows"), col("n_ids"),
+            col("orphan"), lit(0L).as("missing"))
+        val storeRow = agg.agg(
+            coalesce(sum(when(col("release").isNull, col("__miss"))), lit(0L))
+              .as("missing"))
+          .select(lit(StoreRow).as("release"), lit(0L).as("n_rows"),
+            lit(0L).as("n_ids"), lit(0L).as("orphan"), col("missing"))
+        perRel.unionByName(storeRow)
+      }
+    basis.join(dup, Seq("release"), "left")
       .na.fill(0L, Seq("n_rows", "n_ids", "cross_release_dup", "orphan",
         "missing"))
       .select(lit(tier).as("tier"), col("release"), col("n_rows"),
