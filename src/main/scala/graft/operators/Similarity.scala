@@ -370,6 +370,9 @@ object Similarity {
         .cast("long"))
       .where(col("rank") <= k)
       .select(col("src_id"), col("dst_id"), col("score"), col("rank"))
+      // the mutual self-join below consumes the edge list twice — pin it
+      // once so the scoring pass runs once (|V|·k rows, per-call)
+      .localCheckpoint()
     val rev = edges.select(col("dst_id").as("src_id"),
       col("src_id").as("dst_id"), lit(1).as("__m"))
     edges.join(rev, Seq("src_id", "dst_id"), "left")

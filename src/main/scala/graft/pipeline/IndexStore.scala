@@ -775,9 +775,12 @@ object IndexStore {
                shortlist: Int): DataFrame = {
     val model = readModel(spark, path)
     val rot = readRotation(spark, path)
+    // the mutual flag self-joins the edge list — pin it once so the ADC
+    // scoring tree runs once, not twice (|V|·k rows, recomputed per call)
     val edges = Similarity.ivfPqGraphEdges(rotate(nodes, "q_emb", rot),
       servableCodes(spark, path),
       rotate(fullVecs, "cand_emb", rot), model, nProbe, k, shortlist)
+      .localCheckpoint()
     val rev = edges.select(col("dst_id").as("src_id"),
       col("src_id").as("dst_id"), lit(1).as("__m"))
     edges.join(rev, Seq("src_id", "dst_id"), "left")
@@ -1021,9 +1024,26 @@ object IndexStore {
           else {
             spark.catalog.refreshByPath(s"$path/$sub")
             val t = spark.read.parquet(s"$path/$sub")
-            val affected = t.join(broadcast(tomb), Seq("cand_id"), "left_semi")
-              .select(col("cell").cast("string"), col("release").cast("string"))
-              .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+            // ONE pass discovers the affected partitions AND both counts:
+            // a left join against the (distinct) pinned list feeds one
+            // (cell, release) aggregation carrying rows-total and
+            // rows-tombstoned per pair — affected = tombstoned > 0,
+            // left-empty-by-purge = total == tombstoned, removed = their
+            // sum. Replaces the former three-job chain (discovery
+            // semi-join collect, removed count, post-rewrite live collect)
+            // with one map-side-partial aggregation (guide §1.2 fewer
+            // passes, §2.3 aggregate before you shuffle).
+            val tombD = tomb.select(col("cand_id")).distinct()
+              .withColumn("__t", lit(1))
+            val stats = t.join(broadcast(tombD), Seq("cand_id"), "left")
+              .groupBy(col("cell").cast("string").as("__c"),
+                col("release").cast("string").as("__r"))
+              .agg(count(lit(1)).as("__n"), count(col("__t")).as("__nt"))
+              .where(col("__nt") > 0)
+              .collect()
+              .map(r => ((r.getString(0), r.getString(1)),
+                (r.getLong(2), r.getLong(3))))
+            val affected = stats.map(_._1)
             if (affected.isEmpty) sub -> 0L
             else {
               // two prunable per-column IN filters (cell and release each
@@ -1039,15 +1059,15 @@ object IndexStore {
                     col("release").cast("string")).isin(
                     affected.map { case (c, r) => struct(lit(c), lit(r)) }: _*)
               val aff = t.where(inAffected)
-              val nRemoved =
-                aff.join(broadcast(tomb), Seq("cand_id"), "left_semi").count()
+              val nRemoved = stats.map(_._2._2).sum
               val survivors =
                 aff.join(broadcast(tomb), Seq("cand_id"), "left_anti")
                   .localCheckpoint()
-              val live = survivors
-                .select(col("cell").cast("string"), col("release").cast("string"))
-                .distinct().collect()
-                .map(r => (r.getString(0), r.getString(1))).toSet
+              // live/empty derive from the same aggregation: a pair whose
+              // every row is tombstoned is left empty by the rewrite
+              val live = stats.collect {
+                case (pair, (n, nt)) if n > nt => pair
+              }.toSet
               affected.filterNot(live).foreach { case (c, r) =>
                 val p = new org.apache.hadoop.fs.Path(
                   s"$path/$sub/cell=$c/release=$r")
@@ -1235,15 +1255,22 @@ object IndexStore {
     require(!sample.isEmpty,
       s"rebalance sample is empty (sampleMod=$sampleMod matches no ids) — " +
         "the retrained quantizer would be degenerate")
-    // Coverage guard BEFORE the retrain: the re-encode below is an INNER
-    // join against the resident id set, so a caller passing a partial
-    // corpus would silently SHRINK the store. Fail loudly and fail fast —
-    // every SERVABLE resident id must appear in `vectors` (an anti-join
-    // count; rebalance is a rare nightly op, the extra job is noise next to
-    // the retrain it gates). Tombstoned residents are exempt: a rebalance
-    // re-encodes only the servable population — it IS a natural [[purge]]
-    // point, so the caller need not supply vectors for taken-down ids (and
-    // must not expect them to survive the swap).
+    // Coverage guard, fused onto the encode pass (round 15): the re-encode
+    // below is keyed against the resident id set, so a caller passing a
+    // partial corpus would silently SHRINK the store. The guard used to be
+    // a standalone anti-join count — one corpus-sized job before every
+    // retrain; the encode's resident join visits exactly the same rows, so
+    // keeping every servable resident (right join) and counting the
+    // encode-side misses in a CollectMetrics node rides the guard on the
+    // write for free (guide §1.2: don't compute things twice). The
+    // loud-failure contract is unchanged — same message, and the abort
+    // still leaves the serving store exactly as it was (the staged .next
+    // dirs are discarded below; no swap marker exists yet). The failure
+    // night now pays the retrain before aborting; that prices a caller
+    // bug, not the healthy path. Tombstoned residents stay exempt: a
+    // rebalance re-encodes only the servable population — it IS a natural
+    // [[purge]] point, so the caller need not supply vectors for
+    // taken-down ids (and must not expect them to survive the swap).
     // pin the tombstone snapshot the re-encode realizes: only THESE ids
     // are guaranteed absent from the swapped-in codes, so only these may
     // be cleared from the list afterwards (a delete racing in during the
@@ -1253,15 +1280,6 @@ object IndexStore {
     val relMap = tombSnap.fold(codesAll)(t =>
         codesAll.join(broadcast(t), Seq("cand_id"), "left_anti"))
       .select(col("cand_id"), col("release"))
-    val uncovered = relMap.select(col("cand_id"))
-      .join(vectors.select(col(idCol).cast("long").as("cand_id")),
-        Seq("cand_id"), "left_anti")
-    val nUncovered = uncovered.count()
-    require(nUncovered == 0L,
-      s"rebalance vectors frame is missing $nUncovered resident ids " +
-        s"(e.g. ${uncovered.limit(5).collect().map(_.getLong(0)).mkString(", ")}) — " +
-        "a partial corpus would silently shrink the store; pass every " +
-        "resident vector (or vacuum the releases you mean to drop first)")
     // An OPQ store's quantizer family survives the rebalance: with a full
     // retrain the rotation retrains on the same sample (`opqIters` power
     // iterations — the same kilobyte driver state as the centroids); with
@@ -1284,11 +1302,19 @@ object IndexStore {
           kCoarse, coarseIters)
         IvfPqModel(old.dim, cents, old.codebooks)
       }
-    // resident population only, release provenance carried through
+    // resident population only, release provenance carried through; the
+    // RIGHT join keeps residents the caller's frame missed (null-cell
+    // rows) so the coverage guard counts them during the write itself —
+    // they are filtered back out before the partitioned write, so the
+    // written rows are exactly the former inner join's
+    val guard = org.apache.spark.sql.Observation("rebalance_coverage")
     val enc = Similarity.ivfPqEncode(
         rotate(vectors.select(col(idCol), col(embCol)), embCol, newRot),
         idCol, embCol, model)
-      .join(relMap, Seq("cand_id"))
+      .join(relMap, Seq("cand_id"), "right")
+      .observe(guard,
+        count(when(col("cell").isNull, lit(1))).as("uncovered"))
+      .where(col("cell").isNotNull)
       .repartition(col("cell"), pmod(xxhash64(col("cand_id")),
         lit(EavStore.FilesPerPartition)))
     writeModel(spark, s"$path/meta.next", model)
@@ -1309,6 +1335,24 @@ object IndexStore {
         false, spark.sparkContext.hadoopConfiguration)
     enc.write.mode("overwrite").partitionBy("cell", "release")
       .parquet(s"$path/codes.next")
+    // the guard's verdict, collected by the write above at zero extra jobs;
+    // a trip aborts BEFORE the swap marker, so the serving store is
+    // untouched (recover() discards the staged .next dirs of an
+    // uncommitted attempt) — the message and exception type match the
+    // former standalone require() exactly
+    val nUncovered = guard.get("uncovered").asInstanceOf[Long]
+    if (nUncovered != 0L) {
+      val examples = relMap.select(col("cand_id"))
+        .join(vectors.select(col(idCol).cast("long").as("cand_id")),
+          Seq("cand_id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0)).mkString(", ")
+      recover(spark, path)
+      throw new IllegalArgumentException("requirement failed: " +
+        s"rebalance vectors frame is missing $nUncovered resident ids " +
+        s"(e.g. $examples) — " +
+        "a partial corpus would silently shrink the store; pass every " +
+        "resident vector (or vacuum the releases you mean to drop first)")
+    }
     val fs = fsOf(spark, path)
     fs.create(new org.apache.hadoop.fs.Path(s"$path/$SwapMarker"), true).close()
     finishSwap(spark, path)

@@ -67,7 +67,14 @@ object ReleaseBuild {
       .where(col("novelty_permille") >= p.noveltyFloor)
       .select(col(idCol), col("novelty_permille"))
     val d3 = d2.join(nov, Seq(idCol))
-    // 4. frozen-weight margin gate (map-side expression, no join)
+    // 4. frozen-weight margin gate (map-side expression, no join).
+    // NOTE (r15, measured): the survivor set is consumed three times
+    // downstream (mix totals, mix filter, join-back) — an eager
+    // localCheckpoint pin here was A/B'd and REGRESSED q140 8.0→15.4 s:
+    // within one action the repeated subtrees dedup through
+    // ReusedExchange and AQE materializes independent stages
+    // concurrently, while the pin serializes that work at construction
+    // time. Left as the planner-shared triple consumption deliberately.
     val d4 = d3.withColumn("margin_micro",
         Classifier.scoreExpr(col(textCol), weights))
       .where(col("margin_micro") > 0)

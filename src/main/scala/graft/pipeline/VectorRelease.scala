@@ -137,14 +137,23 @@ object VectorRelease {
       col(embCol).cast("array<double>").as("cand_emb"))
     val union = oldVecs.unionByName(newVecs)
 
-    // 2. graph roll-forward under the frozen coarse quantizer
+    // 2. graph roll-forward under the frozen coarse quantizer. The merged
+    //    edge list is consumed TWICE by construction — withMutualFlag
+    //    self-joins it against its own reversal — and its producing tree
+    //    is the night's most expensive subtree (two exact cell-pruned
+    //    scoring passes plus the bounded merge), so pin it once
+    //    (localCheckpoint: guide §5, cheap lineage cut for a
+    //    twice-consumed intermediate). The pinned frame is |V|·k edge
+    //    rows — orders of magnitude below the corpus — and is recomputed
+    //    from the night's inputs on every call: a plan pin, not a
+    //    cross-run cache.
     val oldDelta = Similarity.ivfExactGraphEdges(nodes(oldVecs),
       cands(newVecs), model.centroids, p.nProbe, p.k)
     val newEdges = Similarity.ivfExactGraphEdges(nodes(newVecs),
       cands(union), model.centroids, p.nProbe, p.k)
-    val graph = Similarity.withMutualFlag(
-      Similarity.mergeKnnEdges(priorGraph, oldDelta, p.k)
-        .unionByName(newEdges))
+    val merged = Similarity.mergeKnnEdges(priorGraph, oldDelta, p.k)
+      .unionByName(newEdges).localCheckpoint()
+    val graph = Similarity.withMutualFlag(merged)
 
     // 3. eval drop list served FROM the just-appended index — which
     //    rotates its own inputs, so it gets the RAW candidates

@@ -715,9 +715,12 @@ object VectorQueries {
         cands(emb.where(isNew)), cents, nProbe = 2, k = 3)
       val newEdges = Similarity.ivfExactGraphEdges(nodes(emb.where(isNew)),
         cands(emb), cents, nProbe = 2, k = 3)
+      // withMutualFlag self-joins its input — pin the merged list once so
+      // the three scoring passes above run once, not twice (same rows; the
+      // rollForward night does the same)
       Similarity.withMutualFlag(
         Similarity.mergeKnnEdges(prior, oldDelta, k = 3)
-          .unionByName(newEdges))
+          .unionByName(newEdges).localCheckpoint())
     }),
 
     // Vector-tier NIGHTLY ROLL-FORWARD (the q140 contract for the ANN
@@ -1015,12 +1018,18 @@ object VectorQueries {
       }
       val sigUniverse = docs.select(col("doc_id"),
         when(isNew, "r2").otherwise("r1").as("release"))
+      // the gram card's universe (the corpus gram set — a full shingle +
+      // distinct pass) feeds BOTH the torn and the repaired card, which
+      // run as SEPARATE actions around the repair — pin it once (cross-
+      // action reuse; deterministic, so both cards see identical values)
+      val uniGrams = graft.pipeline.GramStore.grams(docs, "text")
+        .localCheckpoint()
       def cards = graft.pipeline.StoreAudit.card("signatures",
           graft.pipeline.SignatureStore.read(s, s"$root/sigs"),
           "doc_id", sigUniverse)
         .unionByName(graft.pipeline.StoreAudit.card("grams",
           graft.pipeline.GramStore.read(s, s"$root/grams"),
-          "gram_h", graft.pipeline.GramStore.grams(docs, "text")))
+          "gram_h", uniGrams))
       // pin the torn cards before the repair rewrites the files their
       // lazy plans would re-list (the q208 idiom)
       val detected = cards.withColumn("stage", lit("detected"))

@@ -697,7 +697,8 @@ class IndexStoreSpec extends SparkSpec {
         "vec_id", "embedding", kCoarse = 8, coarseIters = 4, pqIters = 3)
     }
     assert(err.getMessage.contains("resident ids"))
-    // the store is untouched (the guard fires before any staging write)
+    // the store is untouched (the guard rides the staged encode write and
+    // the abort discards the uncommitted .next dirs before any swap)
     assert(IndexStore.readCodes(spark, dir).count() === before)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -909,6 +910,24 @@ class IndexStoreSpec extends SparkSpec {
       nProbe = 8, k = 1000, shortlist = 10000)
     assert(served.where(col("cand_id") === vid).isEmpty,
       "a re-appended tombstoned id must stay excluded")
+  }
+
+  test("purge reports exact per-table removed counts (never-resident tombstoned ids do not inflate them)") {
+    val dir = Files.createTempDirectory("ivfadc_tomb4").toString + "/index"
+    build(dir, emb)
+    IndexStore.buildRerank(spark, dir, fullVecs)
+    val victims = emb.where(col("vec_id") % 7 === 3)
+      .select(col("vec_id").cast("long").as("cand_id"))
+    val nVict = victims.count()
+    // the list carries duplicates and ids the store never held — neither
+    // may inflate the removal accounting of the fused one-pass discovery
+    IndexStore.delete(spark, dir, victims.unionByName(victims)
+      .unionByName(spark.range(900000, 900005).toDF("cand_id")))
+    val removed = IndexStore.purge(spark, dir)
+    assert(removed("codes") === nVict,
+      s"codes removed ${removed("codes")} != $nVict resident victims")
+    assert(removed("rerank/codes") === nVict,
+      s"rerank removed ${removed("rerank/codes")} != $nVict resident victims")
   }
 
   test("purge deletes fully-emptied (cell, release) partition directories") {

@@ -10,6 +10,7 @@ the check.
 
 Usage:
     python3 tools/benchguard.py <candidate.json> [reference.json]
+            [--isolated isolated.json]
 
 The reference defaults to the committed artifact of the same name
 (`git show HEAD:<basename>`). Exit 0 = clean (prints the median ratio);
@@ -22,6 +23,15 @@ seconds for that query brings it back under the threshold (a first-pass
 shared-fixture build legitimately lands on whichever query runs first).
 Queries present on only one side are reported informationally (new/removed
 queries are expected when the round adds operators) and never fail the run.
+
+Round-15 rule (the q185 lesson: a 19.2 s drift reading of a 4.5 s query
+rode a committed artifact because only >10x movers failed): ANY single-query
+mover above ISOLATION_RATIO additionally requires an AGREEING isolation
+re-run before the artifact may be committed. Re-measure the movers alone
+(`sbt "runMain graft.BenchSome <q> ..."`), record {"<q>": seconds} in a JSON
+file and pass it as --isolated. A mover whose isolated seconds confirm the
+candidate (within CONFIRM_TOL) is genuine and passes; one the isolation
+disproves — or that has no isolation entry at all — fails the gate.
 """
 import json
 import os
@@ -30,6 +40,8 @@ import subprocess
 import sys
 
 MAX_RATIO = 10.0
+ISOLATION_RATIO = 2.0  # movers above this need an agreeing isolation re-run
+CONFIRM_TOL = 1.3      # isolated >= candidate/CONFIRM_TOL counts as agreeing
 MIN_SEC = 0.5  # ignore sub-noise-floor queries: 0.05s -> 0.6s is not drift
 
 
@@ -63,11 +75,17 @@ def load_ref(candidate_path, ref_arg):
 
 
 def main():
-    if len(sys.argv) not in (2, 3):
+    args = list(sys.argv[1:])
+    isolated = {}
+    if "--isolated" in args:
+        i = args.index("--isolated")
+        isolated = load(args[i + 1])
+        del args[i:i + 2]
+    if len(args) not in (1, 2):
         sys.exit(__doc__)
-    cand_path = sys.argv[1]
+    cand_path = args[0]
     cand = load(cand_path)
-    ref, ref_name = load_ref(cand_path, sys.argv[2] if len(sys.argv) == 3 else None)
+    ref, ref_name = load_ref(cand_path, args[1] if len(args) == 2 else None)
     cq, rq = cand.get("queries", {}), ref.get("queries", {})
     fixture = cand.get("fixture_build", {}) or {}
     common = sorted(set(cq) & set(rq))
@@ -76,16 +94,27 @@ def main():
 
     median = statistics.median(cq[q] / rq[q] for q in common if rq[q] > 0)
 
-    movers, excused = [], []
+    movers, excused, unconfirmed, confirmed = [], [], [], []
     for q in common:
         if rq[q] <= 0 or max(cq[q], rq[q]) < MIN_SEC:
             continue
         ratio = cq[q] / rq[q]
-        if ratio <= MAX_RATIO:
+        if ratio <= ISOLATION_RATIO:
             continue
         adj = (cq[q] - fixture.get(q, 0.0)) / rq[q]
-        if adj <= MAX_RATIO:
+        if ratio > MAX_RATIO:
+            if adj <= MAX_RATIO:
+                excused.append((q, ratio, adj))
+                continue
+            movers.append((q, ratio))
+            continue
+        # 2x..10x band: genuine-vs-drift is decided by an isolation re-run
+        if adj <= ISOLATION_RATIO:
             excused.append((q, ratio, adj))
+        elif q not in isolated:
+            unconfirmed.append((q, ratio))
+        elif isolated[q] >= cq[q] / CONFIRM_TOL:
+            confirmed.append((q, ratio, isolated[q]))
         else:
             movers.append((q, ratio))
 
@@ -101,11 +130,24 @@ def main():
     for q, ratio, adj in excused:
         print(f"  excused {q}: {ratio:.1f}x raw -> {adj:.1f}x after "
               f"fixture_build attribution")
+    for q, ratio, iso in confirmed:
+        print(f"  confirmed {q}: {ratio:.1f}x, isolation re-run agrees "
+              f"({iso:.2f}s vs candidate {cq[q]:.2f}s) — genuine")
+    fail = False
+    if unconfirmed:
+        fail = True
+        print(f"FAIL: {len(unconfirmed)} movers >{ISOLATION_RATIO:.0f}x with "
+              f"no isolation re-run (re-measure each alone with BenchSome "
+              f"and pass --isolated):")
+        for q, ratio in unconfirmed:
+            print(f"  {q}: {rq[q]:.2f}s -> {cq[q]:.2f}s ({ratio:.1f}x)")
     if movers:
-        print(f"FAIL: {len(movers)} unexcused >{MAX_RATIO:.0f}x movers "
+        fail = True
+        print(f"FAIL: {len(movers)} unexcused movers "
               f"(the drift signature — rerun the bench, do not commit):")
         for q, ratio in movers:
             print(f"  {q}: {rq[q]:.2f}s -> {cq[q]:.2f}s ({ratio:.1f}x)")
+    if fail:
         sys.exit(1)
     print("clean: no unexcused movers")
 
