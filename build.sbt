@@ -38,4 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the EAV pipelines hold ~15M wide rows across 32 threads, and an
   // undersized heap taxes every query with GC. The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-)
+) ++
+  // A/B hook: extra -Dspark.* system properties for the forked JVM
+  // (SparkConf loads spark.* system properties), so config experiments
+  // (AQE coalescing, cleaner GC cadence, ...) run without code edits.
+  // Unset in the driver's environment — the default session is unchanged.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

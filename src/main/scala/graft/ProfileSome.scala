@@ -79,27 +79,31 @@ object ProfileSome {
     val names = args.toSeq
     for (name <- names; pass <- 1 to passes) {
       graft.queries.VectorQueries.fixtureBuildSec.clear()
-      jobs.clear(); stages.clear()
+      jobs.synchronized(jobs.clear()); stages.synchronized(stages.clear())
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      // let the listener bus drain before reading the collections
+      // let the listener bus drain before reading the collections (the
+      // sleep is a heuristic; the reads below additionally take the same
+      // monitors the listener writes under, so a slow drain can at worst
+      // drop a late event, never tear a read)
       Thread.sleep(300)
       spark.sparkContext.removeSparkListener(listener)
       if (pass == passes) {
         println(f"==== $name pass$pass wall=$wall%.2fs " +
           s"fixture=${graft.queries.VectorQueries.fixtureBuildSec.getOrDefault(name, 0.0)}")
-        val byCs = jobs.values.filter(_.sec >= 0).toSeq
+        val jobsSnap = jobs.synchronized(jobs.values.toList)
+        val byCs = jobsSnap.filter(_.sec >= 0)
           .groupBy(_.callSite)
           .map { case (cs, rs) => (cs, rs.map(_.sec).sum, rs.size) }
           .toSeq.sortBy(-_._2)
-        println(f"-- jobs: ${jobs.size} total, ${byCs.map(_._2).sum}%.2fs in-job")
+        println(f"-- jobs: ${jobsSnap.size} total, ${byCs.map(_._2).sum}%.2fs in-job")
         byCs.takeWhile(_._2 > 0.02).take(40).foreach { case (cs, s, n) =>
           println(f"  $s%8.2fs  x$n%-4d $cs")
         }
-        val byStage = stages.toSeq.groupBy(_.name)
+        val byStage = stages.synchronized(stages.toList).groupBy(_.name)
           .map { case (nm, ss) =>
             (nm, ss.map(_.sec).sum, ss.map(_.shufRead).sum,
               ss.map(_.shufWrite).sum, ss.map(_.input).sum, ss.size) }

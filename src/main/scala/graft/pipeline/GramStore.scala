@@ -38,6 +38,11 @@ object GramStore {
     * release's own prior rows, so re-running a release — including one that
     * previously failed partway — fully rebuilds and replaces its partition
     * instead of being suppressed by its own partial leftovers. */
+  /** @param docGrams MUST equal `grams(docs, textCol)` when supplied —
+    *   it exists solely so a caller that already computed that frame
+    *   (ReleaseBuild.rollForwardOnDisk shares it with its audit card)
+    *   can hand it in instead of re-running the shingle pass; a
+    *   mismatched frame would silently write a wrong novel margin. */
   def append(spark: SparkSession, path: String, release: String,
              docs: DataFrame, textCol: String,
              docGrams: Option[DataFrame] = None): Unit = {

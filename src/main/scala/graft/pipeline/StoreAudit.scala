@@ -54,9 +54,12 @@ object StoreAudit {
     // distinct (id, release) set (the old `idRel`), per-release row/id
     // counts (the old second store scan with its countDistinct expand),
     // and the dup check's base — so the store is scanned and shuffled
-    // once, not twice, per card. Counts replicate the previous spelling
-    // exactly: n_rows counts every row (null ids included), n_ids counts
-    // DISTINCT NON-NULL ids (countDistinct semantics).
+    // once, not twice, per card. Count semantics: n_rows counts every row
+    // (null ids included); n_ids counts DISTINCT ids whose CAST TO LONG is
+    // non-null — for the current all-long id tiers that is countDistinct
+    // of the raw column, but an id a long cast nulls out (e.g. a
+    // string-keyed tier) would not count; audit such a tier on its raw
+    // key column instead.
     val idRelCnt = store.select(col(idCol).cast("long").as("__id"),
         col("release").cast("string").as("release"))
       .groupBy(col("__id"), col("release")).agg(count(lit(1)).as("__nr"))
